@@ -1,0 +1,153 @@
+"""Global device mesh and logical-axis sharding rules.
+
+The reference reaches scale with a zoo of backends — DDP, DeepSpeed ZeRO-1/2/3
+(InternVideo2/single_modality/utils.py:814-907), FSDP2/HSDP + a 3-axis
+(dp, sp, tp) data mesh (InternVideo3_sft/xtuner/v1/train/trainer.py:953-986),
+Ulysses SP all-to-alls and an EP dispatcher. On TPU all of those collapse into
+ONE `jax.sharding.Mesh` with named axes and GSPMD partition specs; XLA inserts
+the collectives.
+
+Axes of the global mesh (any of them may have size 1):
+
+  replica  pure data parallelism across slices — rides DCN in multi-slice pods
+  fsdp     parameter/optimizer sharding (ZeRO-3 / FSDP equivalent) — ICI
+  seq      sequence parallelism (Ulysses all-to-all / context parallel) — ICI
+  tensor   tensor parallelism (megatron-style col/row sharding) — ICI
+  expert   expert parallelism for MoE layers — ICI
+
+Model code never names mesh axes directly. Modules annotate parameters and
+activations with *logical* axis names ('embed', 'mlp', 'heads', ...) and the
+rules in `logical_axis_rules()` map those to mesh axes — flipping a model from
+pure-DP to FSDP+TP is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+# Canonical mesh axis names, outermost (DCN) to innermost (ICI).
+MESH_AXES = ("replica", "fsdp", "seq", "tensor", "expert")
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Sizes for each mesh axis. -1 means "absorb all remaining devices"."""
+
+    replica: int = 1
+    fsdp: int = -1
+    seq: int = 1
+    tensor: int = 1
+    expert: int = 1
+
+    def resolve(self, n_devices: int) -> dict[str, int]:
+        sizes = {a: getattr(self, a) for a in MESH_AXES}
+        fixed = math.prod(v for v in sizes.values() if v != -1)
+        free = [a for a, v in sizes.items() if v == -1]
+        if len(free) > 1:
+            raise ValueError(f"at most one mesh axis may be -1, got {free}")
+        if free:
+            if n_devices % fixed != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes product {fixed}"
+                )
+            sizes[free[0]] = n_devices // fixed
+        elif fixed != n_devices:
+            raise ValueError(f"mesh sizes {sizes} != {n_devices} devices")
+        return sizes
+
+
+def create_mesh(
+    config: MeshConfig | None = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the global mesh.
+
+    Axis order follows MESH_AXES so that `replica` strides across the
+    slowest-varying (DCN-adjacent) dimension of the device array and the
+    communication-heavy axes (tensor/expert) land on nearest-neighbor ICI.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    config = config or MeshConfig()
+    sizes = config.resolve(len(devices))
+    shape = tuple(sizes[a] for a in MESH_AXES)
+    device_array = np.asarray(devices).reshape(shape)
+    return Mesh(device_array, MESH_AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return create_mesh(MeshConfig(fsdp=1), devices=jax.devices()[:1])
+
+
+# ---------------------------------------------------------------------------
+# Logical axis rules
+# ---------------------------------------------------------------------------
+
+# Each rule maps a logical axis name to one or more mesh axes (first rule whose
+# mesh axes are all unused by earlier matches of the same spec wins — flax
+# `logical_to_mesh` semantics).
+DEFAULT_RULES: tuple[tuple[str, str | tuple[str, ...] | None], ...] = (
+    # batch-like dims: data parallel over replica+fsdp (+seq when it exists)
+    ("batch", ("replica", "fsdp")),
+    # sequence/token dim of activations: sequence parallel
+    ("seq_act", "seq"),
+    # embedding (model) dim of parameters: FSDP-shard
+    ("embed", "fsdp"),
+    # ffn hidden / attention head dims of parameters: tensor parallel
+    ("mlp", "tensor"),
+    ("heads", "tensor"),
+    ("kv_heads", "tensor"),
+    # vocab / class dims
+    ("vocab", "tensor"),
+    # MoE
+    ("expert", "expert"),
+    ("expert_mlp", "tensor"),
+    # dims that must stay replicated
+    ("norm", None),
+    ("qkv3", None),
+    ("stack", None),
+    ("kernel_spatial", None),
+)
+
+
+def logical_axis_rules(
+    overrides: Sequence[tuple[str, str | tuple[str, ...] | None]] = (),
+) -> tuple:
+    """Default logical→mesh rules, with optional per-config overrides."""
+    rules = dict(DEFAULT_RULES)
+    rules.update(dict(overrides))
+    return tuple(rules.items())
+
+
+def logical_to_spec(logical_axes: Sequence[Optional[str]], rules=None) -> PartitionSpec:
+    """Translate a tuple of logical axis names into a PartitionSpec."""
+    rules = dict(rules or DEFAULT_RULES)
+    parts = []
+    used: set[str] = set()
+    for name in logical_axes:
+        mesh_axes = rules.get(name) if name is not None else None
+        if mesh_axes is None:
+            parts.append(None)
+            continue
+        if isinstance(mesh_axes, str):
+            mesh_axes = (mesh_axes,)
+        free = tuple(a for a in mesh_axes if a not in used)
+        used.update(free)
+        parts.append(free if len(free) > 1 else (free[0] if free else None))
+    return PartitionSpec(*parts)
+
+
+def logical_to_sharding(
+    logical_axes: Sequence[Optional[str]], mesh: Mesh, rules=None
+) -> NamedSharding:
+    return NamedSharding(mesh, logical_to_spec(logical_axes, rules))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for host-fed batches: batch dim over all data-parallel axes."""
+    return NamedSharding(mesh, PartitionSpec(("replica", "fsdp")))

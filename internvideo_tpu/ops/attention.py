@@ -1,0 +1,51 @@
+"""Attention dispatcher: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+All model code calls `dot_product_attention`; the backend is chosen once per
+trace from the default JAX backend (or forced via `impl=`), so tests run the
+same model code on CPU against the same numerics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from internvideo_tpu.ops.attention_xla import xla_attention
+from internvideo_tpu.ops.flash_attention import flash_attention
+
+
+def dot_product_attention(
+    q: jax.Array,  # (B, Sq, Hq, D)
+    k: jax.Array,  # (B, Sk, Hkv, D)
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    impl: str = "auto",  # auto | pallas | xla
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return flash_attention(
+            q, k, v,
+            causal=causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            softmax_scale=softmax_scale,
+            block_q=block_q,
+            block_k=block_k,
+        )
+    if impl == "xla":
+        return xla_attention(
+            q, k, v,
+            causal=causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            softmax_scale=softmax_scale,
+        )
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,471 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for the reference's flash-attn CUDA dependency
+(InternVideo2/single_modality/models/flash_attention_class.py:10,
+InternVideo3_sft/xtuner/v1/ops/flash_attn/gpu.py). Features:
+
+  * online-softmax blockwise attention, fp32 accumulation, bf16-friendly
+  * `causal` masking with whole-block skipping below the diagonal
+  * packed-varlen support via integer *segment ids* (the TPU-idiomatic
+    替代 for the reference's cu_seqlens varlen API) — tokens attend only
+    within their own segment; id < 0 marks padding
+  * GQA by repeating KV heads (wrapper-level; shared-KV index maps later)
+  * custom VJP with two backward kernels (dq; dk/dv), re-computing
+    probabilities from the saved log-sum-exp instead of materializing them
+
+Layout: public API is (B, S, H, D) — matching the projection layout so XLA
+can fuse the transposes; kernels run on (B, H, S, D) so blocks tile VMEM as
+(block, head_dim).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _mask_block(
+    s,  # (bq, bk) f32 scaled logits
+    *,
+    causal: bool,
+    q_seg,  # (bq, 1) int32 or None
+    k_seg,  # (1, bk) int32 or None
+    q_offset,
+    k_offset,
+):
+    bq, bk = s.shape
+    mask = None
+    if causal:
+        qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = qi >= ki
+    if q_seg is not None:
+        seg = q_seg == k_seg
+        mask = seg if mask is None else jnp.logical_and(mask, seg)
+    if mask is None:
+        return s
+    return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    *refs,
+    scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+):
+    if has_segs:
+        q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        qseg_ref = kseg_ref = None
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # With causal masking, blocks strictly above the diagonal contribute 0.
+    block_visible = True
+    if causal:
+        block_visible = (iq + 1) * block_q > ik * block_k
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # (bq, d)
+        k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        q_seg = k_seg = None
+        if qseg_ref is not None:
+            q_seg = qseg_ref[0].reshape(block_q, 1)
+            k_seg = kseg_ref[0].reshape(1, block_k)
+        s = _mask_block(
+            s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+            q_offset=iq * block_q, k_offset=ik * block_k,
+        )
+
+        m_prev = m_ref[:, 0]  # (bq,)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        p = jnp.exp(s - m_cur[:, None])
+        # Rows that have seen nothing but masked keys: keep everything at 0.
+        p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
+        alpha = jnp.exp(m_prev - m_cur)
+        alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        m_ref[:, 0] = m_cur
+        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+        m = m_ref[:, 0]
+        # Empty rows get a huge LSE so exp(s - lse) == 0 in the backward.
+        lse = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
+        lse_ref[0, 0] = lse
+
+
+def _fwd(
+    q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
+):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
+
+    has_segs = q_seg is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
+    ]
+    args = [q, k, v]
+    if has_segs:
+        in_specs += [
+            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
+            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+        ]
+        args += [q_seg, kv_seg]
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, has_segs=has_segs,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    *refs,
+    scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+):
+    if has_segs:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs
+        qseg_ref = kseg_ref = None
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    block_visible = True
+    if causal:
+        block_visible = (iq + 1) * block_q > ik * block_k
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].reshape(block_q, 1)
+        delta = delta_ref[0, 0].reshape(block_q, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = k_seg = None
+        if qseg_ref is not None:
+            q_seg = qseg_ref[0].reshape(block_q, 1)
+            k_seg = kseg_ref[0].reshape(1, block_k)
+        s = _mask_block(
+            s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+            q_offset=iq * block_q, k_offset=ik * block_k,
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq_acc[:] += scale * jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    *refs,
+    scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+):
+    if has_segs:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        qseg_ref = kseg_ref = None
+    ik, iq = pl.program_id(2), pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    block_visible = True
+    if causal:
+        block_visible = (iq + 1) * block_q > ik * block_k
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0].reshape(block_q, 1)
+        delta = delta_ref[0, 0].reshape(block_q, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = k_seg = None
+        if qseg_ref is not None:
+            q_seg = qseg_ref[0].reshape(block_q, 1)
+            k_seg = kseg_ref[0].reshape(1, block_k)
+        s = _mask_block(
+            s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+            q_offset=iq * block_q, k_offset=ik * block_k,
+        )
+        p = jnp.exp(s - lse)  # (bq, bk)
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_acc[:] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(
+    q, k, v, o, lse, do, q_seg, kv_seg,
+    *, scale, causal, block_q, block_k, interpret,
+):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    has_segs = q_seg is not None
+    common_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # q
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # k
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # v
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
+        pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),  # lse
+        pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),  # delta
+    ]
+    seg_specs = [
+        pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
+        pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+    ] if has_segs else []
+    args = [q, k, v, do, lse, delta]
+    if has_segs:
+        args += [q_seg, kv_seg]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, has_segs=has_segs,
+        ),
+        grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
+        in_specs=common_specs + seg_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+    # For the dk/dv pass the grid walks q blocks innermost; the index maps
+    # receive (b, h, ik, iq).
+    dkv_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, ik, iq: (b, h, iq)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, ik, iq: (b, h, iq)),
+    ]
+    dkv_seg_specs = [
+        pl.BlockSpec((1, block_q), lambda b, h, ik, iq: (b, iq)),
+        pl.BlockSpec((1, block_k), lambda b, h, ik, iq: (b, ik)),
+    ] if has_segs else []
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, has_segs=has_segs,
+        ),
+        grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
+        in_specs=dkv_specs + dkv_seg_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+)
+def _flash_attention(
+    q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret, _nh,
+):
+    out, _ = _fwd(
+        q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return out
+
+
+def _flash_fwd_rule(q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, _nh):
+    out, lse = _fwd(
+        q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
+        block_q=bq, block_k=bk, interpret=interp,
+    )
+    return out, (q, k, v, out, lse, q_seg, kv_seg)
+
+
+def _flash_bwd_rule(scale, causal, bq, bk, interp, _nh, res, g):
+    q, k, v, out, lse, q_seg, kv_seg = res
+    dq, dk, dv = _bwd(
+        q, k, v, out, lse, g, q_seg, kv_seg,
+        scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,  # (B, Sq, Hq, D)
+    k: jax.Array,  # (B, Sk, Hkv, D)
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, S, H, D) inputs. See module docstring."""
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    if hq != hkv:  # GQA: broadcast KV heads. TODO: shared-KV index maps.
+        assert hq % hkv == 0
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+
+    # Pad sequence dims to block multiples; padded tokens get segment id -1
+    # (q pads) / -2 (kv pads) so they never attend to anything real.
+    block_q_eff = min(block_q, _round_up(sq, 128))
+    block_k_eff = min(block_k, _round_up(sk, 128))
+    sq_p = _round_up(sq, block_q_eff)
+    sk_p = _round_up(sk, block_k_eff)
+    needs_pad = (sq_p != sq) or (sk_p != sk)
+    if needs_pad or q_segment_ids is not None:
+        if q_segment_ids is None:
+            q_segment_ids = jnp.zeros((b, sq), jnp.int32)
+            kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, sq_p - sq)), constant_values=-1
+        )
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, sk_p - sk)), constant_values=-2
+        )
+    if needs_pad:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = _flash_attention(
+        qt, kt, vt, q_segment_ids, kv_segment_ids,
+        scale, causal, block_q_eff, block_k_eff, interpret, hq,
+    )
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    if needs_pad:
+        out = out[:, :sq]
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

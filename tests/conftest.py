@@ -1,0 +1,19 @@
+"""Test bootstrap: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU analogue of the reference's MultiProcessTestCase harness
+(InternVideo3_sft/xtuner/_testing/testcase.py:15) — multi-"chip" logic is
+exercised on one host via XLA's host-platform device splitting.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

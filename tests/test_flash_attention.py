@@ -1,0 +1,98 @@
+"""Flash-attention kernel parity vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from internvideo_tpu.ops.attention_xla import xla_attention
+from internvideo_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, b, sq, sk, h, d, hkv=None):
+    hkv = hkv or h
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, sk, hkv, d), jnp.float32)
+    v = jax.random.normal(kv, (b, sk, hkv, d), jnp.float32)
+    return q, k, v
+
+
+def _flash(*args, **kw):
+    return flash_attention(*args, interpret=True, block_q=128, block_k=128, **kw)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_xla(causal):
+    q, k, v = _rand_qkv(jax.random.key(0), 2, 256, 256, 2, 64)
+    ref = xla_attention(q, k, v, causal=causal)
+    out = _flash(q, k, v, causal=causal)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_forward_unaligned_lengths():
+    # 200 is not a multiple of the 128 block — exercises padding path.
+    q, k, v = _rand_qkv(jax.random.key(1), 1, 200, 200, 2, 64)
+    ref = xla_attention(q, k, v)
+    out = _flash(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_forward_segment_ids():
+    b, s, h, d = 2, 256, 2, 64
+    q, k, v = _rand_qkv(jax.random.key(2), b, s, s, h, d)
+    # two packed segments + padding tail
+    seg = jnp.concatenate([
+        jnp.zeros((b, 100), jnp.int32),
+        jnp.ones((b, 120), jnp.int32),
+        jnp.full((b, 36), -1, jnp.int32),
+    ], axis=1)
+    ref = xla_attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+    out = _flash(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+    # padding rows are ill-defined in the reference (uniform attention);
+    # compare only real tokens
+    np.testing.assert_allclose(out[:, :220], ref[:, :220], atol=2e-5, rtol=2e-5)
+
+
+def test_gqa():
+    q, k, v = _rand_qkv(jax.random.key(3), 1, 128, 128, 8, 64, hkv=2)
+    ref = xla_attention(q, k, v)
+    out = _flash(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_xla(causal):
+    q, k, v = _rand_qkv(jax.random.key(4), 1, 256, 256, 2, 64)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v, causal=causal)))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(_flash(q, k, v, causal=causal)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_grads_segment_ids():
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = _rand_qkv(jax.random.key(5), b, s, s, h, d)
+    seg = jnp.concatenate([
+        jnp.zeros((b, 128), jnp.int32), jnp.ones((b, 128), jnp.int32)
+    ], axis=1)
+
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+        return jnp.sum(jnp.square(o))
+
+    def loss_flash(q, k, v):
+        o = _flash(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+        return jnp.sum(jnp.square(o))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
