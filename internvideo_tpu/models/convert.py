@@ -1,0 +1,119 @@
+"""Weight bridge: reference PyTorch state_dicts → flax param pytrees.
+
+Covers the InternVideo2 single-modality encoder naming scheme
+(InternVideo2/single_modality/models/internvideo2.py) so published
+checkpoints load directly. Tensors arrive as numpy arrays (from
+`torch.Tensor.numpy()` or a safetensors reader) — torch itself is only
+needed by the caller.
+
+Key layout translations (torch → flax):
+  * Linear weight (out, in)            → kernel (in, out)       [transpose]
+  * fused qkv weight (3D, D)           → DenseGeneral (D, 3, D)
+  * Conv3d patchify (D, C, kt, kh, kw) → Dense ((kt kh kw C), D)
+    with patch-content flattened in (kt, kh, kw, C) order to match
+    PatchEmbed3D's reshape.
+  * LayerNorm weight/bias              → scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import numpy as np
+
+
+def _linear(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _layernorm(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _rmsnorm(sd, prefix):
+    return {"weight": sd[f"{prefix}.weight"]}
+
+
+def convert_internvideo2_encoder(
+    sd: Mapping[str, np.ndarray],
+    *,
+    depth: int,
+    prefix: str = "",
+) -> dict:
+    """Convert a reference InternVideo2 encoder state_dict to flax params."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    p: dict = {}
+
+    w = sd["patch_embed.proj.weight"]  # (D, C, kt, kh, kw)
+    d = w.shape[0]
+    kernel = np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0).reshape(-1, d))
+    p["patch_embed"] = {"proj": {"kernel": kernel}}
+    if "patch_embed.proj.bias" in sd:
+        p["patch_embed"]["proj"]["bias"] = sd["patch_embed.proj.bias"]
+
+    p["cls_token"] = sd["cls_token"]
+    if "pos_embed" in sd:
+        p["pos_embed"] = sd["pos_embed"][0]  # drop leading broadcast dim
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        blk = {
+            "norm1": _rmsnorm(sd, f"{b}.norm1"),
+            "norm2": _rmsnorm(sd, f"{b}.norm2"),
+            "mlp": {
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            },
+        }
+        qkv_w = sd[f"{b}.attn.qkv.weight"]  # (3D, D)
+        attn = {
+            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T).reshape(d, 3, d)},
+            "proj": _linear(sd, f"{b}.attn.proj"),
+        }
+        if f"{b}.attn.qkv.bias" in sd:
+            attn["qkv"]["bias"] = sd[f"{b}.attn.qkv.bias"].reshape(3, d)
+        if f"{b}.attn.q_norm.weight" in sd:
+            attn["q_norm"] = _rmsnorm(sd, f"{b}.attn.q_norm")
+            attn["k_norm"] = _rmsnorm(sd, f"{b}.attn.k_norm")
+        blk["attn"] = attn
+        if f"{b}.ls1.gamma" in sd:
+            blk["ls1"] = {"gamma": sd[f"{b}.ls1.gamma"]}
+            blk["ls2"] = {"gamma": sd[f"{b}.ls2.gamma"]}
+        p[f"blocks_{i}"] = blk
+
+    if "clip_projector.norm1_q.weight" in sd:
+        cp = "clip_projector"
+        cross = {
+            "q": _linear(sd, f"{cp}.cross_attn.q"),
+            "k": _linear(sd, f"{cp}.cross_attn.k"),
+            "v": _linear(sd, f"{cp}.cross_attn.v"),
+            "proj": _linear(sd, f"{cp}.cross_attn.proj"),
+        }
+        # reference keeps q/k/v biases as separate Parameters (q_bias, ...)
+        for name in ("q", "k", "v"):
+            bias_key = f"{cp}.cross_attn.{name}_bias"
+            if bias_key in sd:
+                cross[name]["bias"] = sd[bias_key]
+        p["clip_projector"] = {
+            "norm1_q": _layernorm(sd, f"{cp}.norm1_q"),
+            "norm1_k": _layernorm(sd, f"{cp}.norm1_k"),
+            "norm1_v": _layernorm(sd, f"{cp}.norm1_v"),
+            "cross_attn": cross,
+        }
+
+    if "fc_norm.weight" in sd:
+        p["fc_norm"] = _layernorm(sd, "fc_norm")
+    if "head.weight" in sd:
+        p["head"] = _linear(sd, "head")
+    return {"params": p}
+
+
+def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
+    """Detach a torch state_dict to fp32 numpy (host-side, no device deps)."""
+    return {
+        k: v.detach().to("cpu").float().numpy() for k, v in state_dict.items()
+    }

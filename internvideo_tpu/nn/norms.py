@@ -1,0 +1,57 @@
+"""Normalization layers (fp32 math regardless of activation dtype)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from internvideo_tpu.ops.rmsnorm import rms_norm
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm with fp32 variance math (reference: internvideo2.py:119-130)."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        weight = self.param(
+            "weight",
+            nn.with_logical_partitioning(nn.initializers.ones, ("norm",)),
+            (x.shape[-1],),
+            jnp.float32,
+        )
+        return rms_norm(x, weight, eps=self.eps).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32, cast back to the activation dtype."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(nn.initializers.ones, ("norm",)),
+            (d,),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(nn.initializers.zeros, ("norm",)),
+                (d,),
+                jnp.float32,
+            )
+            y = y + bias
+        return y.astype(self.dtype)

@@ -1,0 +1,230 @@
+"""Transformer building blocks for the InternVideo2 encoder family.
+
+Capability map to the reference (InternVideo2/single_modality/models/
+internvideo2.py — cited per class): QK-normalized attention (:150-220),
+LayerScale with forced-fp32 gamma (:133-148), pre-norm RMSNorm blocks with
+stochastic depth (:247-297), mean-query cross-attention pooling (:18-117).
+
+All attention goes through ops.dot_product_attention (Pallas flash kernel on
+TPU). QK normalization is applied over the *flattened* head dims — one
+(D,)-weight RMSNorm across all heads, exactly as the reference does
+(internvideo2.py:171-172 q_norm/k_norm over `dim`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from internvideo_tpu.nn.norms import LayerNorm, RMSNorm
+from internvideo_tpu.ops import dot_product_attention
+
+Initializer = Callable[..., jax.Array]
+
+
+def _dense(feats, name, dtype, param_dtype, use_bias=True, logical=("embed", "mlp"),
+           kernel_init=None):
+    return nn.Dense(
+        feats,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(
+            kernel_init or nn.initializers.truncated_normal(0.02), logical
+        ),
+        name=name,
+    )
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class LayerScale(nn.Module):
+    """gamma * x with fp32 math (reference forces fp32: internvideo2.py:139-148)."""
+
+    init_value: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma",
+            nn.with_logical_partitioning(
+                nn.initializers.constant(self.init_value), ("norm",)
+            ),
+            (x.shape[-1],),
+            jnp.float32,
+        )
+        return (x.astype(jnp.float32) * gamma).astype(self.dtype)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = _dense(self.hidden_dim, "fc1", self.dtype, self.param_dtype,
+                   logical=("embed", "mlp"))(x)
+        x = nn.gelu(x, approximate=False)
+        x = _dense(out_dim, "fc2", self.dtype, self.param_dtype,
+                   logical=("mlp", "embed"))(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Self-attention with optional whole-dim QK RMSNorm."""
+
+    num_heads: int
+    qkv_bias: bool = False
+    qk_normalization: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, s, d = x.shape
+        head_dim = d // self.num_heads
+        qkv = nn.DenseGeneral(
+            (3, d),
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), ("embed", "qkv3", "heads")
+            ),
+            name="qkv",
+        )(x)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.qk_normalization:
+            q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
+            k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
+        q = q.reshape(b, s, self.num_heads, head_dim)
+        k = k.reshape(b, s, self.num_heads, head_dim)
+        v = v.reshape(b, s, self.num_heads, head_dim)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, s, d)
+        return _dense(d, "proj", self.dtype, self.param_dtype,
+                      logical=("heads", "embed"))(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block: RMSNorm → attn → LS → DropPath, then MLP."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_normalization: bool = True
+    init_values: Optional[float] = 1e-5
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        d = x.shape[-1]
+        h = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_normalization=self.qk_normalization,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(RMSNorm(dtype=self.dtype, name="norm1")(x))
+        if self.init_values:
+            h = LayerScale(self.init_values, dtype=self.dtype, name="ls1")(h)
+        x = x + DropPath(self.drop_path, name="droppath1")(h, deterministic)
+
+        h = Mlp(
+            hidden_dim=int(d * self.mlp_ratio),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(RMSNorm(dtype=self.dtype, name="norm2")(x))
+        if self.init_values:
+            h = LayerScale(self.init_values, dtype=self.dtype, name="ls2")(h)
+        x = x + DropPath(self.drop_path, name="droppath2")(h, deterministic)
+        return x
+
+
+class CrossAttention(nn.Module):
+    """Q from one stream, K/V from another (reference internvideo2.py:18-81)."""
+
+    num_heads: int
+    out_dim: Optional[int] = None
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x_q: jax.Array, x_k: jax.Array, x_v: jax.Array):
+        b, nq, d = x_q.shape
+        out_dim = self.out_dim or d
+        head_dim = d // self.num_heads
+        q = _dense(d, "q", self.dtype, self.param_dtype, use_bias=self.qkv_bias,
+                   logical=("embed", "heads"))(x_q)
+        k = _dense(d, "k", self.dtype, self.param_dtype, use_bias=self.qkv_bias,
+                   logical=("embed", "heads"))(x_k)
+        v = _dense(d, "v", self.dtype, self.param_dtype, use_bias=self.qkv_bias,
+                   logical=("embed", "heads"))(x_v)
+        q = q.reshape(b, nq, self.num_heads, head_dim)
+        k = k.reshape(b, -1, self.num_heads, head_dim)
+        v = v.reshape(b, -1, self.num_heads, head_dim)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, nq, d)
+        return _dense(out_dim, "proj", self.dtype, self.param_dtype,
+                      logical=("heads", "embed"))(out)
+
+
+class AttentionPoolingBlock(nn.Module):
+    """Mean-query attention pooling head (reference internvideo2.py:84-117).
+
+    The query is the sequence mean; q/k/v go through separate LayerNorms
+    (eps 1e-5), then one cross-attention produces a single pooled vector.
+    """
+
+    num_heads: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_q = jnp.mean(x, axis=1, keepdims=True)
+        x_q = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1_q")(x_q)
+        x_k = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1_k")(x)
+        x_v = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1_v")(x)
+        out = CrossAttention(
+            num_heads=self.num_heads,
+            out_dim=self.out_dim,
+            qkv_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
+            name="cross_attn",
+        )(x_q, x_k, x_v)
+        return out[:, 0]

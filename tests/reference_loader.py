@@ -1,0 +1,104 @@
+"""Load reference PyTorch model files for numerical parity tests.
+
+The reference imports CUDA-only deps (flash_attn) and timm at module level;
+both are stubbed here since the tests only exercise the non-fused eval paths
+(use_flash_attn=False). This loader exists purely to *check our numbers
+against the reference implementation* — no reference code is vendored.
+"""
+
+import importlib.util
+import itertools
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_stubs():
+    import torch
+    from torch import nn
+
+    if "flash_attn" not in sys.modules:
+        fa = types.ModuleType("flash_attn")
+        fa_mlp = types.ModuleType("flash_attn.modules.mlp")
+        fa_mlp.FusedMLP = object
+        fa_modules = types.ModuleType("flash_attn.modules")
+        fa_rms = types.ModuleType("flash_attn.ops.rms_norm")
+        fa_rms.DropoutAddRMSNorm = object
+        fa_ops = types.ModuleType("flash_attn.ops")
+        fa_iface = types.ModuleType("flash_attn.flash_attn_interface")
+        fa_iface.flash_attn_varlen_qkvpacked_func = None
+        fa_pad = types.ModuleType("flash_attn.bert_padding")
+        fa_pad.unpad_input = None
+        fa_pad.pad_input = None
+        sys.modules.update({
+            "flash_attn": fa,
+            "flash_attn.modules": fa_modules,
+            "flash_attn.modules.mlp": fa_mlp,
+            "flash_attn.ops": fa_ops,
+            "flash_attn.ops.rms_norm": fa_rms,
+            "flash_attn.flash_attn_interface": fa_iface,
+            "flash_attn.bert_padding": fa_pad,
+        })
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if not self.training or self.drop_prob == 0.0:
+                    return x
+                keep = 1 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+                return x * mask / keep
+
+        def to_2tuple(v):
+            return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+        layers.DropPath = DropPath
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        registry = types.ModuleType("timm.models.registry")
+        registry.register_model = lambda fn: fn
+        sys.modules.update({
+            "timm": timm,
+            "timm.models": models,
+            "timm.models.layers": layers,
+            "timm.models.registry": registry,
+        })
+
+
+_pkg_counter = itertools.count()
+
+
+def load_reference_module(relpath: str, extra_siblings: tuple[str, ...] = ()):
+    """Import a reference python file, satisfying its relative imports."""
+    _install_stubs()
+    import os
+
+    pkg_name = f"_refpkg{next(_pkg_counter)}"
+    dirpath = os.path.join(REFERENCE_ROOT, os.path.dirname(relpath))
+    pkg = types.ModuleType(pkg_name)
+    pkg.__path__ = [dirpath]
+    sys.modules[pkg_name] = pkg
+
+    def _load(modfile):
+        name = pkg_name + "." + os.path.splitext(os.path.basename(modfile))[0]
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(dirpath, modfile)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    for sib in extra_siblings:
+        _load(sib)
+    return _load(os.path.basename(relpath))
