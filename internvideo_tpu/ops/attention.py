@@ -25,8 +25,8 @@ def dot_product_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",  # auto | pallas | xla
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jax.Array:
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"

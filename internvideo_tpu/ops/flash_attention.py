@@ -39,13 +39,18 @@ def _mask_block(
     k_seg,  # (1, bk) int32 or None
     q_offset,
     k_offset,
+    kv_bound=None,  # static int: mask keys at global index >= kv_bound
 ):
     bq, bk = s.shape
     mask = None
+    if causal or kv_bound is not None:
+        ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     if causal:
         qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = qi >= ki
+    if kv_bound is not None:
+        km = ki < kv_bound
+        mask = km if mask is None else jnp.logical_and(mask, km)
     if q_seg is not None:
         seg = q_seg == k_seg
         mask = seg if mask is None else jnp.logical_and(mask, seg)
@@ -62,6 +67,7 @@ def _mask_block(
 def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+    kv_bound=None,
 ):
     if has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
@@ -92,18 +98,20 @@ def _fwd_kernel(
         ) * scale  # (bq, bk)
         q_seg = k_seg = None
         if qseg_ref is not None:
-            q_seg = qseg_ref[0].reshape(block_q, 1)
-            k_seg = kseg_ref[0].reshape(1, block_k)
+            q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+            k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
         )
 
         m_prev = m_ref[:, 0]  # (bq,)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         p = jnp.exp(s - m_cur[:, None])
-        # Rows that have seen nothing but masked keys: keep everything at 0.
-        p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
+        if has_segs:
+            # Rows that have seen only masked keys: keep everything at 0
+            # (with a plain kv-length bound every row has >=1 real key).
+            p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
         alpha = jnp.exp(m_prev - m_cur)
         alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
@@ -120,11 +128,12 @@ def _fwd_kernel(
         m = m_ref[:, 0]
         # Empty rows get a huge LSE so exp(s - lse) == 0 in the backward.
         lse = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
-        lse_ref[0, 0] = lse
+        lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
 
 
 def _fwd(
     q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
+    kv_bound=None,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -141,14 +150,15 @@ def _fwd(
     args = [q, k, v]
     if has_segs:
         in_specs += [
-            pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
-            pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+            pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda b, h, iq, ik: (b, 0, ik)),
         ]
         args += [q_seg, kv_seg]
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, has_segs=has_segs,
+        kv_bound=kv_bound,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -156,11 +166,12 @@ def _fwd(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+            # LSE broadcast over 8 sublanes to satisfy TPU tiling
+            jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -180,6 +191,7 @@ def _fwd(
 def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+    kv_bound=None,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -204,19 +216,19 @@ def _bwd_dq_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(block_q, 1)
-        delta = delta_ref[0, 0].reshape(block_q, 1)
+        lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
+        delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         q_seg = k_seg = None
         if qseg_ref is not None:
-            q_seg = qseg_ref[0].reshape(block_q, 1)
-            k_seg = kseg_ref[0].reshape(1, block_k)
+            q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+            k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
         )
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -235,6 +247,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+    kv_bound=None,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -261,19 +274,19 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(block_q, 1)
-        delta = delta_ref[0, 0].reshape(block_q, 1)
+        lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
+        delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         q_seg = k_seg = None
         if qseg_ref is not None:
-            q_seg = qseg_ref[0].reshape(block_q, 1)
-            k_seg = kseg_ref[0].reshape(1, block_k)
+            q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+            k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
         )
         p = jnp.exp(s - lse)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
@@ -295,13 +308,14 @@ def _bwd_dkv_kernel(
 
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
-    *, scale, causal, block_q, block_k, interpret,
+    *, scale, causal, block_q, block_k, interpret, kv_bound=None,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, sq))
 
     has_segs = q_seg is not None
     common_specs = [
@@ -309,12 +323,12 @@ def _bwd(
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # k
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # v
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
-        pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),  # lse
-        pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ik: (b, h, iq)),  # delta
+        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # lse
+        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # delta
     ]
     seg_specs = [
-        pl.BlockSpec((1, block_q), lambda b, h, iq, ik: (b, iq)),
-        pl.BlockSpec((1, block_k), lambda b, h, iq, ik: (b, ik)),
+        pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
+        pl.BlockSpec((1, 8, block_k), lambda b, h, iq, ik: (b, 0, ik)),
     ] if has_segs else []
     args = [q, k, v, do, lse, delta]
     if has_segs:
@@ -324,6 +338,7 @@ def _bwd(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
+            kv_bound=kv_bound,
         ),
         grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
         in_specs=common_specs + seg_specs,
@@ -340,18 +355,19 @@ def _bwd(
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
         pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, ik, iq: (b, h, iq)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, ik, iq: (b, h, iq)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
     ]
     dkv_seg_specs = [
-        pl.BlockSpec((1, block_q), lambda b, h, ik, iq: (b, iq)),
-        pl.BlockSpec((1, block_k), lambda b, h, ik, iq: (b, ik)),
+        pl.BlockSpec((1, block_q, 128), lambda b, h, ik, iq: (b, iq, 0)),
+        pl.BlockSpec((1, 8, block_k), lambda b, h, ik, iq: (b, 0, ik)),
     ] if has_segs else []
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
+            kv_bound=kv_bound,
         ),
         grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
         in_specs=dkv_specs + dkv_seg_specs,
@@ -378,31 +394,36 @@ def _bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash_attention(
-    q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret, _nh,
+    q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
+    kv_bound, _nh,
 ):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        kv_bound=kv_bound,
     )
     return out
 
 
-def _flash_fwd_rule(q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, _nh):
+def _flash_fwd_rule(
+    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_bound, _nh
+):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
-        block_q=bq, block_k=bk, interpret=interp,
+        block_q=bq, block_k=bk, interpret=interp, kv_bound=kv_bound,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg)
 
 
-def _flash_bwd_rule(scale, causal, bq, bk, interp, _nh, res, g):
+def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_bound, _nh, res, g):
     q, k, v, out, lse, q_seg, kv_seg = res
     dq, dk, dv = _bwd(
         q, k, v, out, lse, g, q_seg, kv_seg,
         scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
+        kv_bound=kv_bound,
     )
     return dq, dk, dv, None, None
 
@@ -419,8 +440,8 @@ def flash_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) inputs. See module docstring."""
@@ -434,15 +455,18 @@ def flash_attention(
 
     # Pad sequence dims to block multiples; padded tokens get segment id -1
     # (q pads) / -2 (kv pads) so they never attend to anything real.
-    block_q_eff = min(block_q, _round_up(sq, 128))
-    block_k_eff = min(block_k, _round_up(sk, 128))
+    # Blocks are chosen to minimize total padded work: large blocks run the
+    # MXU harder, but an S just over a block boundary (e.g. 4097 = 4096+CLS)
+    # would waste a whole extra block per axis.
+    block_q_eff, block_k_eff = _pick_blocks(sq, sk, block_q, block_k)
     sq_p = _round_up(sq, block_q_eff)
     sk_p = _round_up(sk, block_k_eff)
     needs_pad = (sq_p != sq) or (sk_p != sk)
-    if needs_pad or q_segment_ids is not None:
-        if q_segment_ids is None:
-            q_segment_ids = jnp.zeros((b, sq), jnp.int32)
-            kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+    # With tail-padding only (no real packing) a static kv-length bound is
+    # enough: padded q rows are sliced off and contribute zero cotangent, so
+    # they need no masking — this avoids materializing segment-id arrays.
+    kv_bound = sk if (needs_pad and q_segment_ids is None) else None
+    if q_segment_ids is not None:
         q_segment_ids = jnp.pad(
             q_segment_ids, ((0, 0), (0, sq_p - sq)), constant_values=-1
         )
@@ -454,12 +478,22 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
 
+    if q_segment_ids is not None:
+        # TPU tiling wants >=2D tiles: q ids ride the lane dim (128), kv ids
+        # the sublane dim (8) — same trick as jax's reference TPU kernel.
+        q_segment_ids = jnp.broadcast_to(
+            q_segment_ids[:, :, None], (b, sq_p, 128)
+        )
+        kv_segment_ids = jnp.broadcast_to(
+            kv_segment_ids[:, None, :], (b, 8, sk_p)
+        )
+
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out = _flash_attention(
         qt, kt, vt, q_segment_ids, kv_segment_ids,
-        scale, causal, block_q_eff, block_k_eff, interpret, hq,
+        scale, causal, block_q_eff, block_k_eff, interpret, kv_bound, hq,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if needs_pad:
@@ -469,3 +503,23 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Empirical per-block-size time multipliers on v5e (microbench, D=88..128):
+# smaller blocks underfeed the MXU and pay more grid overhead.
+_BLOCK_EFF = {1024: 1.00, 512: 1.08, 256: 1.55}
+
+
+def _pick_blocks(sq: int, sk: int, max_q: int, max_k: int) -> tuple[int, int]:
+    """Choose (block_q, block_k) minimizing padded work × block efficiency."""
+    if sq * sk == 0:
+        return 128, 128
+    best = None
+    for b in (1024, 512, 256):
+        bq = min(b, max_q, _round_up(sq, 128))
+        bk = min(b, max_k, _round_up(sk, 128))
+        work = _round_up(sq, bq) * _round_up(sk, bk)
+        cost = work * _BLOCK_EFF[b]
+        if best is None or cost < best[0]:
+            best = (cost, bq, bk)
+    return best[1], best[2]
