@@ -3,11 +3,14 @@
 This is the TPU analogue of the reference's MultiProcessTestCase harness
 (InternVideo3_sft/xtuner/_testing/testcase.py:15) — multi-"chip" logic is
 exercised on one host via XLA's host-platform device splitting.
+
+NOTE: this image's sitecustomize force-registers the `axon` TPU-tunnel
+backend and sets jax_platforms="axon,cpu" at interpreter start, so the env
+var alone is not enough — we override the config after import.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +19,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
