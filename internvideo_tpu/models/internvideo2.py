@@ -60,6 +60,7 @@ class InternVideo2Config:
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
+    norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style backbones
     remat: bool = False  # jax.checkpoint each block (memory/flops trade)
 
     @property
@@ -95,6 +96,7 @@ class EncoderOutput:
     logits: Optional[jax.Array]  # (B, num_classes) if a head is configured
     tokens: jax.Array  # (B, 1+N, D) final-layer hidden states
     hidden_states: Optional[tuple]  # per-layer (B, 1+N, D) when requested
+    pool_attn: Optional[jax.Array] = None  # (B, 1+N) pooling attention
 
 
 class InternVideo2(nn.Module):
@@ -109,6 +111,7 @@ class InternVideo2(nn.Module):
         deterministic: bool = True,
         return_hidden_states: bool = False,
         return_hidden_layers: Optional[Sequence[int]] = None,
+        return_pool_attn: bool = False,
     ) -> EncoderOutput:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -181,6 +184,7 @@ class InternVideo2(nn.Module):
                 dtype=dtype,
                 param_dtype=param_dtype,
                 attn_impl=cfg.attn_impl,
+                norm_type=cfg.norm_type,
                 name=f"blocks_{i}",
             )(x, deterministic)
             if return_hidden_states or (
@@ -188,6 +192,7 @@ class InternVideo2(nn.Module):
             ):
                 hidden.append(x)
 
+        pool_attn = None
         pooled = AttentionPoolingBlock(
             num_heads=cfg.attn_pool_num_heads,
             out_dim=cfg.clip_embed_dim,
@@ -195,7 +200,9 @@ class InternVideo2(nn.Module):
             param_dtype=param_dtype,
             attn_impl="xla",  # single-query attention: XLA beats a flash pass
             name="clip_projector",
-        )(x)
+        )(x, return_attn=return_pool_attn)
+        if return_pool_attn:
+            pooled, pool_attn = pooled
 
         logits = None
         if cfg.num_classes:
@@ -216,4 +223,5 @@ class InternVideo2(nn.Module):
             logits=logits,
             tokens=x,
             hidden_states=tuple(hidden) if hidden else None,
+            pool_attn=pool_attn,
         )

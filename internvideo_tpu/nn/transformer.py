@@ -91,6 +91,14 @@ class Mlp(nn.Module):
         return x
 
 
+def _make_norm(norm_type: str, dtype, name: str):
+    if norm_type == "rmsnorm":
+        return RMSNorm(dtype=dtype, name=name)
+    if norm_type == "layernorm":
+        return LayerNorm(eps=1e-6, dtype=dtype, name=name)
+    raise ValueError(norm_type)
+
+
 class Attention(nn.Module):
     """Self-attention with optional whole-dim QK RMSNorm."""
 
@@ -100,6 +108,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    norm_type: str = "rmsnorm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -117,8 +126,8 @@ class Attention(nn.Module):
         )(x)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.qk_normalization:
-            q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
-            k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
+            q = _make_norm(self.norm_type, self.dtype, "q_norm")(q)
+            k = _make_norm(self.norm_type, self.dtype, "k_norm")(k)
         q = q.reshape(b, s, self.num_heads, head_dim)
         k = k.reshape(b, s, self.num_heads, head_dim)
         v = v.reshape(b, s, self.num_heads, head_dim)
@@ -140,6 +149,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style teachers
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -151,8 +161,9 @@ class Block(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
+            norm_type=self.norm_type,
             name="attn",
-        )(RMSNorm(dtype=self.dtype, name="norm1")(x))
+        )(_make_norm(self.norm_type, self.dtype, "norm1")(x))
         if self.init_values:
             h = LayerScale(self.init_values, dtype=self.dtype, name="ls1")(h)
         x = x + DropPath(self.drop_path, name="droppath1")(h, deterministic)
@@ -162,7 +173,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="mlp",
-        )(RMSNorm(dtype=self.dtype, name="norm2")(x))
+        )(_make_norm(self.norm_type, self.dtype, "norm2")(x))
         if self.init_values:
             h = LayerScale(self.init_values, dtype=self.dtype, name="ls2")(h)
         x = x + DropPath(self.drop_path, name="droppath2")(h, deterministic)
@@ -170,7 +181,12 @@ class Block(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Q from one stream, K/V from another (reference internvideo2.py:18-81)."""
+    """Q from one stream, K/V from another (reference internvideo2.py:18-81).
+
+    With `return_attn=True` the head-averaged attention probabilities are
+    also returned (teacher pooling exposes them for attention-guided
+    masking — internvl_clip_vision.py:55-86).
+    """
 
     num_heads: int
     out_dim: Optional[int] = None
@@ -180,7 +196,10 @@ class CrossAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x_q: jax.Array, x_k: jax.Array, x_v: jax.Array):
+    def __call__(
+        self, x_q: jax.Array, x_k: jax.Array, x_v: jax.Array,
+        return_attn: bool = False,
+    ):
         b, nq, d = x_q.shape
         out_dim = self.out_dim or d
         head_dim = d // self.num_heads
@@ -193,10 +212,23 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, nq, self.num_heads, head_dim)
         k = k.reshape(b, -1, self.num_heads, head_dim)
         v = v.reshape(b, -1, self.num_heads, head_dim)
-        out = dot_product_attention(q, k, v, impl=self.attn_impl)
+        attn = None
+        if return_attn:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (head_dim ** -0.5)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            attn = jnp.mean(probs, axis=1)  # (B, nq, nk)
+        else:
+            out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, nq, d)
-        return _dense(out_dim, "proj", self.dtype, self.param_dtype,
-                      logical=("heads", "embed"))(out)
+        out = _dense(out_dim, "proj", self.dtype, self.param_dtype,
+                     logical=("heads", "embed"))(out)
+        return (out, attn) if return_attn else out
 
 
 class AttentionPoolingBlock(nn.Module):
@@ -213,7 +245,7 @@ class AttentionPoolingBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_attn: bool = False):
         x_q = jnp.mean(x, axis=1, keepdims=True)
         x_q = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1_q")(x_q)
         x_k = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1_k")(x)
@@ -226,5 +258,8 @@ class AttentionPoolingBlock(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             name="cross_attn",
-        )(x_q, x_k, x_v)
+        )(x_q, x_k, x_v, return_attn=return_attn)
+        if return_attn:
+            out, attn = out
+            return out[:, 0], attn[:, 0]  # (B, out_dim), (B, nk)
         return out[:, 0]
