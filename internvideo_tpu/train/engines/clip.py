@@ -1,0 +1,228 @@
+"""Stage-2 VideoCLIP losses and train step (VTC + VTM + MLM [+ UTA]).
+
+Criterion parity (multi_modality/models/criterions.py):
+  * get_sim (:15): l2-norm, temperature-scaled pairwise similarity, with
+    mean/max frame aggregation when vision features are per-frame
+  * VTC (:58-103): softmax-CE over the GLOBAL batch with idx-based soft
+    targets (same-source pairs count as positives). The reference gathers
+    with a differentiable all-gather (models/utils.py:193); under pjit this
+    is just computing on the sharded global batch.
+  * VTM (:105-183): hard-negative mining via multinomial over masked
+    similarity (jax.random.categorical on masked logits here), 3B fusion
+    forward, 2-way CE
+  * MLM (:227-343): 80/10/10 token corruption on-device, fusion MLM CE
+  * UTA (:345-533): 2−2cos alignment (shared with the pretrain engine)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from internvideo_tpu.train.state import TrainState
+from internvideo_tpu.train.step import optax_global_norm
+
+NEG = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPLossConfig:
+    vtc: float = 1.0
+    vtm: float = 1.0
+    mlm: float = 1.0
+    vtm_hard_neg: bool = True
+    mlm_probability: float = 0.5
+    mask_token_id: int = 103  # [MASK] for bert-base vocabs
+    pad_token_id: int = 0
+    cls_token_id: int = 101
+    vocab_size: int = 30522
+
+
+def get_sim(vision_proj, text_proj, temp=1.0, agg="mean"):
+    """Pairwise sim (criterions.py:15-55); supports (B,C) or (B,T,C) vision."""
+    v = vision_proj / jnp.linalg.norm(
+        vision_proj.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    t = text_proj / jnp.linalg.norm(
+        text_proj.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    if v.ndim == 3:
+        s = jnp.einsum("mld,nd->mln", v, t) / temp
+        s = s.mean(1) if agg == "mean" else s.max(1)
+        return s, s.T
+    s = v @ t.T / temp
+    return s, s.T
+
+
+def _idx_targets(idx, n):
+    """Soft targets: same-idx pairs are positives, row-normalized."""
+    if idx is None:
+        return jnp.eye(n)
+    m = (idx[:, None] == idx[None, :]).astype(jnp.float32)
+    return m / jnp.sum(m, axis=1, keepdims=True)
+
+
+def vtc_loss(vision_proj, text_proj, idx, temp, agg="mean"):
+    sim_v2t, sim_t2v = get_sim(vision_proj, text_proj, temp, agg)
+    targets = jax.lax.stop_gradient(_idx_targets(idx, sim_v2t.shape[0]))
+    l_v2t = -jnp.mean(
+        jnp.sum(jax.nn.log_softmax(sim_v2t, axis=1) * targets, axis=1)
+    )
+    l_t2v = -jnp.mean(
+        jnp.sum(jax.nn.log_softmax(sim_t2v, axis=1) * targets, axis=1)
+    )
+    return (l_v2t + l_t2v) / 2
+
+
+def mine_negatives(rng, vision_proj, text_proj, idx, temp, hard: bool):
+    """Per-row negative indices for VTM (criterions.py:133-157)."""
+    sim_v2t, sim_t2v = get_sim(vision_proj, text_proj, temp)
+    n = sim_v2t.shape[0]
+    pos_mask = (
+        (idx[:, None] == idx[None, :]) if idx is not None
+        else jnp.eye(n, dtype=bool)
+    )
+    r1, r2 = jax.random.split(rng)
+    if hard:
+        logits_v2t = jnp.where(pos_mask, NEG, sim_v2t)
+        logits_t2v = jnp.where(pos_mask, NEG, sim_t2v)
+        txt_neg = jax.random.categorical(r1, logits_v2t, axis=1)
+        vis_neg = jax.random.categorical(r2, logits_t2v, axis=1)
+    else:
+        noise1 = jnp.where(pos_mask, NEG, jax.random.normal(r1, (n, n)))
+        noise2 = jnp.where(pos_mask, NEG, jax.random.normal(r2, (n, n)))
+        txt_neg = jnp.argmax(noise1, axis=1)
+        vis_neg = jnp.argmax(noise2, axis=1)
+    return vis_neg, txt_neg
+
+
+def mlm_corrupt(rng, input_ids, cfg: CLIPLossConfig):
+    """BERT 80/10/10 corruption (criterions.py:297-343), on-device.
+
+    Returns (corrupted_ids, labels) with labels=-100 on unmasked positions.
+    """
+    r_sel, r_kind, r_rand = jax.random.split(rng, 3)
+    special = (input_ids == cfg.pad_token_id) | (input_ids == cfg.cls_token_id)
+    masked = (
+        jax.random.bernoulli(r_sel, cfg.mlm_probability, input_ids.shape)
+        & ~special
+    )
+    labels = jnp.where(masked, input_ids, -100)
+    u = jax.random.uniform(r_kind, input_ids.shape)
+    rand_ids = jax.random.randint(
+        r_rand, input_ids.shape, 0, cfg.vocab_size
+    )
+    out = jnp.where(masked & (u < 0.8), cfg.mask_token_id, input_ids)
+    out = jnp.where(masked & (u >= 0.8) & (u < 0.9), rand_ids, out)
+    return out, labels
+
+
+def mlm_loss_from_logits(logits, labels):
+    valid = labels != -100
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.maximum(labels, 0)[..., None], axis=-1
+    )[..., 0]
+    return -jnp.sum(picked * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_clip_train_step(model, cfg: CLIPLossConfig):
+    """step(state, batch, rng) for VideoCLIP stage-2.
+
+    batch: {"video", "input_ids", "attention_mask", "idx"}.
+    """
+
+    def loss_fn(params, batch, rng):
+        r_neg, r_mlm, r_drop = jax.random.split(rng, 3)
+        var = {"params": params}
+        out = model.apply(
+            var, batch["video"], batch["input_ids"],
+            batch["attention_mask"], deterministic=False,
+            rngs={"dropout": r_drop, "droppath": jax.random.fold_in(r_drop, 1)},
+        )
+        idx = batch.get("idx")
+        losses = {}
+
+        if cfg.vtc:
+            losses["loss_vtc"] = vtc_loss(
+                out.vision_proj, out.text_proj, idx, out.temp
+            )
+
+        if cfg.vtm:
+            vis_neg, txt_neg = jax.lax.stop_gradient(
+                mine_negatives(
+                    r_neg, out.vision_proj, out.text_proj, idx, out.temp,
+                    cfg.vtm_hard_neg,
+                )
+            )
+            b = out.vision_embeds.shape[0]
+            vis_all = jnp.concatenate(
+                [
+                    out.vision_embeds,
+                    out.vision_embeds[vis_neg],
+                    out.vision_embeds,
+                ], axis=0,
+            )
+            txt_all = jnp.concatenate(
+                [
+                    out.text_embeds,
+                    out.text_embeds,
+                    out.text_embeds[txt_neg],
+                ], axis=0,
+            )
+            mask_all = jnp.concatenate(
+                [
+                    batch["attention_mask"],
+                    batch["attention_mask"],
+                    batch["attention_mask"][txt_neg],
+                ], axis=0,
+            )
+            fused = model.apply(
+                var, txt_all, mask_all, vis_all,
+                deterministic=False, method="fusion",
+                rngs={"dropout": jax.random.fold_in(r_drop, 2)},
+            )
+            logits = model.apply(
+                var, fused.pooled, method="itm_logits"
+            ).astype(jnp.float32)
+            labels = jnp.concatenate(
+                [jnp.ones((b,), jnp.int32), jnp.zeros((2 * b,), jnp.int32)]
+            )
+            losses["loss_vtm"] = jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(3 * b), labels]
+            )
+
+        if cfg.mlm:
+            corrupted, labels = mlm_corrupt(r_mlm, batch["input_ids"], cfg)
+            mlm_out = model.apply(
+                var, corrupted, batch["attention_mask"], out.vision_embeds,
+                deterministic=False, method="text_multimodal",
+                rngs={"dropout": jax.random.fold_in(r_drop, 3)},
+            )
+            losses["loss_mlm"] = mlm_loss_from_logits(
+                mlm_out.mlm_logits, labels
+            )
+
+        total = (
+            cfg.vtc * losses.get("loss_vtc", 0.0)
+            + cfg.vtm * losses.get("loss_vtm", 0.0)
+            + cfg.mlm * losses.get("loss_mlm", 0.0)
+        )
+        return total, losses
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        grad_norm = optax_global_norm(grads)
+        state = state.apply_gradients(grads)
+        return state, {
+            "loss": loss, "grad_norm": grad_norm,
+            "finite": jnp.isfinite(loss), **aux,
+        }
+
+    return step

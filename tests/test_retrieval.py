@@ -1,0 +1,101 @@
+"""Retrieval eval: metrics math + end-to-end with a tiny VideoCLIP."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internvideo_tpu.eval.retrieval import itm_eval, retrieval_evaluation
+from internvideo_tpu.models.bert import BertConfig
+from internvideo_tpu.models.internvideo2 import InternVideo2Config
+from internvideo_tpu.models.videoclip import VideoCLIP, VideoCLIPConfig
+
+
+def test_itm_eval_perfect_and_ranked():
+    n = 6
+    perfect = np.eye(n) * 10 + np.random.RandomState(0).randn(n, n) * 0.01
+    gt = np.arange(n)
+    m = itm_eval(perfect, perfect.T, gt, gt)
+    assert m["v2t_r1"] == 100.0 and m["t2v_r1"] == 100.0
+    assert m["v2t_mdR"] == 1.0
+
+    # ground truth always rank 2
+    scores = np.zeros((n, n))
+    for i in range(n):
+        scores[i, (i + 1) % n] = 5.0
+        scores[i, i] = 4.0
+    m = itm_eval(scores, scores.T, gt, gt)
+    assert m["v2t_r1"] == 0.0 and m["v2t_r5"] == 100.0
+
+
+def test_retrieval_end_to_end():
+    bert = BertConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, fusion_layer=1, dropout=0.0, attn_impl="xla",
+    )
+    vis = InternVideo2Config(
+        embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0,
+        patch_size=14, img_size=28, num_frames=1, tubelet_size=1,
+        clip_embed_dim=16, num_classes=0, attn_impl="xla",
+    )
+    cfg = VideoCLIPConfig(vision=vis, text=bert, embed_dim=16)
+    model = VideoCLIP(cfg)
+    nv, nt, l = 5, 5, 8
+    videos = {"video": jax.random.normal(jax.random.key(0), (nv, 1, 28, 28, 3))}
+    texts = {
+        "input_ids": jax.random.randint(jax.random.key(1), (nt, l), 1, 60),
+        "attention_mask": jnp.ones((nt, l), jnp.int32),
+    }
+    params = model.init(
+        jax.random.key(2), videos["video"][:1], texts["input_ids"][:1],
+        texts["attention_mask"][:1], init_all_branches=True,
+    )
+
+    @jax.jit
+    def encode_video(batch):
+        out = model.apply(
+            params, batch["video"], method="encode_vision"
+        )
+        tokens, pooled = out
+        proj = model.apply(
+            params, pooled,
+            method=lambda m, x: m.vision_proj(x),
+        )
+        return tokens, proj
+
+    @jax.jit
+    def encode_text(batch):
+        tokens, pooled = model.apply(
+            params, batch["input_ids"], batch["attention_mask"],
+            method="encode_text",
+        )
+        proj = model.apply(
+            params, pooled, method=lambda m, x: m.text_proj(x)
+        )
+        return tokens, proj
+
+    @jax.jit
+    def rerank(vis_embeds, txt_embeds, txt_mask):
+        fused = model.apply(
+            params, txt_embeds, txt_mask, vis_embeds, method="fusion"
+        )
+        logits = model.apply(params, fused.pooled, method="itm_logits")
+        return logits[:, 1] - logits[:, 0]
+
+    s_v2t, s_t2v = retrieval_evaluation(
+        encode_video=encode_video,
+        encode_text=encode_text,
+        rerank_score=rerank,
+        videos=videos,
+        texts=texts,
+        batch_size=2,
+        k_test=3,
+        rerank_batch=2,
+    )
+    assert s_v2t.shape == (nv, nt) and s_t2v.shape == (nt, nv)
+    gt = np.arange(nv)
+    m = itm_eval(s_v2t, s_t2v, gt, gt)
+    assert 0 <= m["v2t_r1"] <= 100 and np.isfinite(m["r_mean"])
+    # top-k rows got reranked, everything else is the -100 floor
+    assert (s_v2t > -100).sum() == nv * 3
