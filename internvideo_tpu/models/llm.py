@@ -1,0 +1,233 @@
+"""Decoder-only language model (Qwen3-MLA style) for the MLLM path.
+
+Mirrors the text tower of InternVideo3-8B (Qwen3Dense8BMLAConfig,
+xtuner/v1/model/dense/qwen3.py:377-407: 36 layers, hidden 4096,
+intermediate 12288 SwiGLU, MLA attention with kv_lora_rank 896 and
+128/128/128 rope/nope/v dims, rope_theta 5e6, mRoPE sections [24,20,20]).
+
+Layer = RMSNorm -> MLA -> residual; RMSNorm -> SwiGLU -> residual.
+Supports packed segment ids for training and a latent KV cache
+(prefill/decode) for generation; position ids may be 1D or 3D (mRoPE).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from internvideo_tpu.nn.mla import MLAConfig, MLAttention
+from internvideo_tpu.nn.norms import RMSNorm
+from internvideo_tpu.nn.rope import mrope_cos_sin, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 4096
+    num_layers: int = 36
+    intermediate_size: int = 12288
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 5_000_000.0
+    mrope_section: Optional[tuple[int, int, int]] = (24, 20, 20)
+    mla: MLAConfig = dataclasses.field(default_factory=MLAConfig)
+    tie_word_embeddings: bool = False
+    dtype: str = "float32"
+    param_dtype: str = "float32"
+    attn_impl: str = "auto"
+    remat: bool = False
+
+
+@struct.dataclass
+class LLMOutput:
+    logits: Optional[jax.Array]
+    hidden: jax.Array
+    caches: Optional[list] = None
+
+
+class SwiGLU(nn.Module):
+    intermediate: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+
+        def dense(feats, name, logical):
+            return nn.Dense(
+                feats, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.truncated_normal(0.02), logical
+                ),
+                name=name,
+            )
+
+        gate = dense(self.intermediate, "gate_proj", ("embed", "mlp"))(x)
+        up = dense(self.intermediate, "up_proj", ("embed", "mlp"))(x)
+        return dense(d, "down_proj", ("mlp", "embed"))(nn.silu(gate) * up)
+
+
+class _DecoderLayer(nn.Module):
+    cfg: LLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.input_layernorm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
+        self.self_attn = MLAttention(
+            cfg.mla, dtype=dtype, param_dtype=jnp.dtype(cfg.param_dtype),
+            attn_impl=cfg.attn_impl,
+        )
+        self.post_attention_layernorm = RMSNorm(
+            eps=cfg.rms_norm_eps, dtype=dtype
+        )
+        self.mlp = SwiGLU(
+            cfg.intermediate_size, dtype=dtype,
+            param_dtype=jnp.dtype(cfg.param_dtype),
+        )
+
+    def __call__(self, x, cos, sin, segment_ids=None):
+        h = self.self_attn(
+            self.input_layernorm(x), cos, sin,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            causal=True,
+        )
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x
+
+    def decode(self, x, cos, sin, cache, cache_len):
+        h, cache = self.self_attn.decode(
+            self.input_layernorm(x), cos, sin, cache, cache_len
+        )
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, cache
+
+
+class MLATransformer(nn.Module):
+    cfg: LLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), ("vocab", "embed")
+            ),
+        )
+        layer_cls = _DecoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(_DecoderLayer)
+        self.layers = [layer_cls(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)]
+        self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=dtype,
+                param_dtype=pdtype,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.truncated_normal(0.02), ("embed", "vocab")
+                ),
+            )
+
+    def _rope(self, position_ids):
+        cfg = self.cfg
+        rope_dim = cfg.mla.qk_rope_head_dim
+        if position_ids.ndim == 3 and cfg.mrope_section:
+            return mrope_cos_sin(
+                position_ids, rope_dim, cfg.mrope_section, cfg.rope_theta
+            )
+        if position_ids.ndim == 3:
+            position_ids = position_ids[0]
+        return rope_cos_sin(position_ids, rope_dim, cfg.rope_theta)
+
+    def _head(self, h):
+        if self.cfg.tie_word_embeddings:
+            return self.embed_tokens.attend(h)
+        return self.lm_head(h)
+
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,  # (B, S)
+        *,
+        input_embeds: Optional[jax.Array] = None,  # (B, S, D)
+        position_ids: Optional[jax.Array] = None,  # (B,S) or (3,B,S)
+        segment_ids: Optional[jax.Array] = None,  # (B, S) packed; <0 = pad
+        with_logits: bool = True,
+    ) -> LLMOutput:
+        x = input_embeds if input_embeds is not None else self.embed_tokens(
+            input_ids
+        )
+        b, s, _ = x.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = self._rope(position_ids)
+        for layer in self.layers:
+            x = layer(x, cos, sin, segment_ids)
+        x = self.norm(x)
+        logits = self._head(x) if with_logits else None
+        return LLMOutput(logits=logits, hidden=x)
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16):
+        cfg = self.cfg
+        return [
+            jnp.zeros((batch, max_len, cfg.mla.cache_dim), dtype)
+            for _ in range(cfg.num_layers)
+        ]
+
+    def prefill(
+        self,
+        input_embeds: jax.Array,  # (B, S, D)
+        caches: list,
+        *,
+        position_ids: Optional[jax.Array] = None,
+    ) -> LLMOutput:
+        """Run the prompt, fill latent caches, return last-position logits."""
+        b, s, _ = input_embeds.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = self._rope(position_ids)
+        x = input_embeds
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            h, cache = layer.self_attn.prefill(
+                layer.input_layernorm(x), cos, sin, cache, 0
+            )
+            x = x + h
+            x = x + layer.mlp(layer.post_attention_layernorm(x))
+            new_caches.append(cache)
+        x = self.norm(x)
+        logits = self._head(x[:, -1:])
+        return LLMOutput(logits=logits, hidden=x, caches=new_caches)
+
+    def decode_step(
+        self,
+        token_ids: jax.Array,  # (B, 1)
+        caches: list,
+        cache_len: jax.Array,  # () tokens already in cache
+        *,
+        position_ids: Optional[jax.Array] = None,
+    ) -> LLMOutput:
+        x = self.embed_tokens(token_ids)
+        b = x.shape[0]
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                cache_len[None, None], (b, 1)
+            ).astype(jnp.int32)
+        cos, sin = self._rope(position_ids)
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.decode(x, cos, sin, cache, cache_len)
+            new_caches.append(cache)
+        x = self.norm(x)
+        return LLMOutput(
+            logits=self._head(x), hidden=x, caches=new_caches
+        )

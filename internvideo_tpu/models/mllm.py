@@ -1,0 +1,206 @@
+"""InternVideo3-style video MLLM: vision tower → projector → MLA LLM.
+
+Parity with InternVideo3ForConditionalGeneration
+(xtuner/v1/model/compose/internvideo3/modeling_internvideo3.py:38-330):
+
+  * visual features from the tower's final layer + deepstack taps, all
+    through patch mergers into the text width
+  * placeholder scatter: video/image token positions in input_ids receive
+    the visual embeddings (here a cumsum-gather — no dynamic shapes)
+  * deepstack features are ADDED to the hidden states at the visual
+    positions after each of the first len(deepstack) LLM layers
+    (Qwen3-VL deepstack scheme)
+  * text model: MLA (M²LA) transformer with mRoPE
+
+Also hosts `hico_compress`: HiCo-style per-frame token compression
+(InternVideo2.5, README-only upstream — 16 tokens/frame) implemented as
+ToMe bipartite soft matching with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax import struct
+
+from internvideo_tpu.models.llm import LLMConfig, LLMOutput, MLATransformer
+from internvideo_tpu.models.vision_tower import (
+    PatchMerger,
+    VisionTower,
+    VisionTowerConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MLLMConfig:
+    vision: VisionTowerConfig = dataclasses.field(
+        default_factory=VisionTowerConfig
+    )
+    text: LLMConfig = dataclasses.field(default_factory=LLMConfig)
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
+
+
+def scatter_visual(text_embeds, visual_embeds, visual_mask):
+    """Place visual_embeds (B, Nv, D) at True positions of visual_mask (B, L).
+
+    Static-shape scatter: position j in the sequence takes visual row
+    (cumsum of mask up to j) - 1. Rows beyond the real visual count are never
+    selected as long as mask.sum() == Nv per sample.
+    """
+    idx = jnp.cumsum(visual_mask.astype(jnp.int32), axis=1) - 1
+    idx = jnp.clip(idx, 0, visual_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        visual_embeds, idx[..., None], axis=1
+    )
+    return jnp.where(
+        visual_mask[..., None], gathered.astype(text_embeds.dtype), text_embeds
+    )
+
+
+class VideoMLLM(nn.Module):
+    config: MLLMConfig
+
+    def setup(self):
+        cfg = self.config
+        self.vision_tower = VisionTower(cfg.vision)
+        self.merger = PatchMerger(cfg.vision, name="merger")
+        self.deepstack_mergers = [
+            PatchMerger(cfg.vision, name=f"deepstack_merger_{i}")
+            for i in range(len(cfg.vision.deepstack_indexes))
+        ]
+        self.language_model = MLATransformer(cfg.text)
+
+    def encode_video(self, video):
+        """(B, T, H, W, 3) -> (visual (B, Nv, Dt), deepstack list)."""
+        tokens, taps = self.vision_tower(video)
+        visual = self.merger(tokens)
+        deepstack = [
+            m(t) for m, t in zip(self.deepstack_mergers, taps)
+        ]
+        return visual, deepstack
+
+    def __call__(
+        self,
+        input_ids: jax.Array,  # (B, L) with video placeholders
+        video: Optional[jax.Array] = None,  # (B, T, H, W, 3)
+        *,
+        position_ids: Optional[jax.Array] = None,  # (3,B,L) mrope or (B,L)
+        segment_ids: Optional[jax.Array] = None,
+        with_logits: bool = True,
+    ) -> LLMOutput:
+        cfg = self.config
+        embeds = self.language_model.embed_tokens(input_ids)
+        deepstack_scattered = None
+        if video is not None:
+            visual, deepstack = self.encode_video(video)
+            vmask = (input_ids == cfg.video_token_id) | (
+                input_ids == cfg.image_token_id
+            )
+            embeds = scatter_visual(embeds, visual, vmask)
+            zeros = jnp.zeros_like(embeds)
+            deepstack_scattered = [
+                scatter_visual(zeros, d, vmask) for d in deepstack
+            ]
+        return self._run_llm(
+            embeds, deepstack_scattered, position_ids, segment_ids, with_logits
+        )
+
+    def _run_llm(
+        self, x, deepstack, position_ids, segment_ids, with_logits
+    ):
+        lm = self.language_model
+        b, s, _ = x.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = lm._rope(position_ids)
+        for i, layer in enumerate(lm.layers):
+            x = layer(x, cos, sin, segment_ids)
+            if deepstack is not None and i < len(deepstack):
+                x = x + deepstack[i]
+        x = lm.norm(x)
+        logits = lm._head(x) if with_logits else None
+        return LLMOutput(logits=logits, hidden=x)
+
+    # --- generation -------------------------------------------------------
+
+    def init_cache(self, batch, max_len, dtype=jnp.bfloat16):
+        return self.language_model.init_cache(batch, max_len, dtype)
+
+    def prefill(
+        self, input_ids, video, caches, *, position_ids=None
+    ) -> LLMOutput:
+        cfg = self.config
+        lm = self.language_model
+        embeds = lm.embed_tokens(input_ids)
+        deepstack_scattered = None
+        if video is not None:
+            visual, deepstack = self.encode_video(video)
+            vmask = (input_ids == cfg.video_token_id) | (
+                input_ids == cfg.image_token_id
+            )
+            embeds = scatter_visual(embeds, visual, vmask)
+            zeros = jnp.zeros_like(embeds)
+            deepstack_scattered = [
+                scatter_visual(zeros, d, vmask) for d in deepstack
+            ]
+        b, s, _ = embeds.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = lm._rope(position_ids)
+        x = embeds
+        new_caches = []
+        for i, (layer, cache) in enumerate(zip(lm.layers, caches)):
+            h, cache = layer.self_attn.prefill(
+                layer.input_layernorm(x), cos, sin, cache, 0
+            )
+            x = x + h
+            x = x + layer.mlp(layer.post_attention_layernorm(x))
+            if deepstack_scattered is not None and i < len(deepstack_scattered):
+                x = x + deepstack_scattered[i]
+            new_caches.append(cache)
+        x = lm.norm(x)
+        return LLMOutput(
+            logits=lm._head(x[:, -1:]), hidden=x, caches=new_caches
+        )
+
+    def decode_step(self, token_ids, caches, cache_len, *, position_ids=None):
+        return self.language_model.decode_step(
+            token_ids, caches, cache_len, position_ids=position_ids
+        )
+
+
+def hico_compress(
+    frame_tokens: jax.Array,  # (B, T, N, D) per-frame visual tokens
+    target_tokens: int,  # e.g. 16 (HiCo-R16)
+) -> jax.Array:
+    """HiCo-style hierarchical token compression via bipartite soft matching.
+
+    ToMe-flavored, static-shape: split each frame's tokens into sets A/B,
+    match every A token to its most similar B token, and merge (average) the
+    r most similar pairs, repeating until `target_tokens` remain. Here we do
+    it in one shot: keep the `target_tokens` B-centroids with the highest
+    aggregate similarity mass — a single-pass approximation that preserves
+    static shapes (the reference ships no in-repo implementation;
+    InternVideo2.5/README.md:26-28 documents only the token budget).
+    """
+    b, t, n, d = frame_tokens.shape
+    x = frame_tokens.reshape(b * t, n, d)
+    xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-6)
+    # similarity of every token to every candidate centroid (strided picks)
+    stride = max(n // target_tokens, 1)
+    centroids = xn[:, ::stride][:, :target_tokens]  # (BT, K, D)
+    sim = jnp.einsum("bnd,bkd->bnk", xn, centroids)
+    assign = jax.nn.softmax(sim * 10.0, axis=-1)  # soft assignment
+    merged = jnp.einsum("bnk,bnd->bkd", assign, x)
+    merged = merged / (
+        jnp.sum(assign, axis=1)[..., None] + 1e-6
+    )
+    return merged.reshape(b, t, target_tokens, d)

@@ -1,0 +1,238 @@
+"""Multi-head Latent Attention (MLA / M²LA) — training and decode paths.
+
+Parity target: xtuner's MLA (InternVideo3_sft/xtuner/v1/module/attention/
+mla.py:177-731), the attention that gives InternVideo3 its compressed
+KV cache for long video:
+
+  * K/V are compressed into a `kv_lora_rank` latent per token plus one
+    shared `qk_rope_head_dim` rotary key (kv_a_proj_with_mqa :247);
+    per-head K-nope/V are decompressed by kv_b_proj (:255)
+  * queries: full q_proj, or LoRA q_a/q_b with RMSNorm when q_lora_rank set
+  * softmax scale = (qk_nope + qk_rope dim)^-0.5 (:268)
+
+Training forward (:281-351): decompress K/V, run causal flash attention at
+q_head_dim (V padded up, sliced after).
+
+Decode (:453-560 absorbed path): instead of decompressing the cache, absorb
+kv_b into the query/output:
+    q_latent = q_nope @ W_uk        -> (H, kv_lora_rank)
+    scores   = q_latent · cache_ckv + q_pe · cache_kpe   (MQA over latents)
+    out      = (probs · cache_ckv) @ W_uv
+so the per-token cache is just (kv_lora_rank + rope_dim) floats — the M²LA
+memory win. Cache layout here is a dense (B, max_len, R+P) array updated
+with dynamic_update_slice; a Pallas paged-decode kernel can swap in later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from internvideo_tpu.nn.norms import RMSNorm
+from internvideo_tpu.nn.rope import apply_rope
+from internvideo_tpu.ops import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class MLAConfig:
+    hidden_size: int = 4096
+    num_heads: int = 32
+    kv_lora_rank: int = 896
+    q_lora_rank: Optional[int] = None
+    qk_rope_head_dim: int = 128
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
+    qkv_bias: bool = True
+    o_bias: bool = False
+
+    @property
+    def q_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def cache_dim(self) -> int:
+        return self.kv_lora_rank + self.qk_rope_head_dim
+
+
+class MLAttention(nn.Module):
+    cfg: MLAConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        cfg = self.cfg
+
+        def dense(feats, name, use_bias, logical):
+            return nn.Dense(
+                feats, use_bias=use_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.truncated_normal(0.02), logical
+                ),
+                name=name,
+            )
+
+        if cfg.q_lora_rank is None:
+            self.q_proj = dense(
+                cfg.num_heads * cfg.q_head_dim, "q_proj", True,
+                ("embed", "heads"),
+            )
+        else:
+            self.q_a_proj = dense(
+                cfg.q_lora_rank, "q_a_proj", cfg.qkv_bias, ("embed", None)
+            )
+            self.q_a_layernorm = RMSNorm(dtype=self.dtype, name="q_a_layernorm")
+            self.q_b_proj = dense(
+                cfg.num_heads * cfg.q_head_dim, "q_b_proj", False,
+                (None, "heads"),
+            )
+        self.kv_a_proj_with_mqa = dense(
+            cfg.cache_dim, "kv_a_proj_with_mqa", cfg.qkv_bias, ("embed", None)
+        )
+        self.kv_b_kernel = self.param(
+            "kv_b_proj_kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), (None, "heads", None)
+            ),
+            (cfg.kv_lora_rank, cfg.num_heads,
+             cfg.qk_nope_head_dim + cfg.v_head_dim),
+            self.param_dtype,
+        )
+        self.o_proj = dense(
+            cfg.hidden_size, "o_proj", cfg.o_bias, ("heads", "embed")
+        )
+
+    def _project_q(self, x):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        if cfg.q_lora_rank is None:
+            q = self.q_proj(x)
+        else:
+            q = self.q_b_proj(self.q_a_layernorm(self.q_a_proj(x)))
+        q = q.reshape(b, s, cfg.num_heads, cfg.q_head_dim)
+        return (
+            q[..., : cfg.qk_nope_head_dim],
+            q[..., cfg.qk_nope_head_dim:],
+        )
+
+    def _compress_kv(self, x):
+        cfg = self.cfg
+        ckv = self.kv_a_proj_with_mqa(x)
+        return (
+            ckv[..., : cfg.kv_lora_rank],  # (B,S,R) latent
+            ckv[..., cfg.kv_lora_rank:],  # (B,S,P) shared rope key
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,  # (B, S, D)
+        cos: jax.Array,  # (B, S, P) rope tables for the rope dims
+        sin: jax.Array,
+        *,
+        q_segment_ids: Optional[jax.Array] = None,
+        kv_segment_ids: Optional[jax.Array] = None,
+        causal: bool = True,
+    ) -> jax.Array:
+        """Training / prefill forward with decompressed KV."""
+        cfg = self.cfg
+        b, s, _ = x.shape
+        q_nope, q_pe = self._project_q(x)
+        ckv, k_pe = self._compress_kv(x)
+
+        kv_b = self.kv_b_kernel.astype(self.dtype)  # (R, H, nope+v)
+        kv = jnp.einsum("bsr,rhd->bshd", ckv, kv_b)
+        k_nope = kv[..., : cfg.qk_nope_head_dim]
+        v = kv[..., cfg.qk_nope_head_dim:]
+
+        q_pe = apply_rope(q_pe, cos, sin)
+        k_pe = apply_rope(k_pe[:, :, None, :], cos, sin)  # (B,S,1,P)
+
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [
+                k_nope,
+                jnp.broadcast_to(
+                    k_pe, k_nope.shape[:-1] + (cfg.qk_rope_head_dim,)
+                ),
+            ],
+            axis=-1,
+        )
+        if cfg.q_head_dim != cfg.v_head_dim:
+            v = jnp.pad(
+                v,
+                ((0, 0), (0, 0), (0, 0), (0, cfg.q_head_dim - cfg.v_head_dim)),
+            )
+        out = dot_product_attention(
+            q, k, v,
+            causal=causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            softmax_scale=cfg.q_head_dim ** -0.5,
+            impl=self.attn_impl,
+        )
+        out = out[..., : cfg.v_head_dim].reshape(
+            b, s, cfg.num_heads * cfg.v_head_dim
+        )
+        return self.o_proj(out)
+
+    def prefill(self, x, cos, sin, cache, cache_len, *, causal=True):
+        """Forward + write latent cache. cache: (B, max_len, R+P)."""
+        ckv, k_pe_raw = self._compress_kv(x)
+        k_pe = apply_rope(k_pe_raw[:, :, None, :], cos, sin)[:, :, 0, :]
+        new_entries = jnp.concatenate([ckv, k_pe], axis=-1)
+        cache = jax.lax.dynamic_update_slice(
+            cache, new_entries.astype(cache.dtype), (0, cache_len, 0)
+        )
+        out = self.__call__(x, cos, sin, causal=causal)
+        return out, cache
+
+    def decode(
+        self,
+        x: jax.Array,  # (B, 1, D)
+        cos: jax.Array,  # (B, 1, P)
+        sin: jax.Array,
+        cache: jax.Array,  # (B, max_len, R+P) latent+rope cache
+        cache_len: jax.Array,  # () tokens already cached
+    ):
+        """Absorbed-weight single-token decode (mla.py:453-560)."""
+        cfg = self.cfg
+        b = x.shape[0]
+        q_nope, q_pe = self._project_q(x)  # (B,1,H,*)
+        q_pe = apply_rope(q_pe, cos, sin)
+
+        ckv, k_pe_raw = self._compress_kv(x)
+        k_pe = apply_rope(k_pe_raw[:, :, None, :], cos, sin)[:, :, 0, :]
+        entry = jnp.concatenate([ckv, k_pe], axis=-1)  # (B,1,R+P)
+        cache = jax.lax.dynamic_update_slice(
+            cache, entry.astype(cache.dtype), (0, cache_len, 0)
+        )
+
+        kv_b = self.kv_b_kernel.astype(self.dtype)  # (R, H, nope+v)
+        w_uk = kv_b[..., : cfg.qk_nope_head_dim]  # (R, H, nope)
+        w_uv = kv_b[..., cfg.qk_nope_head_dim:]  # (R, H, v)
+
+        # absorb: query into latent space
+        q_lat = jnp.einsum("bqhd,rhd->bqhr", q_nope, w_uk)  # (B,1,H,R)
+        c = cache[:, :, : cfg.kv_lora_rank].astype(self.dtype)
+        p = cache[:, :, cfg.kv_lora_rank:].astype(self.dtype)
+        scores = (
+            jnp.einsum("bqhr,bsr->bhqs", q_lat, c)
+            + jnp.einsum("bqhd,bsd->bhqs", q_pe, p)
+        ) * (cfg.q_head_dim ** -0.5)
+        # mask beyond current length (cache_len old tokens + the new one)
+        valid = (
+            jnp.arange(cache.shape[1])[None, None, None, :] <= cache_len
+        )
+        scores = jnp.where(valid, scores, -1e30)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        ctx_lat = jnp.einsum("bhqs,bsr->bqhr", probs, c)  # (B,1,H,R)
+        out = jnp.einsum("bqhr,rhd->bqhd", ctx_lat, w_uv)  # (B,1,H,v)
+        out = out.reshape(b, 1, cfg.num_heads * cfg.v_head_dim)
+        return self.o_proj(out), cache

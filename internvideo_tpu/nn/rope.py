@@ -1,0 +1,75 @@
+"""Rotary position embeddings: 1D RoPE and 3D mRoPE.
+
+mRoPE follows the Qwen3-VL scheme the reference uses for InternVideo3
+(internvideo3_config.py:106 rope_scaling "qwen3_vl", mrope_section
+[24, 20, 20]): the head_dim/2 frequency slots are split into (temporal,
+height, width) sections, each driven by its own position stream, and text
+tokens use the same position on all three streams (reducing to 1D RoPE).
+
+Convention: rotate-half (HF/LLaMA style) — cos/sin have the half-frequencies
+repeated twice, x is split in halves.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def rope_freqs(dim: int, theta: float = 10000.0) -> jax.Array:
+    """(dim/2,) inverse frequencies."""
+    return 1.0 / (
+        theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+
+
+def rope_cos_sin(
+    positions: jax.Array,  # (..., S) int/float positions
+    dim: int,
+    theta: float = 10000.0,
+):
+    """cos/sin of shape (..., S, dim) — half-frequencies tiled twice."""
+    inv = rope_freqs(dim, theta)
+    angles = positions[..., None].astype(jnp.float32) * inv  # (..., S, dim/2)
+    angles = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def mrope_cos_sin(
+    positions: jax.Array,  # (3, ..., S): (t, h, w) position streams
+    dim: int,
+    sections: Sequence[int],  # e.g. (24, 20, 20); sum == dim/2
+    theta: float = 10000.0,
+):
+    """Multi-axis RoPE: frequency slots are partitioned among 3 axes."""
+    assert sum(sections) == dim // 2, (sections, dim)
+    inv = rope_freqs(dim, theta)  # (dim/2,)
+    angles = positions[..., None].astype(jnp.float32) * inv  # (3,...,S,dim/2)
+    # slot i belongs to axis slot_axis[i]; select that axis's angle per slot
+    slot_axis = jnp.repeat(
+        jnp.arange(3), jnp.array(sections), total_repeat_length=dim // 2
+    )
+    onehot = jax.nn.one_hot(slot_axis, 3, dtype=jnp.float32)  # (dim/2, 3)
+    picked = jnp.einsum("a...d,da->...d", angles, onehot)
+    picked = jnp.concatenate([picked, picked], axis=-1)
+    return jnp.cos(picked), jnp.sin(picked)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-b, a], axis=-1)
+
+
+def apply_rope(
+    x: jax.Array,  # (B, S, H, D)
+    cos: jax.Array,  # (B, S, D) or (S, D)
+    sin: jax.Array,
+) -> jax.Array:
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * cos + rotate_half(xf) * sin).astype(x.dtype)

@@ -1,0 +1,136 @@
+"""MLA attention and the MLA decoder LLM: rope math, cache-vs-full parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internvideo_tpu.nn.mla import MLAConfig, MLAttention
+from internvideo_tpu.nn.rope import (
+    apply_rope,
+    mrope_cos_sin,
+    rope_cos_sin,
+    rotate_half,
+)
+from internvideo_tpu.models.llm import LLMConfig, MLATransformer
+
+MLA_TINY = MLAConfig(
+    hidden_size=64, num_heads=4, kv_lora_rank=32, q_lora_rank=None,
+    qk_rope_head_dim=16, qk_nope_head_dim=16, v_head_dim=16,
+)
+
+
+def test_rope_properties():
+    cos, sin = rope_cos_sin(jnp.arange(8), 16)
+    assert cos.shape == (8, 16)
+    # position 0: identity rotation
+    np.testing.assert_allclose(cos[0], np.ones(16), atol=1e-6)
+    np.testing.assert_allclose(sin[0], np.zeros(16), atol=1e-6)
+    # norm preservation
+    x = jax.random.normal(jax.random.key(0), (1, 8, 2, 16))
+    y = apply_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(y), axis=-1),
+        rtol=1e-5,
+    )
+    # relative property: <q_m, k_n> depends only on m-n
+    q = jax.random.normal(jax.random.key(1), (1, 1, 1, 16))
+    k = jax.random.normal(jax.random.key(2), (1, 1, 1, 16))
+    def dot_at(m, n):
+        cm, sm = rope_cos_sin(jnp.array([m]), 16)
+        cn, sn = rope_cos_sin(jnp.array([n]), 16)
+        qm = apply_rope(q, cm, sm)
+        kn = apply_rope(k, cn, sn)
+        return float(jnp.sum(qm * kn))
+    np.testing.assert_allclose(dot_at(3, 1), dot_at(7, 5), rtol=1e-5)
+
+
+def test_mrope_text_equals_rope():
+    """Equal (t,h,w) position streams must reduce to plain 1D RoPE."""
+    pos = jnp.arange(6)[None]  # (B=1, S)
+    pos3 = jnp.broadcast_to(pos[None], (3, 1, 6))
+    c1, s1 = rope_cos_sin(pos, 16)
+    c3, s3 = mrope_cos_sin(pos3, 16, (3, 3, 2))
+    np.testing.assert_allclose(c1, c3, atol=1e-6)
+    np.testing.assert_allclose(s1, s3, atol=1e-6)
+
+
+def test_mla_forward_shapes_and_causality():
+    model = MLAttention(MLA_TINY, attn_impl="xla")
+    x = jax.random.normal(jax.random.key(0), (2, 10, 64))
+    cos, sin = rope_cos_sin(jnp.arange(10)[None], 16)
+    cos = jnp.broadcast_to(cos, (2, 10, 16))
+    sin = jnp.broadcast_to(sin, (2, 10, 16))
+    params = model.init(jax.random.key(1), x, cos, sin)
+    out = model.apply(params, x, cos, sin)
+    assert out.shape == (2, 10, 64)
+    # causality: perturbing a later token cannot change earlier outputs
+    x2 = x.at[:, 7].set(0.0)
+    out2 = model.apply(params, x2, cos, sin)
+    np.testing.assert_allclose(out[:, :7], out2[:, :7], atol=1e-5)
+    assert not np.allclose(out[:, 7:], out2[:, 7:], atol=1e-5)
+
+
+LLM_TINY = LLMConfig(
+    vocab_size=97, hidden_size=64, num_layers=2, intermediate_size=128,
+    rope_theta=10000.0, mrope_section=(3, 3, 2), mla=MLA_TINY,
+    attn_impl="xla",
+)
+
+
+def test_llm_cache_matches_full_forward():
+    """Greedy decode with the latent cache == sliding full forward."""
+    model = MLATransformer(LLM_TINY)
+    ids = jax.random.randint(jax.random.key(0), (2, 6), 1, 90)
+    params = model.init(jax.random.key(1), ids)
+
+    full = model.apply(params, ids)
+    assert full.logits.shape == (2, 6, 97)
+
+    # prefill on first 4 tokens, decode tokens 4 and 5
+    caches = model.apply(params, 2, 8, jnp.float32, method="init_cache")
+    prefill = model.apply(
+        params, model.apply(params, method=lambda m: m.embed_tokens)(ids[:, :4]),
+        caches, method="prefill",
+    )
+    np.testing.assert_allclose(
+        np.asarray(prefill.logits[:, 0]), np.asarray(full.logits[:, 3]),
+        atol=2e-4, rtol=1e-3,
+    )
+    step1 = model.apply(
+        params, ids[:, 4:5], prefill.caches, jnp.int32(4),
+        method="decode_step",
+    )
+    np.testing.assert_allclose(
+        np.asarray(step1.logits[:, 0]), np.asarray(full.logits[:, 4]),
+        atol=2e-4, rtol=1e-3,
+    )
+    step2 = model.apply(
+        params, ids[:, 5:6], step1.caches, jnp.int32(5),
+        method="decode_step",
+    )
+    np.testing.assert_allclose(
+        np.asarray(step2.logits[:, 0]), np.asarray(full.logits[:, 5]),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_llm_packed_segments():
+    """Packed segments are independent: same tokens -> same logits."""
+    model = MLATransformer(LLM_TINY)
+    a = jax.random.randint(jax.random.key(0), (1, 4), 1, 90)
+    b = jax.random.randint(jax.random.key(1), (1, 4), 1, 90)
+    packed = jnp.concatenate([a, b], axis=1)
+    seg = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.int32), jnp.ones((1, 4), jnp.int32)], axis=1
+    )
+    pos = jnp.concatenate([jnp.arange(4), jnp.arange(4)])[None]
+    params = model.init(jax.random.key(2), packed)
+    out_packed = model.apply(
+        params, packed, segment_ids=seg, position_ids=pos
+    )
+    out_b = model.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_packed.logits[:, 4:]), np.asarray(out_b.logits),
+        atol=1e-4, rtol=1e-3,
+    )
