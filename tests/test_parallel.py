@@ -1,0 +1,131 @@
+"""Ulysses SP, SequenceContext, packing, chunked CE — on the 8-dev CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from internvideo_tpu.core.mesh import MeshConfig, create_mesh
+from internvideo_tpu.data.packing import (
+    attention_efficiency,
+    hard_pack,
+    soft_pack,
+)
+from internvideo_tpu.ops.attention_xla import xla_attention
+from internvideo_tpu.parallel.sequence_context import SequenceContext
+from internvideo_tpu.parallel.ulysses import ulysses_attention
+from internvideo_tpu.train.chunked_ce import chunked_cross_entropy
+
+
+def test_ulysses_matches_local_attention():
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 64, 8, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    seg = jnp.concatenate(
+        [jnp.zeros((b, 40), jnp.int32), jnp.ones((b, 24), jnp.int32)], axis=1
+    )
+    ref = xla_attention(q, k, v, causal=True, q_segment_ids=seg,
+                        kv_segment_ids=seg)
+
+    sharding = NamedSharding(mesh, P(None, "seq", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+    segs = jax.device_put(seg, NamedSharding(mesh, P(None, "seq")))
+
+    @jax.jit
+    def run(q, k, v, seg):
+        return ulysses_attention(
+            q, k, v, mesh=mesh, axis="seq", causal=True,
+            q_segment_ids=seg, kv_segment_ids=seg, impl="xla",
+        )
+
+    out = run(qs, ks, vs, segs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ulysses_grads_flow():
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=4, tensor=2))
+    b, s, h, d = 1, 32, 4, 8
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+
+    def loss_ref(q):
+        return jnp.sum(jnp.square(xla_attention(q, q, q, causal=True)))
+
+    def loss_sp(q):
+        return jnp.sum(jnp.square(ulysses_attention(
+            q, q, q, mesh=mesh, axis="seq", causal=True, impl="xla",
+        )))
+
+    g_ref = jax.grad(loss_ref)(q)
+    g_sp = jax.jit(jax.grad(loss_sp))(
+        jax.device_put(q, NamedSharding(mesh, P(None, "seq", None, None)))
+    )
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_sequence_context():
+    ctx = SequenceContext.from_segments(
+        [(list(range(5)), None), (list(range(3)), [1, 2, 3])], pad_to=16
+    )
+    assert ctx.input_ids.shape == (1, 16)
+    assert int(ctx.num_real_tokens()) == 8
+    np.testing.assert_array_equal(
+        np.asarray(ctx.segment_ids[0, :8]), [0] * 5 + [1] * 3
+    )
+    assert np.all(np.asarray(ctx.segment_ids[0, 8:]) == -1)
+    np.testing.assert_array_equal(
+        np.asarray(ctx.position_ids[0, :8]), [0, 1, 2, 3, 4, 0, 1, 2]
+    )
+    ctx2 = ctx.pad_to_multiple(12)
+    assert ctx2.seq_len == 24
+    sl = ctx2.shard_slice(1, 4)
+    assert sl.seq_len == 6
+
+
+def test_packing():
+    lengths = [10, 20, 30, 25, 15, 35, 5]
+    res = soft_pack(lengths, 40)
+    assert not res.dropped
+    for p in res.packs:
+        assert sum(lengths[i] for i in p) <= 40
+    assert res.efficiency > 0.75
+    # over-long samples get dropped, not split
+    res = soft_pack([50, 10], 40)
+    assert res.dropped == [0]
+
+    res = hard_pack([50, 30], 40)
+    assert res.efficiency == 1.0
+
+    assert attention_efficiency([10, 10]) == 200 / 400
+
+
+def test_chunked_ce_matches_dense():
+    b, l, d, v = 2, 20, 16, 37
+    hidden = jax.random.normal(jax.random.key(0), (b, l, d))
+    kernel = jax.random.normal(jax.random.key(1), (d, v)) * 0.1
+    labels = jax.random.randint(jax.random.key(2), (b, l), 0, v)
+    labels = labels.at[:, -3:].set(-100)
+
+    def dense(h, w):
+        logits = (h @ w).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1)
+        valid = labels != -100
+        picked = jnp.take_along_axis(
+            logp, jnp.maximum(labels, 0)[..., None], -1
+        )[..., 0]
+        return -jnp.sum(jnp.where(valid, picked, 0.0)) / jnp.sum(valid)
+
+    ref = dense(hidden, kernel)
+    out = chunked_cross_entropy(hidden, kernel, labels, chunk_size=8)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+    # grads too
+    g_ref = jax.grad(dense)(hidden, kernel)
+    g_chk = jax.grad(
+        lambda h, w: chunked_cross_entropy(h, w, labels, chunk_size=8)
+    )(hidden, kernel)
+    np.testing.assert_allclose(
+        np.asarray(g_chk), np.asarray(g_ref), atol=1e-5, rtol=1e-4
+    )
