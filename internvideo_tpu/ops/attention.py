@@ -3,16 +3,37 @@
 All model code calls `dot_product_attention`; the backend is chosen once per
 trace from the default JAX backend (or forced via `impl=`), so tests run the
 same model code on CPU against the same numerics.
+
+Sequence parallelism is injected here rather than threaded through every
+module: under `ulysses_context(mesh, axis)`, any attention whose sequence is
+sharded over the axis routes through the all-to-all Ulysses path — the TPU
+analogue of xtuner wrapping its attention calls in ulysses pre/post
+(mha.py:347-416), without the model code knowing.
 """
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Optional
 
 import jax
 
 from internvideo_tpu.ops.attention_xla import xla_attention
 from internvideo_tpu.ops.flash_attention import flash_attention
+
+_TLS = threading.local()
+
+
+@contextlib.contextmanager
+def ulysses_context(mesh, axis: str = "seq"):
+    """Route dot_product_attention through Ulysses SP inside this trace."""
+    prev = getattr(_TLS, "ulysses", None)
+    _TLS.ulysses = (mesh, axis) if mesh.shape[axis] > 1 else None
+    try:
+        yield
+    finally:
+        _TLS.ulysses = prev
 
 
 def dot_product_attention(
@@ -28,6 +49,23 @@ def dot_product_attention(
     block_q: int = 1024,
     block_k: int = 1024,
 ) -> jax.Array:
+    ulysses = getattr(_TLS, "ulysses", None)
+    if ulysses is not None:
+        from internvideo_tpu.parallel.ulysses import ulysses_attention
+
+        mesh, axis = ulysses
+        inner = "pallas" if (
+            impl == "auto" and jax.default_backend() == "tpu"
+        ) else ("xla" if impl == "auto" else impl)
+        return ulysses_attention(
+            q, k, v,
+            mesh=mesh, axis=axis,
+            causal=causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            softmax_scale=softmax_scale,
+            impl=inner,
+        )
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":

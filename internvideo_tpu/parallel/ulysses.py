@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from internvideo_tpu.ops import dot_product_attention
+from internvideo_tpu.ops.attention_xla import xla_attention
+from internvideo_tpu.ops.flash_attention import flash_attention
 
 
 def ulysses_attention(
@@ -37,21 +38,34 @@ def ulysses_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
+    batch_axes: tuple[str, ...] = ("replica", "fsdp"),
+    head_axis: Optional[str] = "tensor",
 ) -> jax.Array:
     """Attention over sequence-sharded activations via head-sharding swap.
 
-    Must be called under jit with `q/k/v` sharded P(None, axis, None, None).
-    Heads must be divisible by the axis size.
+    Composes with data parallelism (batch over `batch_axes`) and tensor
+    parallelism (heads over `head_axis`): the all_to_all runs within each
+    (dp, tp) slice. Local head count must be divisible by the seq-axis size.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # call concrete impls directly — re-entering the dispatcher under an
+    # active ulysses_context would recurse
+    attn = flash_attention if impl == "pallas" else xla_attention
+
     sp = mesh.shape[axis]
     if sp == 1:
-        return dot_product_attention(
+        return attn(
             q, k, v,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-            causal=causal, softmax_scale=softmax_scale, impl=impl,
+            causal=causal, softmax_scale=softmax_scale,
         )
+    batch_axes = tuple(a for a in batch_axes if a in mesh.axis_names)
+    if head_axis is not None and head_axis not in mesh.axis_names:
+        head_axis = None
+    tp = mesh.shape[head_axis] if head_axis else 1
     h = q.shape[2]
-    assert h % sp == 0, f"heads {h} not divisible by sp {sp}"
+    assert h % (sp * tp) == 0, f"heads {h} not divisible by sp*tp {sp}*{tp}"
 
     has_segs = q_segment_ids is not None
 
@@ -69,18 +83,18 @@ def ulysses_attention(
         if segs:
             full_qseg = jax.lax.all_gather(segs[0], axis, axis=1, tiled=True)
             full_kvseg = jax.lax.all_gather(segs[1], axis, axis=1, tiled=True)
-        out = dot_product_attention(
+        out = attn(
             qh, kh, vh,
             q_segment_ids=full_qseg, kv_segment_ids=full_kvseg,
-            causal=causal, softmax_scale=softmax_scale, impl=impl,
+            causal=causal, softmax_scale=softmax_scale,
         )
         # head-shard -> seq-shard
         return jax.lax.all_to_all(
             out, axis, split_axis=1, concat_axis=2, tiled=True
         )
 
-    spec = P(None, axis, None, None)
-    seg_spec = P(None, axis)
+    spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
+    seg_spec = P(batch_axes if batch_axes else None, axis)
     args = (q, k, v)
     in_specs = (spec, spec, spec)
     if has_segs:

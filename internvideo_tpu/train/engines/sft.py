@@ -1,0 +1,71 @@
+"""SFT engine: packed multimodal next-token training for the VideoMLLM.
+
+Mirrors the xtuner fit step (trainer.py:693-818 + train_engine.py:226):
+packed SequenceContext batch → MLLM forward (vision tower + projector +
+MLA LLM, Ulysses SP injected via ops.attention.ulysses_context when the
+mesh has a seq axis) → chunked CE with a global token normalizer → adamw.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from internvideo_tpu.ops.attention import ulysses_context
+from internvideo_tpu.train.chunked_ce import chunked_cross_entropy
+from internvideo_tpu.train.state import TrainState
+from internvideo_tpu.train.step import optax_global_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class SFTConfig:
+    ce_chunk_size: int = 2048
+
+
+def make_sft_step(model, cfg: SFTConfig, mesh=None):
+    """step(state, batch, rng); batch carries a packed SequenceContext:
+    {"input_ids", "segment_ids", "position_ids", "labels", "video"(opt)}.
+    """
+
+    def loss_fn(params, batch, rng):
+        def run():
+            out = model.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch.get("video"),
+                position_ids=batch.get("position_ids"),
+                segment_ids=batch["segment_ids"],
+                with_logits=False,
+            )
+            return out.hidden
+
+        if mesh is not None and "seq" in mesh.axis_names and mesh.shape["seq"] > 1:
+            with ulysses_context(mesh, "seq"):
+                hidden = run()
+        else:
+            hidden = run()
+
+        lm_head = params["language_model"]["lm_head"]["kernel"]
+        labels = batch["labels"]
+        loss = chunked_cross_entropy(
+            hidden, lm_head, labels, chunk_size=cfg.ce_chunk_size
+        )
+        n_tok = jnp.sum(labels != -100)
+        return loss, {"tokens": n_tok}
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        grad_norm = optax_global_norm(grads)
+        state = state.apply_gradients(grads)
+        return state, {
+            "loss": loss, "grad_norm": grad_norm,
+            "finite": jnp.isfinite(loss), **aux,
+        }
+
+    return step

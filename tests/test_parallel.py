@@ -47,7 +47,7 @@ def test_ulysses_matches_local_attention():
 
 def test_ulysses_grads_flow():
     mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=4, tensor=2))
-    b, s, h, d = 1, 32, 4, 8
+    b, s, h, d = 1, 32, 8, 8
     q = jax.random.normal(jax.random.key(0), (b, s, h, d))
 
     def loss_ref(q):
