@@ -1,0 +1,149 @@
+"""Trainer: mesh + sharded state + step loop + checkpoints + metrics.
+
+Class-based orchestration in the style of xtuner's Trainer
+(InternVideo3_sft/xtuner/v1/train/trainer.py:372-1100) covering what the
+reference spreads across three generations of loops (function engines,
+task scripts, xtuner fit):
+
+  * global mesh construction (MeshConfig — the (dp, sp, tp) data mesh and
+    FSDP model mesh collapse into one)
+  * sharded TrainState creation (GSPMD ≙ ZeRO/FSDP2)
+  * jitted step with batch shardings; host-side NaN guard (the reference
+    all-gathers losses and sys.exits — engine_for_pretraining.py:153-163)
+  * orbax auto-resume + interval saves (xtuner auto_resume / _maybe_save)
+  * MetricLogger step records incl. tokens/s (trainer.py:786-800)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import NamedSharding, PartitionSpec
+
+from internvideo_tpu.core.checkpoint import CheckpointManager
+from internvideo_tpu.core.mesh import MeshConfig, create_mesh, logical_axis_rules
+from internvideo_tpu.train.optim import OptimizerConfig, build_optimizer
+from internvideo_tpu.train.state import TrainState, create_sharded_state
+from internvideo_tpu.utils.metrics import MetricLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    total_steps: int = 1000
+    seed: int = 0
+    log_every: int = 10
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 500
+    max_checkpoints: int = 3
+    auto_resume: bool = True
+    halt_on_nan: bool = True
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model: nn.Module,
+        step_builder: Callable,  # (model, mesh) -> step(state, batch, rng)
+        example_batch: dict,
+        *,
+        example_inputs: Optional[tuple] = None,  # model.init args
+        batch_specs: Optional[dict] = None,  # name -> PartitionSpec
+        init_kwargs: Optional[dict] = None,
+        jsonl_path: Optional[str] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.mesh = create_mesh(config.mesh)
+        self.rules = logical_axis_rules()
+        self.rng = jax.random.key(config.seed)
+
+        if example_inputs is None:
+            example_inputs = tuple(example_batch.values())
+        abstract = jax.eval_shape(
+            model.init, self.rng, *example_inputs, **(init_kwargs or {})
+        )
+        tx, self.lr_schedule = build_optimizer(
+            config.optimizer, nn.unbox(abstract["params"])
+        )
+        with self.mesh, nn.logical_axis_rules(list(self.rules)):
+            self.state = create_sharded_state(
+                model, tx, example_inputs, self.mesh, self.rng,
+                rules=self.rules, init_kwargs=init_kwargs,
+            )
+
+        step_fn = step_builder(model, self.mesh)
+        dp = ("replica", "fsdp")
+        if batch_specs is None:
+            batch_specs = {k: PartitionSpec(dp) for k in example_batch}
+        self.batch_shardings = {
+            k: NamedSharding(self.mesh, spec) for k, spec in batch_specs.items()
+        }
+        self._step = jax.jit(
+            step_fn, in_shardings=(None, self.batch_shardings, None),
+            donate_argnums=(0,),
+        )
+
+        self.ckpt = None
+        if config.checkpoint_dir:
+            self.ckpt = CheckpointManager(
+                config.checkpoint_dir,
+                max_to_keep=config.max_checkpoints,
+                save_interval_steps=config.checkpoint_every,
+            )
+            if config.auto_resume and self.ckpt.latest_step() is not None:
+                restored = self.ckpt.restore(self.state)
+                if restored is not None:
+                    self.state = restored
+        self.metrics = MetricLogger(
+            jsonl_path=jsonl_path, log_every=config.log_every
+        )
+
+    def put_batch(self, batch: dict) -> dict:
+        return {
+            k: jax.device_put(v, self.batch_shardings[k])
+            for k, v in batch.items()
+        }
+
+    def fit(self, data: Iterable[dict], steps: Optional[int] = None):
+        cfg = self.config
+        steps = steps or cfg.total_steps
+        start = int(jax.device_get(self.state.step))
+        it = iter(data)
+        for step in range(start, steps):
+            batch = self.put_batch(next(it))
+            with self.mesh, nn.logical_axis_rules(list(self.rules)):
+                self.state, m = self._step(self.state, batch, self.rng)
+            host_m = {
+                k: float(jax.device_get(v))
+                for k, v in m.items()
+                if np.ndim(v) == 0
+            }
+            if cfg.halt_on_nan and not host_m.get("finite", 1.0):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {host_m}"
+                )
+            self.metrics.update(
+                **{k: v for k, v in host_m.items() if k != "finite"}
+            )
+            if "tokens" in host_m:
+                self.metrics.add_tokens(int(host_m["tokens"]))
+            if (step + 1) % cfg.log_every == 0:
+                lr = float(self.lr_schedule(step))
+                self.metrics.log_step(step + 1, extra={"lr": lr})
+            if self.ckpt is not None:
+                self.ckpt.save(step + 1, self.state)
+        if self.ckpt is not None:
+            if self.ckpt.latest_step() != steps:
+                self.ckpt.save(steps, self.state, force=True)
+            self.ckpt.wait()
+        return self.state

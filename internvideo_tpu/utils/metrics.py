@@ -1,0 +1,100 @@
+"""Training metrics: smoothed values, structured step logs, jsonl tracker.
+
+Equivalent of the reference's MetricLogger/SmoothedValue
+(single_modality/utils.py:30-235) and xtuner's jsonl/tensorboard exp
+trackers (xtuner/v1/_writer). Distributed synchronization is unnecessary on
+the host side — metrics come out of jit already globally reduced.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import time
+from typing import Optional
+
+
+class SmoothedValue:
+    def __init__(self, window: int = 20, fmt: str = "{avg:.4f}"):
+        self.window = collections.deque(maxlen=window)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1):
+        self.window.append(value)
+        self.total += value * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return sum(self.window) / max(len(self.window), 1)
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def value(self) -> float:
+        return self.window[-1] if self.window else 0.0
+
+    def __str__(self):
+        return self.fmt.format(
+            avg=self.avg, global_avg=self.global_avg, value=self.value
+        )
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        jsonl_path: Optional[str] = None,
+        log_every: int = 10,
+        print_fn=print,
+    ):
+        self.meters: dict[str, SmoothedValue] = collections.defaultdict(
+            SmoothedValue
+        )
+        self.log_every = log_every
+        self.print_fn = print_fn
+        self._jsonl = None
+        if jsonl_path:
+            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+            self._jsonl = open(jsonl_path, "a")
+        self._t_last = time.perf_counter()
+        self._tokens_since = 0
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def add_tokens(self, n: int):
+        self._tokens_since += int(n)
+
+    def log_step(self, step: int, extra: Optional[dict] = None):
+        now = time.perf_counter()
+        dt = now - self._t_last
+        record = {
+            "step": step,
+            "time_per_step": dt / max(self.log_every, 1),
+            **{k: m.avg for k, m in self.meters.items()},
+        }
+        if self._tokens_since:
+            record["tokens_per_sec"] = self._tokens_since / dt
+            self._tokens_since = 0
+        if extra:
+            record.update(extra)
+        self._t_last = now
+        if self._jsonl:
+            self._jsonl.write(json.dumps(record) + "\n")
+            self._jsonl.flush()
+        msg = "  ".join(
+            f"{k}: {v:.5g}" if isinstance(v, float) else f"{k}: {v}"
+            for k, v in record.items()
+        )
+        self.print_fn(msg)
+        return record
+
+    def close(self):
+        if self._jsonl:
+            self._jsonl.close()

@@ -1,0 +1,77 @@
+"""Trainer: end-to-end fit loop with checkpoints, resume, config overrides."""
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internvideo_tpu.core.config import apply_overrides, config_to_dict
+from internvideo_tpu.core.mesh import MeshConfig
+from internvideo_tpu.models.internvideo2 import InternVideo2, InternVideo2Config
+from internvideo_tpu.train.optim import OptimizerConfig
+from internvideo_tpu.train.step import classification_loss, make_train_step
+from internvideo_tpu.train.trainer import Trainer, TrainerConfig
+
+TINY = InternVideo2Config(
+    embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0,
+    patch_size=14, img_size=28, num_frames=1, tubelet_size=1,
+    clip_embed_dim=16, num_classes=4, attn_impl="xla",
+)
+
+
+def _data():
+    k = 0
+    while True:
+        key = jax.random.key(k)
+        yield {
+            "video": jax.random.normal(key, (8, 1, 28, 28, 3)),
+            "label": jax.random.randint(key, (8,), 0, 4),
+        }
+        k += 1
+
+
+def _trainer(tmp_path, steps=4):
+    cfg = TrainerConfig(
+        total_steps=steps, log_every=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2,
+        mesh=MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1),
+        optimizer=OptimizerConfig(lr=1e-3, total_steps=steps),
+    )
+    return Trainer(
+        cfg,
+        InternVideo2(TINY),
+        lambda model, mesh: make_train_step(classification_loss),
+        example_batch={"video": jnp.zeros((8, 1, 28, 28, 3)), "label": jnp.zeros((8,), jnp.int32)},
+        example_inputs=(jnp.zeros((8, 1, 28, 28, 3)),),
+    )
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    t = _trainer(tmp_path)
+    state = t.fit(_data())
+    assert int(jax.device_get(state.step)) == 4
+    t.ckpt.close()
+
+    # a fresh trainer resumes from step 4 and continues to 6
+    t2 = _trainer(tmp_path, steps=6)
+    assert int(jax.device_get(t2.state.step)) == 4
+    state2 = t2.fit(_data())
+    assert int(jax.device_get(state2.step)) == 6
+    t2.ckpt.close()
+
+
+def test_config_overrides():
+    cfg = TrainerConfig()
+    cfg = apply_overrides(
+        cfg,
+        ["total_steps=77", "optimizer.lr=0.5", "mesh.tensor=4",
+         "checkpoint_dir=/tmp/x"],
+    )
+    assert cfg.total_steps == 77
+    assert cfg.optimizer.lr == 0.5
+    assert cfg.mesh.tensor == 4
+    assert cfg.checkpoint_dir == "/tmp/x"
+    d = config_to_dict(cfg)
+    assert d["optimizer"]["lr"] == 0.5
