@@ -14,10 +14,20 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compile cache — the axon tunnel's remote compile is slow and
+# flaky; cache hits make repeated bench runs cheap.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 
 from internvideo_tpu.models.internvideo2 import InternVideo2, make_config

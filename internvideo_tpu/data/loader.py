@@ -1,0 +1,128 @@
+"""Multi-source scheduling, resumable iteration, device prefetch.
+
+  * MetaLoader: deterministic weighted interleave of several media streams —
+    the reference broadcasts a shuffled source order from rank 0 every epoch
+    (multi_modality/dataset/dataloader.py:10-59); here the order is derived
+    from a seed so every host computes it identically (no collective needed).
+  * StatefulIterator: iteration-resumable wrapper à la
+    StatefulDistributedSampler (dataset/sampler.py:7-60) — skip-free resume
+    by reconstructing the permutation from (seed, epoch) and jumping to the
+    step offset.
+  * prefetch_to_device: double-buffered host→device pipeline (the north-star
+    "streams clips directly into HBM").
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import queue as queue_mod
+from typing import Callable, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class MetaLoader:
+    """Interleave iterators from several sources in a seeded random order.
+
+    Each epoch: a schedule listing source s exactly len(s) times (or
+    weighted), shuffled with `seed + epoch`, then consumed in order.
+    """
+
+    def __init__(
+        self,
+        sources: dict[str, Iterable],
+        *,
+        counts: Optional[dict[str, int]] = None,
+        seed: int = 0,
+        epoch: int = 0,
+    ):
+        self.sources = sources
+        self.counts = counts or {k: len(v) for k, v in sources.items()}
+        self.seed = seed
+        self.epoch = epoch
+
+    def schedule(self) -> list[str]:
+        names = []
+        for k, n in self.counts.items():
+            names += [k] * n
+        rng = np.random.default_rng(self.seed + self.epoch)
+        rng.shuffle(names)
+        return names
+
+    def __len__(self):
+        return sum(self.counts.values())
+
+    def __iter__(self):
+        its = {k: iter(v) for k, v in self.sources.items()}
+        for name in self.schedule():
+            try:
+                yield name, next(its[name])
+            except StopIteration:
+                its[name] = iter(self.sources[name])
+                yield name, next(its[name])
+
+
+class StatefulIterator:
+    """Seeded, epoch-aware, step-resumable index iterator over a dataset."""
+
+    def __init__(self, n: int, *, seed: int = 0, shuffle: bool = True):
+        self.n = n
+        self.seed = seed
+        self.shuffle = shuffle
+        self.epoch = 0
+        self.step = 0  # index position inside the epoch
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "step": self.step}
+
+    def load_state_dict(self, s: dict):
+        self.epoch, self.step = s["epoch"], s["step"]
+
+    def _perm(self) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(self.n)
+        return np.random.default_rng(self.seed + self.epoch).permutation(self.n)
+
+    def __iter__(self) -> Iterator[int]:
+        while True:
+            perm = self._perm()
+            while self.step < self.n:
+                idx = int(perm[self.step])
+                self.step += 1
+                yield idx
+            self.epoch += 1
+            self.step = 0
+
+
+def prefetch_to_device(
+    it: Iterable,
+    *,
+    size: int = 2,
+    sharding=None,
+) -> Iterator:
+    """Background thread moves batches to device `size` steps ahead."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in it:
+                if sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x, s=sharding: jax.device_put(x, s), batch
+                    )
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
