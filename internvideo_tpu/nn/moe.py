@@ -1,0 +1,163 @@
+"""Mixture-of-Experts: top-k router + static-capacity expert dispatch.
+
+Capability parity with xtuner's MoE stack (SURVEY X7 —
+xtuner/v1/module/router/*, dispatcher/base.py:70-190, torch_all2all.py,
+ops/moe/cuda/group_gemm.py, model/moe/moe.py):
+
+  * top-k softmax router with (a) switch-style load-balancing auxiliary loss
+    and (b) DeepSeek-V3 no-aux-loss *bias balancing* — a non-gradient bias
+    added to routing scores only, updated from expert load each step
+    (router bias update hook in xtuner's TrainEngine)
+  * expert compute as batched GEMMs over a static capacity: the dispatch/
+    combine one-hot contraction is the GSPMD MoE pattern — sharding experts
+    over the `expert` mesh axis makes XLA emit exactly the all-to-alls the
+    reference implements by hand (DeepEP / torch all2all)
+  * SwiGLU experts (DeepSeek/Qwen3-MoE shape)
+
+Dropped tokens (over capacity) pass through the residual unchanged, as in
+capacity-factor MoE training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    num_experts: int = 8
+    top_k: int = 2
+    intermediate_size: int = 1024
+    capacity_factor: float = 1.25
+    router_bias_balancing: bool = False  # DeepSeek-V3 style
+    aux_loss_weight: float = 0.01
+    router_dtype: str = "float32"
+
+
+@struct.dataclass
+class MoEOutput:
+    output: jax.Array
+    aux_loss: jax.Array  # load-balancing loss (0 when bias balancing)
+    expert_load: jax.Array  # (E,) fraction of tokens routed per expert
+
+
+class MoEMlp(nn.Module):
+    cfg: MoEConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, S, D)
+        router_bias: Optional[jax.Array] = None,  # (E,) non-grad balancing
+    ) -> MoEOutput:
+        cfg = self.cfg
+        b, s, d = x.shape
+        n = b * s
+        e, k = cfg.num_experts, cfg.top_k
+        cap = max(int(cfg.capacity_factor * n * k / e), 1)
+        xt = x.reshape(n, d)
+
+        router_logits = nn.Dense(
+            e, use_bias=False,
+            dtype=jnp.dtype(cfg.router_dtype),
+            param_dtype=jnp.float32,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), ("embed", None)
+            ),
+            name="router",
+        )(xt.astype(jnp.dtype(cfg.router_dtype)))  # (N, E)
+        probs = jax.nn.softmax(router_logits, axis=-1)
+
+        scores = router_logits
+        if router_bias is not None:
+            scores = scores + jax.lax.stop_gradient(router_bias)[None, :]
+        _, top_idx = jax.lax.top_k(scores, k)  # (N, k)
+        top_gate = jnp.take_along_axis(probs, top_idx, axis=-1)
+        top_gate = top_gate / jnp.maximum(
+            jnp.sum(top_gate, axis=-1, keepdims=True), 1e-9
+        )
+
+        # position of each (token, slot) within its expert's capacity
+        onehot = jax.nn.one_hot(top_idx, e, dtype=jnp.int32)  # (N, k, E)
+        flat = onehot.reshape(n * k, e)
+        pos_in_expert = jnp.cumsum(flat, axis=0) * flat - 1  # (N*k, E)
+        pos = jnp.max(pos_in_expert, axis=-1).reshape(n, k)  # (N, k)
+        keep = pos < cap
+
+        # dispatch: (N, k) -> (E, cap, D) via scatter-add
+        expert_idx = top_idx  # (N, k)
+        combine_w = jnp.where(keep, top_gate, 0.0)  # (N, k)
+        disp = jnp.zeros((e, cap, d), xt.dtype)
+        tok = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+        safe_pos = jnp.where(keep, pos, cap - 1)
+        disp = disp.at[
+            expert_idx.reshape(-1), safe_pos.reshape(-1)
+        ].add(
+            jnp.where(keep.reshape(-1, 1), xt[tok.reshape(-1)], 0.0)
+        )
+        disp = nn.with_logical_constraint(disp, ("expert", None, "embed"))
+
+        # expert SwiGLU, batched over E — one grouped GEMM per projection
+        def expert_param(name, shape, logical):
+            return self.param(
+                name,
+                nn.with_logical_partitioning(
+                    nn.initializers.truncated_normal(0.02), logical
+                ),
+                shape,
+                self.param_dtype,
+            ).astype(self.dtype)
+
+        i = cfg.intermediate_size
+        w_gate = expert_param("w_gate", (e, d, i), ("expert", "embed", "expert_mlp"))
+        w_up = expert_param("w_up", (e, d, i), ("expert", "embed", "expert_mlp"))
+        w_down = expert_param("w_down", (e, i, d), ("expert", "expert_mlp", "embed"))
+        h = jnp.einsum("ecd,edi->eci", disp, w_gate)
+        u = jnp.einsum("ecd,edi->eci", disp, w_up)
+        out_e = jnp.einsum("eci,eid->ecd", nn.silu(h) * u, w_down)
+        out_e = nn.with_logical_constraint(out_e, ("expert", None, "embed"))
+
+        # combine: gather back each token's k slots
+        gathered = out_e[expert_idx.reshape(-1), safe_pos.reshape(-1)]
+        gathered = gathered.reshape(n, k, d)
+        out = jnp.sum(gathered * combine_w[..., None], axis=1)
+
+        # load-balancing aux loss (Switch): E * Σ_e f_e · p_e
+        load = jnp.mean(
+            jax.nn.one_hot(top_idx, e).sum(1), axis=0
+        ) / k  # (E,) routed fraction
+        if cfg.router_bias_balancing:
+            aux = jnp.zeros(())
+        else:
+            imp = jnp.mean(probs, axis=0)
+            aux = cfg.aux_loss_weight * e * jnp.sum(load * imp)
+
+        return MoEOutput(
+            output=out.reshape(b, s, d).astype(x.dtype),
+            aux_loss=aux,
+            expert_load=load,
+        )
+
+
+def update_router_bias(
+    router_bias: jax.Array,  # (E,)
+    expert_load: jax.Array,  # (E,) last-step routed fraction
+    *,
+    speed: float = 1e-3,
+) -> jax.Array:
+    """DeepSeek-V3 no-aux-loss balancing: push bias against overload.
+
+    Matches xtuner's per-step MoE bias update (train_engine.py MoE hook):
+    overloaded experts (load > mean) get bias decreased, underloaded
+    increased, by a fixed speed.
+    """
+    err = jnp.mean(expert_load) - expert_load
+    return router_bias + speed * jnp.sign(err)
