@@ -71,7 +71,7 @@ class PretrainConfig:
 class PretrainOutput:
     clip_middle: jax.Array  # (K, B, 1+n_vis, clip_output_dim), l2-normed
     clip_final: Optional[jax.Array]  # (B, clip_output_dim)
-    mae: jax.Array  # (K_mae, B, n_vis, mae_output_dim)
+    mae: Optional[jax.Array]  # (K_mae, B, n_vis, mae_output_dim); None for distill
 
 
 class _LinearDecoder(nn.Module):
@@ -198,6 +198,11 @@ class PretrainInternVideo2(nn.Module):
             )(out.pooled)
 
         # --- MAE alignment branch (patch tokens only, no cls) ---
+        if cfg.mae_return_layers == 0:
+            # distillation variant (internvideo2_distill.py): CLIP-align only
+            return PretrainOutput(
+                clip_middle=clip_middle, clip_final=clip_final, mae=None
+            )
         mae_pos = self.param(
             "mae_pos_embed",
             nn.with_logical_partitioning(

@@ -37,6 +37,9 @@ class OptimizerConfig:
     clip_grad_norm: Optional[float] = 3.0
     layer_decay: Optional[float] = None  # e.g. 0.75 for finetune
     num_layers: Optional[int] = None  # required when layer_decay is set
+    # Probing (run_linear_probing.py / internvideo2_ap.py): only params whose
+    # path matches one of these regexes get updates; everything else frozen.
+    trainable_patterns: Optional[tuple[str, ...]] = None
 
 
 def cosine_schedule(
@@ -137,4 +140,17 @@ def build_optimizer(
             )
         )
     chain.append(optax.scale_by_learning_rate(lr_sched))
-    return optax.chain(*chain), lr_sched
+    tx = optax.chain(*chain)
+    if config.trainable_patterns:
+        pats = [re.compile(p) for p in config.trainable_patterns]
+        labels = jax.tree_util.tree_map_with_path(
+            lambda path, x: (
+                "train" if any(p.search(_path_str(path)) for p in pats)
+                else "freeze"
+            ),
+            params_example,
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx, lr_sched
