@@ -39,18 +39,13 @@ def _mask_block(
     k_seg,  # (1, bk) int32 or None
     q_offset,
     k_offset,
-    kv_bound=None,  # static int: mask keys at global index >= kv_bound
 ):
     bq, bk = s.shape
     mask = None
-    if causal or kv_bound is not None:
-        ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     if causal:
         qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         mask = qi >= ki
-    if kv_bound is not None:
-        km = ki < kv_bound
-        mask = km if mask is None else jnp.logical_and(mask, km)
     if q_seg is not None:
         seg = q_seg == k_seg
         mask = seg if mask is None else jnp.logical_and(mask, seg)
@@ -67,7 +62,7 @@ def _mask_block(
 def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_bound=None,
+    kv_pad: int = 0,
 ):
     if has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
@@ -102,7 +97,7 @@ def _fwd_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
+            q_offset=iq * block_q, k_offset=ik * block_k,
         )
 
         m_prev = m_ref[:, 0]  # (bq,)
@@ -123,6 +118,11 @@ def _fwd_kernel(
     @pl.when(ik == nk - 1)
     def _finalize():
         l = l_ref[:, 0]
+        if kv_pad:
+            # K/V tail padding is zeros, so each pad key contributed exactly
+            # exp(0 - m) to l (and nothing to acc) — remove it analytically
+            # instead of masking every tile (saves a VPU pass per tile).
+            l = l - kv_pad * jnp.exp(-m_ref[:, 0])
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
         m = m_ref[:, 0]
@@ -133,7 +133,7 @@ def _fwd_kernel(
 
 def _fwd(
     q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
-    kv_bound=None,
+    kv_pad=0,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -158,7 +158,7 @@ def _fwd(
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, has_segs=has_segs,
-        kv_bound=kv_bound,
+        kv_pad=kv_pad,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -191,7 +191,7 @@ def _fwd(
 def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_bound=None,
+    kv_pad: int = 0,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -228,7 +228,7 @@ def _bwd_dq_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
+            q_offset=iq * block_q, k_offset=ik * block_k,
         )
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -247,7 +247,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_bound=None,
+    kv_pad: int = 0,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -286,7 +286,7 @@ def _bwd_dkv_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, kv_bound=kv_bound,
+            q_offset=iq * block_q, k_offset=ik * block_k,
         )
         p = jnp.exp(s - lse)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
@@ -308,7 +308,7 @@ def _bwd_dkv_kernel(
 
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
-    *, scale, causal, block_q, block_k, interpret, kv_bound=None,
+    *, scale, causal, block_q, block_k, interpret,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -338,7 +338,6 @@ def _bwd(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            kv_bound=kv_bound,
         ),
         grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
         in_specs=common_specs + seg_specs,
@@ -367,7 +366,6 @@ def _bwd(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            kv_bound=kv_bound,
         ),
         grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
         in_specs=dkv_specs + dkv_seg_specs,
@@ -398,32 +396,34 @@ def _bwd(
 )
 def _flash_attention(
     q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
-    kv_bound, _nh,
+    kv_pad, _nh,
 ):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_bound=kv_bound,
+        kv_pad=kv_pad,
     )
     return out
 
 
 def _flash_fwd_rule(
-    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_bound, _nh
+    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, _nh
 ):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
-        block_q=bq, block_k=bk, interpret=interp, kv_bound=kv_bound,
+        block_q=bq, block_k=bk, interpret=interp, kv_pad=kv_pad,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg)
 
 
-def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_bound, _nh, res, g):
+def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, _nh, res, g):
+    # The backward needs no pad handling: pad K/V rows are zero, so dq gets
+    # no contribution from them, and dk/dv pad rows are sliced by the
+    # wrapper; q pad rows carry zero cotangent.
     q, k, v, out, lse, q_seg, kv_seg = res
     dq, dk, dv = _bwd(
         q, k, v, out, lse, g, q_seg, kv_seg,
         scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
-        kv_bound=kv_bound,
     )
     return dq, dk, dv, None, None
 
@@ -462,10 +462,15 @@ def flash_attention(
     sq_p = _round_up(sq, block_q_eff)
     sk_p = _round_up(sk, block_k_eff)
     needs_pad = (sq_p != sq) or (sk_p != sk)
-    # With tail-padding only (no real packing) a static kv-length bound is
-    # enough: padded q rows are sliced off and contribute zero cotangent, so
-    # they need no masking — this avoids materializing segment-id arrays.
-    kv_bound = sk if (needs_pad and q_segment_ids is None) else None
+    # With tail-padding only (no real packing), no masking is needed at all:
+    # padded q rows are sliced off (zero cotangent), and zero-padded K/V
+    # contributions to the softmax are removed analytically in the kernel's
+    # finalize (l -= pad·exp(-m)). Causal self-attention with equal q/k pads
+    # even skips the correction — real rows never see the tail.
+    kv_pad = 0
+    if needs_pad and q_segment_ids is None:
+        if not (causal and sq == sk and sq_p == sk_p):
+            kv_pad = sk_p - sk
     if q_segment_ids is not None:
         q_segment_ids = jnp.pad(
             q_segment_ids, ((0, 0), (0, sq_p - sq)), constant_values=-1
@@ -493,7 +498,7 @@ def flash_attention(
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out = _flash_attention(
         qt, kt, vt, q_segment_ids, kv_segment_ids,
-        scale, causal, block_q_eff, block_k_eff, interpret, kv_bound, hq,
+        scale, causal, block_q_eff, block_k_eff, interpret, kv_pad, hq,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if needs_pad:
@@ -505,9 +510,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Empirical per-block-size time multipliers on v5e (microbench, D=88..128):
-# smaller blocks underfeed the MXU and pay more grid overhead.
-_BLOCK_EFF = {1024: 1.00, 512: 1.08, 256: 1.55}
+# Empirical per-block-size time multipliers on v5e (measured at D=88, bf16,
+# same-session: 1024-blocks ≈76-83 TFLOPs, 512 ≈48, 256 ≈22): smaller blocks
+# underfeed the MXU and pay more grid overhead, usually outweighing the
+# padding they save.
+_BLOCK_EFF = {1024: 1.00, 512: 1.55, 256: 3.4}
 
 
 def _pick_blocks(sq: int, sk: int, max_q: int, max_k: int) -> tuple[int, int]:
