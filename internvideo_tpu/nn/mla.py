@@ -236,3 +236,55 @@ class MLAttention(nn.Module):
         out = jnp.einsum("bqhr,rhd->bqhd", ctx_lat, w_uv)  # (B,1,H,v)
         out = out.reshape(b, 1, cfg.num_heads * cfg.v_head_dim)
         return self.o_proj(out), cache
+
+    def decode_paged(
+        self,
+        x: jax.Array,  # (B, 1, D)
+        cos: jax.Array,
+        sin: jax.Array,
+        pages: jax.Array,  # (P, page_size, R+Prope) shared page pool
+        block_tables: jax.Array,  # (B, max_pages) page ids per sequence
+        seq_lens: jax.Array,  # (B,) tokens already cached (incl. this one
+        #                         after the caller's paged_write)
+    ):
+        """Absorbed decode over a paged cache (kv_cache.py:5-47 equivalent).
+
+        The caller writes the new token's latent entry into the page pool
+        first (compute_cache_entry + paged_write), then calls this.
+        """
+        from internvideo_tpu.nn.paged_cache import batched_paged_gather
+
+        cfg = self.cfg
+        b = x.shape[0]
+        q_nope, q_pe = self._project_q(x)
+        q_pe = apply_rope(q_pe, cos, sin)
+
+        cache = batched_paged_gather(pages, block_tables)  # (B, L, R+P)
+        kv_b = self.kv_b_kernel.astype(self.dtype)
+        w_uk = kv_b[..., : cfg.qk_nope_head_dim]
+        w_uv = kv_b[..., cfg.qk_nope_head_dim:]
+        q_lat = jnp.einsum("bqhd,rhd->bqhr", q_nope, w_uk)
+        c = cache[:, :, : cfg.kv_lora_rank].astype(self.dtype)
+        p = cache[:, :, cfg.kv_lora_rank:].astype(self.dtype)
+        scores = (
+            jnp.einsum("bqhr,bsr->bhqs", q_lat, c)
+            + jnp.einsum("bqhd,bsd->bhqs", q_pe, p)
+        ) * (cfg.q_head_dim ** -0.5)
+        valid = (
+            jnp.arange(cache.shape[1])[None, None, None, :]
+            < seq_lens[:, None, None, None]
+        )
+        scores = jnp.where(valid, scores, -1e30)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        ctx_lat = jnp.einsum("bhqs,bsr->bqhr", probs, c)
+        out = jnp.einsum("bqhr,rhd->bqhd", ctx_lat, w_uv)
+        out = out.reshape(b, 1, cfg.num_heads * cfg.v_head_dim)
+        return self.o_proj(out)
+
+    def compute_cache_entry(self, x, cos, sin):
+        """(B, 1, D) -> (B, 1, R+Prope) latent entry for the paged pool."""
+        ckv, k_pe_raw = self._compress_kv(x)
+        k_pe = apply_rope(k_pe_raw[:, :, None, :], cos, sin)[:, :, 0, :]
+        return jnp.concatenate([ckv, k_pe], axis=-1)

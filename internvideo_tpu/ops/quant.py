@@ -1,0 +1,100 @@
+"""Low-precision matmuls: int8 (TPU-native) quantized linear layers.
+
+Counterpart of the reference's float8 stack (xtuner/v1/float8/ — tensor-wise
+and tile-wise fp8 GEMMs with dynamic scales, float8_handler.py:38-230).
+TPU v5e/v5p MXUs accelerate int8×int8→int32, not fp8, so the TPU-native
+"float8-class" path is dynamic int8: per-channel absmax weight scales +
+per-row dynamic activation scales, both folded back after an int32
+accumulation (exactly the reference's dynamic tensor-wise recipe, with int8
+in place of e4m3).
+
+`QuantDense` is a drop-in flax Dense: weights are stored in the param dtype
+(master copy) and fake/real-quantized per call — weight-only mode keeps
+activations in bf16, dynamic mode quantizes both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quantize_int8(x: jax.Array, axis: int):
+    """absmax int8 quantization along `axis`; returns (q, scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def int8_matmul(
+    x: jax.Array,  # (..., K) activations
+    w_q: jax.Array,  # (K, N) int8 weights
+    w_scale: jax.Array,  # (1, N) fp32 per-out-channel scales
+    *,
+    dynamic_activations: bool = True,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    if dynamic_activations:
+        x_q, x_scale = quantize_int8(x, axis=-1)
+        acc = jax.lax.dot_general(
+            x_q, w_q,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+    # weight-only: dequantized weights ride the bf16 MXU
+    w = (w_q.astype(jnp.float32) * w_scale).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dynamic_activations: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(self.kernel_init, ("embed", "mlp")),
+            (k, self.features),
+            self.param_dtype,
+        )
+        w_q, w_scale = quantize_int8(kernel, axis=0)
+        # straight-through estimator: forward uses quantized weights,
+        # gradient flows to the master copy
+        w_deq = w_q.astype(jnp.float32) * w_scale
+        kernel_ste = kernel + jax.lax.stop_gradient(
+            w_deq.astype(kernel.dtype) - kernel
+        )
+        if self.dynamic_activations:
+            x_q, x_scale = quantize_int8(x, axis=-1)
+            x_deq = (x_q.astype(jnp.float32) * x_scale).astype(x.dtype)
+            x_ste = x + jax.lax.stop_gradient(x_deq - x)
+        else:
+            x_ste = x
+        y = jnp.dot(
+            x_ste.astype(self.dtype), kernel_ste.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(nn.initializers.zeros, ("mlp",)),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+    def inference_weights(self, kernel):
+        """Export path: real int8 weights + scales for serving."""
+        return quantize_int8(kernel, axis=0)

@@ -1,0 +1,148 @@
+"""int8 quant path, GRPO loss, paged KV cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internvideo_tpu.nn.mla import MLAConfig, MLAttention
+from internvideo_tpu.nn.paged_cache import (
+    PageAllocator,
+    PagedCacheState,
+    batched_paged_gather,
+    paged_write,
+    positions_to_slots,
+)
+from internvideo_tpu.nn.rope import rope_cos_sin
+from internvideo_tpu.ops.quant import QuantDense, int8_matmul, quantize_int8
+from internvideo_tpu.train.rl import (
+    GRPOConfig,
+    group_relative_advantages,
+    grpo_policy_loss,
+    token_logprobs,
+)
+
+
+def test_int8_quant_accuracy():
+    x = jax.random.normal(jax.random.key(0), (16, 64))
+    w = jax.random.normal(jax.random.key(1), (64, 32)) * 0.1
+    ref = x @ w
+    w_q, w_s = quantize_int8(w, axis=0)
+    out = int8_matmul(x, w_q, w_s, dynamic_activations=True)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+    out_wo = int8_matmul(x, w_q, w_s, dynamic_activations=False)
+    rel = float(jnp.linalg.norm(out_wo - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.01, rel
+
+
+def test_quant_dense_trains():
+    model = QuantDense(8, dynamic_activations=True)
+    x = jax.random.normal(jax.random.key(0), (4, 16))
+    params = model.init(jax.random.key(1), x)
+    y = jax.random.normal(jax.random.key(2), (4, 8))
+
+    def loss(p):
+        return jnp.mean(jnp.square(model.apply(p, x) - y))
+
+    import optax
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+    l0 = float(loss(params))
+    for _ in range(20):
+        g = jax.grad(loss)(params)
+        up, st = tx.update(g, st, params)
+        params = optax.apply_updates(params, up)
+    assert float(loss(params)) < l0 * 0.5
+
+
+def test_grpo():
+    rewards = jnp.array([1.0, 0.0, 1.0, 0.0, 5.0, 5.0, 5.0, 5.0])
+    adv = group_relative_advantages(rewards, group_size=4)
+    # second group has zero variance -> ~0 advantage
+    np.testing.assert_allclose(np.asarray(adv[4:]), 0.0, atol=1e-3)
+    assert float(adv[0]) > 0 > float(adv[1])
+
+    logits = jax.random.normal(jax.random.key(0), (8, 5, 11))
+    tokens = jax.random.randint(jax.random.key(1), (8, 5), 0, 11)
+    logp = token_logprobs(logits, tokens)
+    assert logp.shape == (8, 5) and float(logp.max()) <= 0
+
+    mask = jnp.ones((8, 5))
+    cfg = GRPOConfig(kl_beta=0.1)
+    loss, m = grpo_policy_loss(
+        logp, logp - 0.1, adv, mask, cfg, logp_ref=logp + 0.05
+    )
+    assert np.isfinite(float(loss))
+    assert float(m["kl"]) >= 0
+    # gradient ascent direction: positive-advantage sequences push logp up
+    g = jax.grad(
+        lambda lp: grpo_policy_loss(lp, logp, adv, mask, GRPOConfig())[0]
+    )(logp)
+    assert float(g[0].sum()) < 0  # minimizing loss raises logp for adv>0
+
+
+def test_page_allocator():
+    alloc = PageAllocator(num_pages=8, page_size=4)
+    t = alloc.ensure(0, 5)  # needs 2 pages
+    assert len(t) == 2
+    t2 = alloc.ensure(1, 4)
+    assert len(t2) == 1 and not (set(t) & set(t2))
+    alloc.release(0)
+    t3 = alloc.ensure(2, 9)
+    assert len(t3) == 3  # reuses freed pages
+    assert len(set(t3) & set(t2)) == 0
+
+
+def test_paged_decode_matches_dense():
+    cfg = MLAConfig(
+        hidden_size=32, num_heads=2, kv_lora_rank=16,
+        qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+    )
+    model = MLAttention(cfg, attn_impl="xla")
+    b, prompt = 2, 6
+    x = jax.random.normal(jax.random.key(0), (b, prompt, 32))
+    cos, sin = rope_cos_sin(jnp.arange(prompt)[None], 8)
+    cos = jnp.broadcast_to(cos, (b, prompt, 8))
+    sin = jnp.broadcast_to(sin, (b, prompt, 8))
+    params = model.init(jax.random.key(1), x, cos, sin)
+
+    # dense path reference
+    dense_cache = jnp.zeros((b, 16, cfg.cache_dim))
+    _, dense_cache = model.apply(
+        params, x, cos, sin, dense_cache, 0, method="prefill"
+    )
+    x_new = jax.random.normal(jax.random.key(2), (b, 1, 32))
+    cos1, sin1 = rope_cos_sin(jnp.full((b, 1), prompt), 8)
+    dense_out, _ = model.apply(
+        params, x_new, cos1, sin1, dense_cache, jnp.int32(prompt),
+        method="decode",
+    )
+
+    # paged path: write prompt entries + new entry into pages, then decode
+    page_size = 4
+    alloc = PageAllocator(num_pages=16, page_size=page_size)
+    pool = PagedCacheState.create(16, page_size, cfg.cache_dim, jnp.float32)
+    pages = pool.pages
+    entries = model.apply(
+        params, x, cos, sin, method="compute_cache_entry"
+    )  # (B, prompt, C)
+    new_entry = model.apply(
+        params, x_new, cos1, sin1, method="compute_cache_entry"
+    )
+    tables = []
+    for s in range(b):
+        table = alloc.ensure(s, prompt + 1)
+        pids, offs = positions_to_slots(0, prompt + 1, table, page_size)
+        seq_entries = jnp.concatenate([entries[s], new_entry[s]], axis=0)
+        pages = paged_write(pages, seq_entries, jnp.asarray(pids),
+                            jnp.asarray(offs))
+        tables.append(table + [0] * (4 - len(table)))  # pad table
+    block_tables = jnp.asarray(tables, jnp.int32)
+    paged_out = model.apply(
+        params, x_new, cos1, sin1, pages, block_tables,
+        jnp.full((b,), prompt + 1, jnp.int32),
+        method="decode_paged",
+    )
+    np.testing.assert_allclose(
+        np.asarray(paged_out), np.asarray(dense_out), atol=2e-5, rtol=1e-4
+    )
