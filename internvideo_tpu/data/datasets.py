@@ -1,0 +1,210 @@
+"""Dataset classes: csv action-recognition clips + jsonl video-text pairs.
+
+Covers the reference's dataset layer (SURVEY S11/M11/X10):
+  * CsvVideoDataset ≙ the kinetics/ssv2 csv loaders
+    (single_modality/datasets/kinetics.py): "path<sep>label" rows, train
+    augmentation (random-resized crop / multi-scale crop + flip + optional
+    RandAugment/erasing) or eval views (center / multi-clip multi-crop)
+  * JsonlVideoTextDataset ≙ pt/ret datasets + corpus registry entries
+    (multi_modality/dataset/pt_dataset.py, configs/data.py): jsonl of
+    {"video": path, "caption": str}, tokenized with on-disk caching
+    (xtuner jsonl.py:177 tokenize cache)
+  * batch iterators producing numpy dicts ready for Trainer.put_batch
+
+Everything is host-side numpy; decode goes through data/video.py readers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from internvideo_tpu.data import transforms
+from internvideo_tpu.data.loader import StatefulIterator
+from internvideo_tpu.data.video import read_video
+
+
+class CsvVideoDataset:
+    """Rows "path<sep>label"; yields {"video": f32, "label": i32} batches."""
+
+    def __init__(
+        self,
+        csv_path: str,
+        *,
+        num_frames: int = 8,
+        img_size: int = 224,
+        train: bool = True,
+        sep: str = ",",
+        use_rand_augment: bool = False,
+        use_erasing: bool = False,
+        seed: int = 0,
+    ):
+        self.samples = []
+        with open(csv_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                path, label = line.rsplit(sep, 1)
+                self.samples.append((path, int(label)))
+        self.num_frames = num_frames
+        self.img_size = img_size
+        self.train = train
+        self.use_rand_augment = use_rand_augment
+        self.use_erasing = use_erasing
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_clip(
+        self, idx: int, rng: np.random.Generator,
+        clip_idx: int = 0, num_clips: int = 1,
+    ) -> np.ndarray:
+        path, _ = self.samples[idx]
+        clip = read_video(
+            path, self.num_frames,
+            sample="rand" if self.train else "sparse",
+            clip_idx=clip_idx, num_clips=num_clips, rng=rng,
+        )
+        if self.train:
+            clip = transforms.random_resized_crop(
+                clip, self.img_size, rng, scale=(0.5, 1.0)
+            )
+            clip = transforms.horizontal_flip(clip, rng)
+            if self.use_rand_augment:
+                clip = transforms.rand_augment(clip, rng)
+        else:
+            clip = transforms.resize_short_side(clip, self.img_size)
+            clip = transforms.center_crop(clip, self.img_size)
+        out = transforms.normalize(np.ascontiguousarray(clip))
+        if self.train and self.use_erasing:
+            out = transforms.random_erasing(out, rng)
+        return out
+
+    def train_batches(self, batch_size: int) -> Iterator[dict]:
+        it = iter(StatefulIterator(len(self), seed=self.seed))
+        rng = np.random.default_rng(self.seed + 1)
+        while True:
+            idxs = [next(it) for _ in range(batch_size)]
+            yield {
+                "video": np.stack([self.load_clip(i, rng) for i in idxs]),
+                "label": np.asarray(
+                    [self.samples[i][1] for i in idxs], np.int32
+                ),
+            }
+
+    def eval_views(
+        self, batch_size: int, num_clips: int = 4
+    ) -> Iterator[dict]:
+        """Multi-view test iterator for eval/classification.final_test."""
+        rng = np.random.default_rng(0)
+        views = [
+            (i, c) for i in range(len(self)) for c in range(num_clips)
+        ]
+        for s in range(0, len(views), batch_size):
+            chunk = views[s:s + batch_size]
+            yield {
+                "video": np.stack([
+                    self.load_clip(i, rng, clip_idx=c, num_clips=num_clips)
+                    for i, c in chunk
+                ]),
+                "label": np.asarray(
+                    [self.samples[i][1] for i, _ in chunk], np.int32
+                ),
+                "video_id": [str(i) for i, _ in chunk],
+            }
+
+
+class JsonlVideoTextDataset:
+    """jsonl of {"video": path, "caption": str} with tokenize caching."""
+
+    def __init__(
+        self,
+        jsonl_path: str,
+        tokenizer,
+        *,
+        num_frames: int = 8,
+        img_size: int = 224,
+        max_length: int = 32,
+        cache_dir: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.items = []
+        with open(jsonl_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self.items.append(json.loads(line))
+        self.tokenizer = tokenizer
+        self.num_frames = num_frames
+        self.img_size = img_size
+        self.max_length = max_length
+        self.seed = seed
+
+        self._tok_cache = None
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            key = hashlib.sha1(
+                (jsonl_path + str(max_length)).encode()
+            ).hexdigest()[:16]
+            cache_file = os.path.join(cache_dir, f"tok_{key}.npz")
+            if os.path.exists(cache_file):
+                z = np.load(cache_file)
+                self._tok_cache = {
+                    "input_ids": z["input_ids"],
+                    "attention_mask": z["attention_mask"],
+                }
+            else:
+                toks = tokenizer(
+                    [it["caption"] for it in self.items],
+                    max_length=max_length,
+                )
+                np.savez(cache_file, **toks)
+                self._tok_cache = toks
+
+    def __len__(self):
+        return len(self.items)
+
+    def tokens(self, idxs: Sequence[int]) -> dict:
+        if self._tok_cache is not None:
+            return {
+                k: v[np.asarray(idxs)] for k, v in self._tok_cache.items()
+            }
+        return self.tokenizer(
+            [self.items[i]["caption"] for i in idxs],
+            max_length=self.max_length,
+        )
+
+    def batches(self, batch_size: int, train: bool = True) -> Iterator[dict]:
+        it = iter(StatefulIterator(len(self), seed=self.seed, shuffle=train))
+        rng = np.random.default_rng(self.seed + 1)
+        while True:
+            idxs = [next(it) for _ in range(batch_size)]
+            clips = []
+            for i in idxs:
+                clip = read_video(
+                    self.items[i]["video"], self.num_frames,
+                    sample="rand" if train else "middle", rng=rng,
+                )
+                clip = (
+                    transforms.random_resized_crop(
+                        clip, self.img_size, rng, scale=(0.5, 1.0)
+                    )
+                    if train else transforms.center_crop(
+                        transforms.resize_short_side(clip, self.img_size),
+                        self.img_size,
+                    )
+                )
+                clips.append(transforms.normalize(np.ascontiguousarray(clip)))
+            toks = self.tokens(idxs)
+            yield {
+                "video": np.stack(clips),
+                "input_ids": toks["input_ids"],
+                "attention_mask": toks["attention_mask"],
+                "idx": np.asarray(idxs, np.int32),
+            }
