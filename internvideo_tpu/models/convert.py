@@ -117,3 +117,158 @@ def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
     return {
         k: v.detach().to("cpu").float().numpy() for k, v in state_dict.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# BERT (HF naming) -> models/bert.BertModel
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_bert(
+    sd: Mapping[str, np.ndarray],
+    *,
+    num_layers: int,
+    prefix: str = "bert.",
+) -> dict:
+    """HF bert-base-style state_dict -> flax params for BertModel.
+
+    Handles the fusion variants' crossattention weights (the reference's
+    xbert checkpoints use standard HF naming with `crossattention` blocks).
+    MLM heads live under `cls.predictions.*` at the top level.
+    """
+    def g(key):
+        for cand in (prefix + key, key):
+            if cand in sd:
+                return sd[cand]
+        raise KeyError(prefix + key)
+
+    def has(key):
+        return (prefix + key) in sd or key in sd
+
+    p: dict = {
+        "word_embeddings": {
+            "embedding": g("embeddings.word_embeddings.weight")
+        },
+        "position_embeddings": {
+            "embedding": g("embeddings.position_embeddings.weight")
+        },
+        "token_type_embeddings": {
+            "embedding": g("embeddings.token_type_embeddings.weight")
+        },
+        "embeddings_norm": {
+            "scale": g("embeddings.LayerNorm.weight"),
+            "bias": g("embeddings.LayerNorm.bias"),
+        },
+    }
+    for i in range(num_layers):
+        b = f"encoder.layer.{i}"
+        layer = {
+            "attention": {
+                "query": _linear_hf(g, f"{b}.attention.self.query"),
+                "key": _linear_hf(g, f"{b}.attention.self.key"),
+                "value": _linear_hf(g, f"{b}.attention.self.value"),
+                "proj": _linear_hf(g, f"{b}.attention.output.dense"),
+            },
+            "attention_norm": {
+                "scale": g(f"{b}.attention.output.LayerNorm.weight"),
+                "bias": g(f"{b}.attention.output.LayerNorm.bias"),
+            },
+            "intermediate": _linear_hf(g, f"{b}.intermediate.dense"),
+            "output": _linear_hf(g, f"{b}.output.dense"),
+            "output_norm": {
+                "scale": g(f"{b}.output.LayerNorm.weight"),
+                "bias": g(f"{b}.output.LayerNorm.bias"),
+            },
+        }
+        if has(f"{b}.crossattention.self.query.weight"):
+            layer["crossattention"] = {
+                "query": _linear_hf(g, f"{b}.crossattention.self.query"),
+                "key": _linear_hf(g, f"{b}.crossattention.self.key"),
+                "value": _linear_hf(g, f"{b}.crossattention.self.value"),
+                "proj": _linear_hf(g, f"{b}.crossattention.output.dense"),
+            }
+            layer["crossattention_norm"] = {
+                "scale": g(f"{b}.crossattention.output.LayerNorm.weight"),
+                "bias": g(f"{b}.crossattention.output.LayerNorm.bias"),
+            }
+        p[f"layer_{i}"] = layer
+
+    if "cls.predictions.transform.dense.weight" in sd:
+        p["mlm_transform"] = _linear_hf(
+            lambda k: sd[k], "cls.predictions.transform.dense"
+        )
+        p["mlm_norm"] = {
+            "scale": sd["cls.predictions.transform.LayerNorm.weight"],
+            "bias": sd["cls.predictions.transform.LayerNorm.bias"],
+        }
+        dec = {"kernel": np.ascontiguousarray(
+            sd["cls.predictions.decoder.weight"].T
+        )}
+        if "cls.predictions.bias" in sd:
+            dec["bias"] = sd["cls.predictions.bias"]
+        elif "cls.predictions.decoder.bias" in sd:
+            dec["bias"] = sd["cls.predictions.decoder.bias"]
+        p["mlm_decoder"] = dec
+    return {"params": p}
+
+
+def _linear_hf(g, key):
+    out = {"kernel": np.ascontiguousarray(g(f"{key}.weight").T)}
+    try:
+        out["bias"] = g(f"{key}.bias")
+    except KeyError:
+        pass
+    return out
+
+
+def export_bert_to_hf(params: Mapping, num_layers: int, prefix: str = "bert."):
+    """Inverse of convert_hf_bert (for HF-format checkpoint export)."""
+    p = params.get("params", params)
+    sd: dict[str, np.ndarray] = {}
+
+    def put_linear(key, node):
+        sd[key + ".weight"] = np.ascontiguousarray(np.asarray(node["kernel"]).T)
+        if "bias" in node:
+            sd[key + ".bias"] = np.asarray(node["bias"])
+
+    sd[prefix + "embeddings.word_embeddings.weight"] = np.asarray(
+        p["word_embeddings"]["embedding"])
+    sd[prefix + "embeddings.position_embeddings.weight"] = np.asarray(
+        p["position_embeddings"]["embedding"])
+    sd[prefix + "embeddings.token_type_embeddings.weight"] = np.asarray(
+        p["token_type_embeddings"]["embedding"])
+    sd[prefix + "embeddings.LayerNorm.weight"] = np.asarray(
+        p["embeddings_norm"]["scale"])
+    sd[prefix + "embeddings.LayerNorm.bias"] = np.asarray(
+        p["embeddings_norm"]["bias"])
+    for i in range(num_layers):
+        lp = p[f"layer_{i}"]
+        b = f"{prefix}encoder.layer.{i}"
+        put_linear(f"{b}.attention.self.query", lp["attention"]["query"])
+        put_linear(f"{b}.attention.self.key", lp["attention"]["key"])
+        put_linear(f"{b}.attention.self.value", lp["attention"]["value"])
+        put_linear(f"{b}.attention.output.dense", lp["attention"]["proj"])
+        sd[f"{b}.attention.output.LayerNorm.weight"] = np.asarray(
+            lp["attention_norm"]["scale"])
+        sd[f"{b}.attention.output.LayerNorm.bias"] = np.asarray(
+            lp["attention_norm"]["bias"])
+        if "crossattention" in lp:
+            put_linear(f"{b}.crossattention.self.query",
+                       lp["crossattention"]["query"])
+            put_linear(f"{b}.crossattention.self.key",
+                       lp["crossattention"]["key"])
+            put_linear(f"{b}.crossattention.self.value",
+                       lp["crossattention"]["value"])
+            put_linear(f"{b}.crossattention.output.dense",
+                       lp["crossattention"]["proj"])
+            sd[f"{b}.crossattention.output.LayerNorm.weight"] = np.asarray(
+                lp["crossattention_norm"]["scale"])
+            sd[f"{b}.crossattention.output.LayerNorm.bias"] = np.asarray(
+                lp["crossattention_norm"]["bias"])
+        put_linear(f"{b}.intermediate.dense", lp["intermediate"])
+        put_linear(f"{b}.output.dense", lp["output"])
+        sd[f"{b}.output.LayerNorm.weight"] = np.asarray(
+            lp["output_norm"]["scale"])
+        sd[f"{b}.output.LayerNorm.bias"] = np.asarray(
+            lp["output_norm"]["bias"])
+    return sd
