@@ -85,3 +85,34 @@ def test_retrieve_text():
     )
     assert top[0] == "a" and top[1] == "b"
     assert probs[0] > probs[1]
+
+
+def test_videoqa_scoring():
+    from internvideo_tpu.eval.videoqa import (
+        evaluate_videoqa,
+        exact_match,
+        mcq_option,
+        substring_match,
+    )
+
+    assert exact_match("The Cat!", ["the cat"])
+    assert substring_match("i think it is a red car.", ["red car"])
+    assert not exact_match("blue", ["red"])
+    assert mcq_option("The answer is (B).") == "B"
+    assert mcq_option("C") == "C"
+    assert mcq_option("no option here") is None
+
+    data = [{
+        "answers": [["red car"], ["dog"]],
+        "prompt": None,
+    }]
+    m = evaluate_videoqa(
+        lambda b: ["a red car driving", "a cat"], data, matcher="substring"
+    )
+    assert m["accuracy"] == 50.0 and m["num"] == 2
+
+    mcq_data = [{"option": ["a", "b"]}]
+    m = evaluate_videoqa(
+        lambda b: ["A", "the answer is B"], mcq_data, matcher="mcq"
+    )
+    assert m["accuracy"] == 100.0
