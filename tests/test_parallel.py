@@ -129,3 +129,52 @@ def test_chunked_ce_matches_dense():
     np.testing.assert_allclose(
         np.asarray(g_chk), np.asarray(g_ref), atol=1e-5, rtol=1e-4
     )
+
+
+def test_ring_attention_matches_local():
+    from internvideo_tpu.parallel.ring import ring_attention
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 64, 4, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+
+    for causal in (False, True):
+        ref = xla_attention(q, k, v, causal=causal)
+        sharding = NamedSharding(mesh, P(("replica", "fsdp"), "seq", None, None))
+        out = jax.jit(
+            lambda q, k, v, c=causal: ring_attention(
+                q, k, v, mesh=mesh, axis="seq", causal=c
+            )
+        )(
+            jax.device_put(q, sharding),
+            jax.device_put(k, sharding),
+            jax.device_put(v, sharding),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"causal={causal}",
+        )
+
+
+def test_ring_attention_grads():
+    from internvideo_tpu.parallel.ring import ring_attention
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 32, 2, 8
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+
+    g_ref = jax.grad(
+        lambda q: jnp.sum(jnp.square(xla_attention(q, q, q, causal=True)))
+    )(q)
+    g_ring = jax.jit(jax.grad(
+        lambda q: jnp.sum(jnp.square(ring_attention(
+            q, q, q, mesh=mesh, axis="seq", causal=True
+        )))
+    ))(jax.device_put(
+        q, NamedSharding(mesh, P(("replica", "fsdp"), "seq", None, None))
+    ))
+    np.testing.assert_allclose(
+        np.asarray(g_ring), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+    )
