@@ -78,12 +78,118 @@ def main(argv: Optional[list[str]] = None):
             batch, run.model.num_classes
         )
         trainer.fit(data)
+    elif run.task == "clip":
+        trainer, batch = build_clip(run)
+        data = run.data.get("stream") or _synthetic_clip_stream(batch)
+        trainer.fit(data)
+    elif run.task == "sft":
+        trainer, batch = build_sft(run)
+        data = run.data.get("stream") or _synthetic_sft_stream(batch)
+        trainer.fit(data)
     else:
         raise SystemExit(
-            f"task {run.task!r}: use the corresponding engine module "
-            "(train/engines/) with Trainer directly; CLI wiring lands with "
-            "the dataset registry"
+            f"task {run.task!r}: wire the corresponding engine module "
+            "(train/engines/) with Trainer directly"
         )
+
+
+def build_clip(run: RunConfig):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from internvideo_tpu.models.videoclip import VideoCLIP
+    from internvideo_tpu.train.engines.clip import make_clip_train_step
+
+    model = VideoCLIP(run.model)
+    v = run.model.vision
+    b, l = run.data["batch_size"], run.data.get("text_len", 32)
+    batch = {
+        "video": jnp.zeros((b, v.num_frames, v.img_size, v.img_size, 3)),
+        "input_ids": jnp.zeros((b, l), jnp.int32),
+        "attention_mask": jnp.ones((b, l), jnp.int32),
+        "idx": jnp.arange(b, dtype=jnp.int32),
+    }
+    trainer = Trainer(
+        run.trainer, model,
+        lambda m, mesh: make_clip_train_step(m, run.engine),
+        example_batch=batch,
+        example_inputs=(batch["video"], batch["input_ids"],
+                        batch["attention_mask"]),
+        init_kwargs={"init_all_branches": True},
+    )
+    return trainer, batch
+
+
+def _synthetic_clip_stream(batch, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = 1000
+    while True:
+        yield {
+            "video": rng.normal(size=batch["video"].shape).astype(np.float32),
+            "input_ids": rng.integers(
+                1, vocab, size=batch["input_ids"].shape
+            ).astype(np.int32),
+            "attention_mask": np.ones_like(np.asarray(batch["attention_mask"])),
+            "idx": np.arange(batch["idx"].shape[0], dtype=np.int32),
+        }
+
+
+def build_sft(run: RunConfig):
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.mllm import VideoMLLM
+    from internvideo_tpu.train.engines.sft import make_sft_step
+    from jax.sharding import PartitionSpec
+
+    model = VideoMLLM(run.model)
+    v = run.model.vision
+    b, l = run.data["batch_size"], run.data["seq_len"]
+    t = run.data.get("num_frames", 2)
+    img = run.data.get("img_size", 2 * v.patch_size * v.spatial_merge_size)
+    batch = {
+        "input_ids": jnp.zeros((b, l), jnp.int32),
+        "segment_ids": jnp.zeros((b, l), jnp.int32),
+        "position_ids": jnp.zeros((b, l), jnp.int32),
+        "labels": jnp.zeros((b, l), jnp.int32),
+        "video": jnp.zeros((b, t, img, img, 3)),
+    }
+    dp = ("replica", "fsdp")
+    specs = {
+        "input_ids": PartitionSpec(dp, "seq"),
+        "segment_ids": PartitionSpec(dp, "seq"),
+        "position_ids": PartitionSpec(dp, "seq"),
+        "labels": PartitionSpec(dp, "seq"),
+        "video": PartitionSpec(dp),
+    }
+    trainer = Trainer(
+        run.trainer, model,
+        lambda m, mesh: make_sft_step(m, run.engine, mesh=mesh),
+        example_batch=batch,
+        example_inputs=(batch["input_ids"], batch["video"]),
+        batch_specs=specs,
+    )
+    return trainer, batch
+
+
+def _synthetic_sft_stream(batch, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    while True:
+        out = {
+            k: np.asarray(v).copy() if k != "video"
+            else rng.normal(size=v.shape).astype(np.float32)
+            for k, v in batch.items()
+        }
+        ids = rng.integers(1, 100, size=batch["input_ids"].shape)
+        out["input_ids"] = ids.astype(np.int32)
+        out["labels"] = np.roll(ids, -1, axis=1).astype(np.int32)
+        out["position_ids"] = np.broadcast_to(
+            np.arange(ids.shape[1], dtype=np.int32), ids.shape
+        ).copy()
+        yield out
 
 
 if __name__ == "__main__":

@@ -237,7 +237,7 @@ class BertModel(nn.Module):
             t = nn.Dense(
                 cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
                 kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.truncated_normal(0.02), ("embed", "embed")
+                    nn.initializers.truncated_normal(0.02), ("embed", "mlp")
                 ),
                 name="mlm_transform",
             )(x)

@@ -70,7 +70,8 @@ class Trainer:
         if example_inputs is None:
             example_inputs = tuple(example_batch.values())
         abstract = jax.eval_shape(
-            model.init, self.rng, *example_inputs, **(init_kwargs or {})
+            lambda r: model.init(r, *example_inputs, **(init_kwargs or {})),
+            self.rng,
         )
         tx, self.lr_schedule = build_optimizer(
             config.optimizer, nn.unbox(abstract["params"])
