@@ -1,0 +1,55 @@
+"""Fused rmsnorm kernel, grad-accum scan path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from internvideo_tpu.ops.rmsnorm import fused_add_rms_norm, rms_norm
+from internvideo_tpu.train.state import TrainState
+from internvideo_tpu.train.step import make_train_step
+
+
+def test_fused_add_rms_norm_matches_xla():
+    x = jax.random.normal(jax.random.key(0), (4, 16, 64))
+    res = jax.random.normal(jax.random.key(1), (4, 16, 64))
+    w = jax.random.normal(jax.random.key(2), (64,)) * 0.1 + 1.0
+    y, newres = fused_add_rms_norm(x, res, w, interpret=True, block_rows=32)
+    ref = rms_norm(x, w, residual=res)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(newres), np.asarray(x + res), atol=1e-6)
+
+
+def test_grad_accum_matches_full_batch():
+    """scan-accumulated micro-batch grads == one big batch (linear model)."""
+
+    def loss_fn(params, apply_fn, batch, rngs):
+        pred = batch["x"] @ params["w"]
+        return jnp.mean(jnp.square(pred - batch["y"])), {}
+
+    w = jnp.ones((4, 2))
+    x = jax.random.normal(jax.random.key(0), (8, 4))
+    y = jax.random.normal(jax.random.key(1), (8, 2))
+    tx = optax.sgd(0.1)
+
+    def make_state():
+        params = {"w": w}
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), tx=tx, apply_fn=None,
+        )
+
+    full_step = make_train_step(loss_fn)
+    s1, m1 = full_step(make_state(), {"x": x, "y": y}, jax.random.key(2))
+
+    accum_step = make_train_step(loss_fn, grad_accum=4)
+    micro = {
+        "x": x.reshape(4, 2, 4),
+        "y": y.reshape(4, 2, 2),
+    }
+    s2, m2 = accum_step(make_state(), micro, jax.random.key(2))
+    np.testing.assert_allclose(
+        np.asarray(s2.params["w"]), np.asarray(s1.params["w"]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
