@@ -5,9 +5,11 @@ TPU-native replacement for the reference's flash-attn CUDA dependency
 InternVideo3_sft/xtuner/v1/ops/flash_attn/gpu.py). Features:
 
   * online-softmax blockwise attention, fp32 accumulation, bf16-friendly
-  * `causal` masking with whole-block skipping below the diagonal
+  * `causal` masking with whole-block skipping below the diagonal, and
+    sliding-window masking (xtuner mha.py window_size) with out-of-window
+    block skipping
   * packed-varlen support via integer *segment ids* (the TPU-idiomatic
-    替代 for the reference's cu_seqlens varlen API) — tokens attend only
+    stand-in for the reference's cu_seqlens varlen API) — tokens attend only
     within their own segment; id < 0 marks padding
   * GQA by repeating KV heads (wrapper-level; shared-KV index maps later)
   * custom VJP with two backward kernels (dq; dk/dv), re-computing
@@ -39,13 +41,20 @@ def _mask_block(
     k_seg,  # (1, bk) int32 or None
     q_offset,
     k_offset,
+    window=None,  # static int: attend only keys with |qi-ki| < window
 ):
     bq, bk = s.shape
     mask = None
-    if causal:
+    if causal or window is not None:
         qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         ki = k_offset + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    if causal:
         mask = qi >= ki
+    if window is not None:
+        wm = qi - ki < window
+        if not causal:
+            wm = jnp.logical_and(wm, ki - qi < window)
+        mask = wm if mask is None else jnp.logical_and(mask, wm)
     if q_seg is not None:
         seg = q_seg == k_seg
         mask = seg if mask is None else jnp.logical_and(mask, seg)
@@ -62,7 +71,7 @@ def _mask_block(
 def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0,
+    kv_pad: int = 0, window=None,
 ):
     if has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
@@ -82,6 +91,13 @@ def _fwd_kernel(
     block_visible = True
     if causal:
         block_visible = (iq + 1) * block_q > ik * block_k
+    if window is not None:
+        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        if not causal:
+            in_window = jnp.logical_and(
+                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+            )
+        block_visible = jnp.logical_and(block_visible, in_window)
 
     @pl.when(block_visible)
     def _compute():
@@ -97,7 +113,7 @@ def _fwd_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
         )
 
         m_prev = m_ref[:, 0]  # (bq,)
@@ -133,7 +149,7 @@ def _fwd_kernel(
 
 def _fwd(
     q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
-    kv_pad=0,
+    kv_pad=0, window=None,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -158,7 +174,7 @@ def _fwd(
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, has_segs=has_segs,
-        kv_pad=kv_pad,
+        kv_pad=kv_pad, window=window,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -191,7 +207,7 @@ def _fwd(
 def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0,
+    kv_pad: int = 0, window=None,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -209,6 +225,13 @@ def _bwd_dq_kernel(
     block_visible = True
     if causal:
         block_visible = (iq + 1) * block_q > ik * block_k
+    if window is not None:
+        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        if not causal:
+            in_window = jnp.logical_and(
+                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+            )
+        block_visible = jnp.logical_and(block_visible, in_window)
 
     @pl.when(block_visible)
     def _compute():
@@ -228,7 +251,7 @@ def _bwd_dq_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
         )
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -247,7 +270,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0,
+    kv_pad: int = 0, window=None,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -267,6 +290,13 @@ def _bwd_dkv_kernel(
     block_visible = True
     if causal:
         block_visible = (iq + 1) * block_q > ik * block_k
+    if window is not None:
+        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        if not causal:
+            in_window = jnp.logical_and(
+                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+            )
+        block_visible = jnp.logical_and(block_visible, in_window)
 
     @pl.when(block_visible)
     def _compute():
@@ -286,7 +316,7 @@ def _bwd_dkv_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k,
+            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
         )
         p = jnp.exp(s - lse)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
@@ -308,7 +338,7 @@ def _bwd_dkv_kernel(
 
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
-    *, scale, causal, block_q, block_k, interpret,
+    *, scale, causal, block_q, block_k, interpret, window=None,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -338,6 +368,7 @@ def _bwd(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
+            window=window,
         ),
         grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
         in_specs=common_specs + seg_specs,
@@ -366,6 +397,7 @@ def _bwd(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
+            window=window,
         ),
         grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
         in_specs=dkv_specs + dkv_seg_specs,
@@ -392,31 +424,32 @@ def _bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _flash_attention(
     q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
-    kv_pad, _nh,
+    kv_pad, window, _nh,
 ):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_pad=kv_pad,
+        kv_pad=kv_pad, window=window,
     )
     return out
 
 
 def _flash_fwd_rule(
-    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, _nh
+    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, window, _nh
 ):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=bq, block_k=bk, interpret=interp, kv_pad=kv_pad,
+        window=window,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg)
 
 
-def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, _nh, res, g):
+def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, window, _nh, res, g):
     # The backward needs no pad handling: pad K/V rows are zero, so dq gets
     # no contribution from them, and dk/dv pad rows are sliced by the
     # wrapper; q pad rows carry zero cotangent.
@@ -424,6 +457,7 @@ def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, _nh, res, g):
     dq, dk, dv = _bwd(
         q, k, v, out, lse, g, q_seg, kv_seg,
         scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
+        window=window,
     )
     return dq, dk, dv, None, None
 
@@ -442,6 +476,7 @@ def flash_attention(
     softmax_scale: Optional[float] = None,
     block_q: int = 1024,
     block_k: int = 1024,
+    window: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) inputs. See module docstring."""
@@ -469,7 +504,14 @@ def flash_attention(
     # even skips the correction — real rows never see the tail.
     kv_pad = 0
     if needs_pad and q_segment_ids is None:
-        if not (causal and sq == sk and sq_p == sk_p):
+        if causal and sq == sk and sq_p == sk_p:
+            pass  # causal excludes tail pads for all real rows
+        elif window is not None:
+            # the analytic pad correction assumes every row sees every pad;
+            # a window makes pad visibility row-dependent → explicit ids
+            q_segment_ids = jnp.zeros((b, sq), jnp.int32)
+            kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+        else:
             kv_pad = sk_p - sk
     if q_segment_ids is not None:
         q_segment_ids = jnp.pad(
@@ -498,7 +540,8 @@ def flash_attention(
     vt = jnp.transpose(v, (0, 2, 1, 3))
     out = _flash_attention(
         qt, kt, vt, q_segment_ids, kv_segment_ids,
-        scale, causal, block_q_eff, block_k_eff, interpret, kv_pad, hq,
+        scale, causal, block_q_eff, block_k_eff, interpret, kv_pad,
+        window, hq,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if needs_pad:

@@ -96,3 +96,54 @@ def test_grads_segment_ids():
     g_out = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(g_out, g_ref, "qkv"):
         np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_sliding_window(causal):
+    """Windowed attention matches an explicitly-masked XLA reference."""
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = _rand_qkv(jax.random.key(7), b, s, s, h, d)
+    window = 50
+    out = _flash(q, k, v, causal=causal, window=window)
+
+    # reference: mask outside the window by hand
+    qi = np.arange(s)[:, None]
+    ki = np.arange(s)[None, :]
+    allowed = (qi - ki < window) if causal else (np.abs(qi - ki) < window)
+    if causal:
+        allowed &= qi >= ki
+    seg_q = jnp.zeros((b, s), jnp.int32)
+    ref_logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+    ref_logits = jnp.where(allowed[None, None], ref_logits, -1e30)
+    probs = jax.nn.softmax(ref_logits, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sliding_window_unaligned_grads():
+    """Window + padding path (falls back to segment ids) with gradients."""
+    b, s, h, d = 1, 200, 2, 64
+    q, k, v = _rand_qkv(jax.random.key(8), b, s, s, h, d)
+    window = 64
+
+    qi = np.arange(s)[:, None]
+    ki = np.arange(s)[None, :]
+    allowed = np.abs(qi - ki) < window
+
+    def ref_fn(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+        logits = jnp.where(allowed[None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    out = _flash(q, k, v, window=window)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_fn(q, k, v)), atol=2e-5, rtol=2e-5
+    )
+    g_ref = jax.grad(lambda q: jnp.sum(jnp.square(ref_fn(q, k, v))))(q)
+    g_out = jax.grad(
+        lambda q: jnp.sum(jnp.square(_flash(q, k, v, window=window)))
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               atol=5e-4, rtol=5e-4)
