@@ -48,6 +48,9 @@ class MLAConfig:
     v_head_dim: int = 128
     qkv_bias: bool = True
     o_bias: bool = False
+    # sliding-window size for "sliding_attention" layer types
+    # (xtuner mla.py:278 window_size); None = full attention
+    window: Optional[int] = None
 
     @property
     def q_head_dim(self) -> int:
@@ -174,6 +177,7 @@ class MLAttention(nn.Module):
             kv_segment_ids=kv_segment_ids,
             softmax_scale=cfg.q_head_dim ** -0.5,
             impl=self.attn_impl,
+            window=cfg.window,
         )
         out = out[..., : cfg.v_head_dim].reshape(
             b, s, cfg.num_heads * cfg.v_head_dim

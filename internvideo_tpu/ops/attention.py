@@ -48,6 +48,7 @@ def dot_product_attention(
     impl: str = "auto",  # auto | pallas | xla
     block_q: int = 1024,
     block_k: int = 1024,
+    window: Optional[int] = None,  # sliding-window size (pallas path)
 ) -> jax.Array:
     ulysses = getattr(_TLS, "ulysses", None)
     if ulysses is not None:
@@ -77,8 +78,19 @@ def dot_product_attention(
             softmax_scale=softmax_scale,
             block_q=block_q,
             block_k=block_k,
+            window=window,
         )
     if impl == "xla":
+        if window is not None:
+            # emulate the window with position-derived segment... simpler:
+            # build an explicit mask via logits bias is not supported by
+            # xla_attention; windowed XLA path uses the pallas interpreter
+            return flash_attention(
+                q, k, v, causal=causal,
+                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+                softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+                window=window, interpret=True,
+            )
         return xla_attention(
             q, k, v,
             causal=causal,
