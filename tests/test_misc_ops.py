@@ -53,3 +53,27 @@ def test_grad_accum_matches_full_batch():
         atol=1e-6,
     )
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+
+
+def test_lora_dense():
+    from flax import linen as nn
+    from internvideo_tpu.nn.lora import LoRADense
+    from internvideo_tpu.train.optim import OptimizerConfig, build_optimizer
+
+    model = LoRADense(8, rank=2, alpha=4.0)
+    x = jax.random.normal(jax.random.key(0), (4, 16))
+    params = nn.unbox(model.init(jax.random.key(1), x))
+    # lora_b zero-init: output equals the base dense at init
+    y = model.apply(params, x)
+    base = x @ params["params"]["kernel"] + params["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(base), atol=1e-6)
+
+    # freezing everything but lora_* leaves the base kernel untouched
+    cfg = OptimizerConfig(lr=1e-2, total_steps=5,
+                          trainable_patterns=(r"lora_",))
+    tx, _ = build_optimizer(cfg, params["params"])
+    st = tx.init(params["params"])
+    g = jax.tree.map(jnp.ones_like, params["params"])
+    up, _ = tx.update(g, st, params["params"])
+    assert float(jnp.sum(jnp.abs(up["kernel"]))) == 0
+    assert float(jnp.sum(jnp.abs(up["lora_a"]))) > 0
