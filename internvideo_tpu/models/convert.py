@@ -272,3 +272,40 @@ def export_bert_to_hf(params: Mapping, num_layers: int, prefix: str = "bert."):
         sd[f"{b}.output.LayerNorm.bias"] = np.asarray(
             lp["output_norm"]["bias"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# PretrainInternVideo2 (UMT student) — encoder + align decoders
+# ---------------------------------------------------------------------------
+
+
+def convert_internvideo2_pretrain(
+    sd: Mapping[str, np.ndarray],
+    *,
+    depth: int,
+    clip_return_layers: int,
+    mae_return_layers: int,
+) -> dict:
+    """Reference internvideo2_pretrain.py state_dict -> flax params."""
+    enc = convert_internvideo2_encoder(sd, depth=depth)["params"]
+    p: dict = {"encoder": enc}
+    p["clip_pos_embed"] = sd["clip_pos_embed"][0]
+    for j in range(clip_return_layers):
+        p[f"clip_decoder_{j}"] = {
+            "head": _linear(sd, f"clip_decoder.{j}.head"),
+            "norm": _layernorm(sd, f"clip_decoder.{j}.norm"),
+        }
+    if "final_clip_decoder.head.weight" in sd:
+        p["final_clip_decoder"] = {
+            "head": _linear(sd, "final_clip_decoder.head"),
+            "norm": _layernorm(sd, "final_clip_decoder.norm"),
+        }
+    if mae_return_layers:
+        p["mae_pos_embed"] = sd["mae_pos_embed"][0]
+        for j in range(mae_return_layers):
+            p[f"mae_decoder_{j}"] = {
+                "head_0": _linear(sd, f"mae_decoder.{j}.head.0"),
+                "head_2": _linear(sd, f"mae_decoder.{j}.head.2"),
+                "norm": _layernorm(sd, f"mae_decoder.{j}.norm"),
+            }
+    return {"params": p}

@@ -88,3 +88,77 @@ def test_pos_embed_parity(ref_module):
         ref_pe.get_1d_sincos_pos_embed(32, 7),
         atol=1e-6,
     )
+
+
+def test_pretrain_student_parity(ref_module):
+    """Full UMT pretrain student vs the reference implementation."""
+    ref_pre = load_reference_module(
+        "InternVideo2/single_modality/models/internvideo2_pretrain.py",
+        extra_siblings=("pos_embed.py", "flash_attention_class.py"),
+    )
+    from internvideo_tpu.models.convert import convert_internvideo2_pretrain
+    from internvideo_tpu.models.internvideo2 import InternVideo2Config
+    from internvideo_tpu.models.pretrain import (
+        PretrainConfig,
+        PretrainInternVideo2,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_pre.PretrainInternVideo2(
+        patch_size=14, img_size=56, num_frames=4, tubelet_size=1,
+        embed_dim=64, depth=3, num_heads=2, mlp_ratio=4.0,
+        attn_pool_num_heads=16, clip_embed_dim=32,
+        qkv_bias=False, qk_normalization=True, init_values=1e-5,
+        drop_path_rate=0.0,
+        use_flash_attn=False, use_fused_rmsnorm=False, use_fused_mlp=False,
+        clip_teacher_embed_dim=48, clip_teacher_final_dim=40,
+        clip_return_layer=2, clip_student_return_interval=1,
+        mae_teacher_embed_dim=24, mae_return_layer=1,
+    ).eval()
+
+    cfg = PretrainConfig(
+        encoder=InternVideo2Config(
+            embed_dim=64, depth=3, num_heads=2, mlp_ratio=4.0,
+            patch_size=14, img_size=56, num_frames=4, tubelet_size=1,
+            attn_pool_num_heads=16, clip_embed_dim=32, num_classes=0,
+            qkv_bias=False, qk_normalization=True, init_values=1e-5,
+            attn_impl="xla",
+        ),
+        clip_output_dim=48, clip_final_output_dim=40, clip_return_layers=2,
+        mae_output_dim=24, mae_return_layers=1,
+    )
+    model = PretrainInternVideo2(cfg)
+    params = convert_internvideo2_pretrain(
+        torch_state_dict_to_numpy(ref.state_dict()),
+        depth=3, clip_return_layers=2, mae_return_layers=1,
+    )
+
+    rng = np.random.RandomState(1)
+    video = rng.randn(2, 4, 56, 56, 3).astype(np.float32)
+    n = cfg.encoder.num_patches  # 64
+    n_vis = 16
+    keep = np.stack([
+        np.sort(rng.choice(n, n_vis, replace=False)) for _ in range(2)
+    ]).astype(np.int32)
+
+    # reference mask: (B, 1+N) bool, True = masked; cls never masked
+    mask = np.ones((2, 1 + n), bool)
+    mask[:, 0] = False
+    for b in range(2):
+        mask[b, 1 + keep[b]] = False
+
+    with torch.no_grad():
+        r_mid, r_final, r_mae = ref(
+            torch.from_numpy(video).permute(0, 4, 1, 2, 3),
+            torch.from_numpy(mask),
+        )
+    out = model.apply(params, video, keep)
+    np.testing.assert_allclose(
+        np.asarray(out.clip_middle), r_mid.numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.clip_final), r_final.numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mae), r_mae.numpy(), atol=1e-4, rtol=1e-3
+    )
