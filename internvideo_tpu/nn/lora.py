@@ -67,23 +67,37 @@ class LoRADense(nn.Module):
         return y.astype(self.dtype)
 
 
-def merge_lora(params: dict) -> dict:
-    """Fold lora_a/lora_b (x alpha/rank) into kernels for serving export."""
+def merge_lora(
+    params: dict,
+    *,
+    alpha: float | None = None,
+    rank: int | None = None,
+    scale: float | None = None,
+) -> dict:
+    """Fold lora_a/lora_b (x alpha/rank) into kernels for serving export.
+
+    The scale is module config, not a stored parameter, so the caller must
+    supply it — either `scale` directly or `alpha` + `rank` (scale =
+    alpha/rank). Raises if neither is given (a silently-wrong default would
+    corrupt merged serving kernels for any non-default config).
+    """
+    if scale is None:
+        if alpha is None or rank is None:
+            raise ValueError(
+                "merge_lora needs the adapter scale: pass scale= or both "
+                "alpha= and rank= (scale = alpha / rank)."
+            )
+        scale = float(alpha) / float(rank)
 
     def rec(node):
         if not isinstance(node, dict):
             return node
         if "lora_a" in node and "lora_b" in node and "kernel" in node:
             out = dict(node)
-            # alpha/rank is module config; exporters pass pre-scaled B or
-            # re-scale here with the conventional alpha=2*rank default if
-            # unknown. We store the scale next to the adapter when needed.
-            scale = node.get("lora_scale", 2.0)
             out["kernel"] = node["kernel"] + scale * (
                 node["lora_a"] @ node["lora_b"]
             )
             out.pop("lora_a"), out.pop("lora_b")
-            out.pop("lora_scale", None)
             return out
         return {k: rec(v) for k, v in node.items()}
 

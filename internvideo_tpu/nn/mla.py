@@ -184,16 +184,71 @@ class MLAttention(nn.Module):
         )
         return self.o_proj(out)
 
-    def prefill(self, x, cos, sin, cache, cache_len, *, causal=True):
-        """Forward + write latent cache. cache: (B, max_len, R+P)."""
+    def prefill(self, x, cos, sin, cache, cache_len: int, *, causal=True):
+        """Forward + write latent cache. cache: (B, max_len, R+P).
+
+        Supports chunked prefill: `cache_len` must be a static Python int
+        (chunk schedules are host-driven), and when > 0 the chunk attends
+        over all previously cached latents plus itself, with the causal mask
+        offset by cache_len. cos/sin are the rope tables for THIS chunk's
+        absolute positions.
+        """
+        cfg = self.cfg
+        if not isinstance(cache_len, int):
+            raise TypeError(
+                "prefill cache_len must be a static int (got a traced "
+                "value); chunk boundaries are host-driven"
+            )
+        b, s, _ = x.shape
         ckv, k_pe_raw = self._compress_kv(x)
-        k_pe = apply_rope(k_pe_raw[:, :, None, :], cos, sin)[:, :, 0, :]
-        new_entries = jnp.concatenate([ckv, k_pe], axis=-1)
+        k_pe_new = apply_rope(k_pe_raw[:, :, None, :], cos, sin)[:, :, 0, :]
+        new_entries = jnp.concatenate([ckv, k_pe_new], axis=-1)
         cache = jax.lax.dynamic_update_slice(
             cache, new_entries.astype(cache.dtype), (0, cache_len, 0)
         )
-        out = self.__call__(x, cos, sin, causal=causal)
-        return out, cache
+        if cache_len == 0:
+            return self.__call__(x, cos, sin, causal=causal), cache
+
+        # Second+ chunk: decompress the gathered cache (old + new latents)
+        # and attend with the query rows offset by cache_len.
+        q_nope, q_pe = self._project_q(x)
+        q_pe = apply_rope(q_pe, cos, sin)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+
+        total = cache_len + s
+        c_all = cache[:, :total, : cfg.kv_lora_rank].astype(self.dtype)
+        p_all = cache[:, :total, cfg.kv_lora_rank:].astype(self.dtype)
+        kv_b = self.kv_b_kernel.astype(self.dtype)  # (R, H, nope+v)
+        kv = jnp.einsum("bsr,rhd->bshd", c_all, kv_b)
+        k_nope = kv[..., : cfg.qk_nope_head_dim]
+        v = kv[..., cfg.qk_nope_head_dim:]
+        k = jnp.concatenate(
+            [
+                k_nope,
+                jnp.broadcast_to(
+                    p_all[:, :, None, :],
+                    k_nope.shape[:-1] + (cfg.qk_rope_head_dim,),
+                ),
+            ],
+            axis=-1,
+        )
+        if cfg.q_head_dim != cfg.v_head_dim:
+            v = jnp.pad(
+                v,
+                ((0, 0), (0, 0), (0, 0), (0, cfg.q_head_dim - cfg.v_head_dim)),
+            )
+        out = dot_product_attention(
+            q, k, v,
+            causal=causal,
+            softmax_scale=cfg.q_head_dim ** -0.5,
+            impl=self.attn_impl,
+            window=cfg.window,
+            q_position_offset=cache_len,
+        )
+        out = out[..., : cfg.v_head_dim].reshape(
+            b, s, cfg.num_heads * cfg.v_head_dim
+        )
+        return self.o_proj(out), cache
 
     def decode(
         self,

@@ -49,9 +49,14 @@ def dot_product_attention(
     block_q: int = 1024,
     block_k: int = 1024,
     window: Optional[int] = None,  # sliding-window size (pallas path)
+    q_position_offset: int = 0,  # causal: query row i sits at key i+offset
 ) -> jax.Array:
     ulysses = getattr(_TLS, "ulysses", None)
     if ulysses is not None:
+        assert q_position_offset == 0, (
+            "q_position_offset is incompatible with Ulysses sequence "
+            "sharding (offsets would differ per shard)"
+        )
         from internvideo_tpu.parallel.ulysses import ulysses_attention
 
         mesh, axis = ulysses
@@ -79,6 +84,7 @@ def dot_product_attention(
             block_q=block_q,
             block_k=block_k,
             window=window,
+            q_position_offset=q_position_offset,
         )
     if impl == "xla":
         if window is not None:
@@ -89,7 +95,8 @@ def dot_product_attention(
                 q, k, v, causal=causal,
                 q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
                 softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
-                window=window, interpret=True,
+                window=window, q_position_offset=q_position_offset,
+                interpret=True,
             )
         return xla_attention(
             q, k, v,
@@ -97,5 +104,6 @@ def dot_product_attention(
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             softmax_scale=softmax_scale,
+            q_position_offset=q_position_offset,
         )
     raise ValueError(f"unknown attention impl {impl!r}")

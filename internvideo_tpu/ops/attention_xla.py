@@ -29,6 +29,7 @@ def xla_attention(
     q_segment_ids: Optional[jax.Array] = None,  # (B, Sq) int32; 0 = padding
     kv_segment_ids: Optional[jax.Array] = None,  # (B, Sk)
     softmax_scale: Optional[float] = None,
+    q_position_offset: int = 0,  # causal: query row i sits at key index i+off
 ) -> jax.Array:
     orig_dtype = q.dtype
     b, sq, hq, d = q.shape
@@ -45,7 +46,9 @@ def xla_attention(
 
     mask = None
     if causal:
-        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        qi = q_position_offset + jax.lax.broadcasted_iota(
+            jnp.int32, (sq, sk), 0
+        )
         ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         mask = (qi >= ki)[None, None]
     if q_segment_ids is not None or kv_segment_ids is not None:

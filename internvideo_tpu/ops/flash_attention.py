@@ -71,7 +71,7 @@ def _mask_block(
 def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None,
+    kv_pad: int = 0, window=None, q_pos: int = 0,
 ):
     if has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
@@ -90,12 +90,13 @@ def _fwd_kernel(
     # With causal masking, blocks strictly above the diagonal contribute 0.
     block_visible = True
     if causal:
-        block_visible = (iq + 1) * block_q > ik * block_k
+        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
     if window is not None:
-        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
         if not causal:
             in_window = jnp.logical_and(
-                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+                in_window,
+                ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
             )
         block_visible = jnp.logical_and(block_visible, in_window)
 
@@ -113,15 +114,17 @@ def _fwd_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
+            q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+            window=window,
         )
 
         m_prev = m_ref[:, 0]  # (bq,)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         p = jnp.exp(s - m_cur[:, None])
-        if has_segs:
-            # Rows that have seen only masked keys: keep everything at 0
-            # (with a plain kv-length bound every row has >=1 real key).
+        if has_segs or causal or window is not None:
+            # Rows where every key so far is masked: keep everything at 0
+            # (with a plain kv-length bound every row has >=1 real key, but
+            # segment/causal/window masking can fully mask a row's block).
             p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
         alpha = jnp.exp(m_prev - m_cur)
         alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
@@ -149,7 +152,7 @@ def _fwd_kernel(
 
 def _fwd(
     q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
-    kv_pad=0, window=None,
+    kv_pad=0, window=None, q_pos=0,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -174,7 +177,7 @@ def _fwd(
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, has_segs=has_segs,
-        kv_pad=kv_pad, window=window,
+        kv_pad=kv_pad, window=window, q_pos=q_pos,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -207,7 +210,7 @@ def _fwd(
 def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None,
+    kv_pad: int = 0, window=None, q_pos: int = 0,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -224,12 +227,13 @@ def _bwd_dq_kernel(
 
     block_visible = True
     if causal:
-        block_visible = (iq + 1) * block_q > ik * block_k
+        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
     if window is not None:
-        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
         if not causal:
             in_window = jnp.logical_and(
-                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+                in_window,
+                ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
             )
         block_visible = jnp.logical_and(block_visible, in_window)
 
@@ -251,7 +255,8 @@ def _bwd_dq_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
+            q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+            window=window,
         )
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
@@ -270,7 +275,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None,
+    kv_pad: int = 0, window=None, q_pos: int = 0,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -289,12 +294,13 @@ def _bwd_dkv_kernel(
 
     block_visible = True
     if causal:
-        block_visible = (iq + 1) * block_q > ik * block_k
+        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
     if window is not None:
-        in_window = (ik + 1) * block_k > iq * block_q - window + 1
+        in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
         if not causal:
             in_window = jnp.logical_and(
-                in_window, ik * block_k < (iq + 1) * block_q + window - 1
+                in_window,
+                ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
             )
         block_visible = jnp.logical_and(block_visible, in_window)
 
@@ -316,7 +322,8 @@ def _bwd_dkv_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=iq * block_q, k_offset=ik * block_k, window=window,
+            q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+            window=window,
         )
         p = jnp.exp(s - lse)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
@@ -338,7 +345,7 @@ def _bwd_dkv_kernel(
 
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
-    *, scale, causal, block_q, block_k, interpret, window=None,
+    *, scale, causal, block_q, block_k, interpret, window=None, q_pos=0,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -368,7 +375,7 @@ def _bwd(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window,
+            window=window, q_pos=q_pos,
         ),
         grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
         in_specs=common_specs + seg_specs,
@@ -397,7 +404,7 @@ def _bwd(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window,
+            window=window, q_pos=q_pos,
         ),
         grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
         in_specs=dkv_specs + dkv_seg_specs,
@@ -424,32 +431,35 @@ def _bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(
     q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
-    kv_pad, window, _nh,
+    kv_pad, window, _nh, q_pos,
 ):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_pad=kv_pad, window=window,
+        kv_pad=kv_pad, window=window, q_pos=q_pos,
     )
     return out
 
 
 def _flash_fwd_rule(
-    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, window, _nh
+    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, window,
+    _nh, q_pos,
 ):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=bq, block_k=bk, interpret=interp, kv_pad=kv_pad,
-        window=window,
+        window=window, q_pos=q_pos,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg)
 
 
-def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, window, _nh, res, g):
+def _flash_bwd_rule(
+    scale, causal, bq, bk, interp, kv_pad, window, _nh, q_pos, res, g
+):
     # The backward needs no pad handling: pad K/V rows are zero, so dq gets
     # no contribution from them, and dk/dv pad rows are sliced by the
     # wrapper; q pad rows carry zero cotangent.
@@ -457,7 +467,7 @@ def _flash_bwd_rule(scale, causal, bq, bk, interp, kv_pad, window, _nh, res, g):
     dq, dk, dv = _bwd(
         q, k, v, out, lse, g, q_seg, kv_seg,
         scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
-        window=window,
+        window=window, q_pos=q_pos,
     )
     return dq, dk, dv, None, None
 
@@ -477,9 +487,15 @@ def flash_attention(
     block_q: int = 1024,
     block_k: int = 1024,
     window: Optional[int] = None,
+    q_position_offset: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention over (B, S, H, D) inputs. See module docstring."""
+    """Flash attention over (B, S, H, D) inputs. See module docstring.
+
+    `q_position_offset` (static) places query row i at key index i+offset in
+    the causal/window masks — used for chunked prefill where the query block
+    sits `offset` tokens into the key sequence.
+    """
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
     if hq != hkv:  # GQA: broadcast KV heads. TODO: shared-KV index maps.
@@ -504,11 +520,14 @@ def flash_attention(
     # even skips the correction — real rows never see the tail.
     kv_pad = 0
     if needs_pad and q_segment_ids is None:
-        if causal and sq == sk and sq_p == sk_p:
-            pass  # causal excludes tail pads for all real rows
-        elif window is not None:
+        if causal and q_position_offset + sq == sk:
+            # the last real query row sits at key index sk-1, so the causal
+            # mask excludes every kv tail pad (index >= sk) for all real rows
+            pass
+        elif causal or window is not None:
             # the analytic pad correction assumes every row sees every pad;
-            # a window makes pad visibility row-dependent → explicit ids
+            # causal cross-length and windowed masks make pad visibility
+            # row-dependent → explicit ids
             q_segment_ids = jnp.zeros((b, sq), jnp.int32)
             kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
         else:
@@ -541,7 +560,7 @@ def flash_attention(
     out = _flash_attention(
         qt, kt, vt, q_segment_ids, kv_segment_ids,
         scale, causal, block_q_eff, block_k_eff, interpret, kv_pad,
-        window, hq,
+        window, hq, q_position_offset,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if needs_pad:

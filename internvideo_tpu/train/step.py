@@ -62,7 +62,15 @@ def make_train_step(
 
         grad_norm = optax_global_norm(grads)
         state = state.apply_gradients(grads)
-        metrics = {"loss": loss, "grad_norm": grad_norm, **aux}
+        # "finite" feeds the Trainer's halt_on_nan guard (the reference
+        # all-gathers losses and aborts — engine_for_pretraining.py:153-163);
+        # emitted here so every engine gets the guard, not just clip.
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "finite": jnp.isfinite(loss).astype(jnp.float32),
+            **aux,
+        }
         return state, metrics
 
     return train_step

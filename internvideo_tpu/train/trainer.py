@@ -42,6 +42,10 @@ class TrainerConfig:
     max_checkpoints: int = 3
     auto_resume: bool = True
     halt_on_nan: bool = True
+    # save an HF-format export every N steps (0 = never); needs export_fn
+    hf_export_every: int = 0
+    # save + stop cleanly on SIGTERM/SIGINT (preemption-aware, SURVEY §5.3)
+    save_on_preemption: bool = True
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig
@@ -60,7 +64,10 @@ class Trainer:
         batch_specs: Optional[dict] = None,  # name -> PartitionSpec
         init_kwargs: Optional[dict] = None,
         jsonl_path: Optional[str] = None,
+        export_fn: Optional[Callable] = None,  # (state, step) -> None
     ):
+        self.export_fn = export_fn
+        self._preempted = False
         self.config = config
         self.model = model
         self.mesh = create_mesh(config.mesh)
@@ -115,36 +122,93 @@ class Trainer:
             for k, v in batch.items()
         }
 
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT set a flag; fit() saves and stops at the next step
+        boundary (preemption-aware checkpointing, SURVEY §5.3 TPU equiv of
+        xtuner's snapshot-on-exit)."""
+        import signal
+
+        def _handler(signum, frame):
+            self._preempted = True
+
+        old = {}
+        try:  # signal.signal only works on the main thread
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old[sig] = signal.signal(sig, _handler)
+        except ValueError:
+            pass
+        return old
+
+    def _restore_signal_handlers(self, old):
+        import signal
+
+        for sig, h in old.items():
+            signal.signal(sig, h)
+
+    def _flush_metrics(self, pending, *, halt_on_nan: bool):
+        """One batched device_get for the whole window (the axon tunnel makes
+        per-step host syncs catastrophically slow — fetch every log_every)."""
+        if not pending:
+            return
+        host = jax.device_get(pending)
+        last_step, last_m = host[-1]
+        for _, hm in host:
+            scalars = {
+                k: float(v) for k, v in hm.items() if np.ndim(v) == 0
+            }
+            self.metrics.update(
+                **{k: v for k, v in scalars.items() if k != "finite"}
+            )
+            if "tokens" in scalars:
+                self.metrics.add_tokens(int(scalars["tokens"]))
+        if halt_on_nan and not float(last_m.get("finite", 1.0)):
+            raise FloatingPointError(
+                f"non-finite loss at step {last_step}: "
+                f"{ {k: float(v) for k, v in last_m.items() if np.ndim(v) == 0} }"
+            )
+        pending.clear()
+
     def fit(self, data: Iterable[dict], steps: Optional[int] = None):
         cfg = self.config
         steps = steps or cfg.total_steps
         start = int(jax.device_get(self.state.step))
         it = iter(data)
-        for step in range(start, steps):
-            batch = self.put_batch(next(it))
-            with self.mesh, nn.logical_axis_rules(list(self.rules)):
-                self.state, m = self._step(self.state, batch, self.rng)
-            host_m = {
-                k: float(jax.device_get(v))
-                for k, v in m.items()
-                if np.ndim(v) == 0
-            }
-            if cfg.halt_on_nan and not host_m.get("finite", 1.0):
-                raise FloatingPointError(
-                    f"non-finite loss at step {step}: {host_m}"
-                )
-            self.metrics.update(
-                **{k: v for k, v in host_m.items() if k != "finite"}
-            )
-            if "tokens" in host_m:
-                self.metrics.add_tokens(int(host_m["tokens"]))
-            if (step + 1) % cfg.log_every == 0:
-                lr = float(self.lr_schedule(step))
-                self.metrics.log_step(step + 1, extra={"lr": lr})
-            if self.ckpt is not None:
-                self.ckpt.save(step + 1, self.state)
+        old_handlers = (
+            self._install_preemption_handler()
+            if cfg.save_on_preemption else {}
+        )
+        pending: list[tuple[int, dict]] = []  # (step, device metrics)
+        try:
+            for step in range(start, steps):
+                if self._preempted:
+                    if self.ckpt is not None:
+                        self.ckpt.save(step, self.state, force=True)
+                        self.ckpt.wait()
+                    break
+                batch = self.put_batch(next(it))
+                with self.mesh, nn.logical_axis_rules(list(self.rules)):
+                    self.state, m = self._step(self.state, batch, self.rng)
+                # Metrics stay on device; the host never blocks on the step.
+                pending.append((step, m))
+                if (step + 1) % cfg.log_every == 0:
+                    self._flush_metrics(
+                        pending, halt_on_nan=cfg.halt_on_nan
+                    )
+                    lr = float(self.lr_schedule(step))
+                    self.metrics.log_step(step + 1, extra={"lr": lr})
+                if self.ckpt is not None:
+                    self.ckpt.save(step + 1, self.state)
+                if (
+                    self.export_fn is not None
+                    and cfg.hf_export_every
+                    and (step + 1) % cfg.hf_export_every == 0
+                ):
+                    self.export_fn(self.state, step + 1)
+            self._flush_metrics(pending, halt_on_nan=cfg.halt_on_nan)
+        finally:
+            self._restore_signal_handlers(old_handlers)
         if self.ckpt is not None:
-            if self.ckpt.latest_step() != steps:
+            if not self._preempted and self.ckpt.latest_step() != steps:
                 self.ckpt.save(steps, self.state, force=True)
             self.ckpt.wait()
         return self.state

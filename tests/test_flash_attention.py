@@ -147,3 +147,56 @@ def test_sliding_window_unaligned_grads():
     )(q)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_causal_q_position_offset():
+    """Chunked-prefill style: query block sits offset tokens into the keys."""
+    b, h, d = 1, 2, 64
+    sk, sq, off = 200, 72, 128  # off+sq == sk, and 200 pads to 256
+    key = jax.random.key(9)
+    q, k, v = _rand_qkv(key, b, sq, sk, h, d)
+    ref = xla_attention(q, k, v, causal=True, q_position_offset=off)
+    out = _flash(q, k, v, causal=True, q_position_offset=off)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    # gradients through the offset path
+    g_ref = jax.grad(lambda q: jnp.sum(jnp.square(
+        xla_attention(q, k, v, causal=True, q_position_offset=off))))(q)
+    g_out = jax.grad(lambda q: jnp.sum(jnp.square(
+        _flash(q, k, v, causal=True, q_position_offset=off))))(q)
+    np.testing.assert_allclose(g_out, g_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_causal_cross_length_padding():
+    """Causal with sq != sk and tail padding: the analytic kv_pad correction
+    would over-subtract (causal already hides some pads) — must route through
+    segment ids. Regression for ADVICE r1 finding #1."""
+    b, h, d = 1, 2, 64
+    sq, sk = 100, 200  # both unaligned to the 128 block
+    q, k, v = _rand_qkv(jax.random.key(10), b, sq, sk, h, d)
+    ref = xla_attention(q, k, v, causal=True)
+    out = _flash(q, k, v, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_window_fully_masked_rows_zero():
+    """Non-causal cross-attention where some query rows have NO in-window
+    key: those rows must output zeros, not an average of V. Regression for
+    ADVICE r1 finding #3 (guard only ran with segment ids)."""
+    b, h, d = 1, 2, 64
+    sq, sk, window = 256, 64, 50
+    q, k, v = _rand_qkv(jax.random.key(11), b, sq, sk, h, d)
+    out = _flash(q, k, v, window=window)
+    # rows with qi - ki >= window for every ki in [0, 64): qi >= 113
+    np.testing.assert_allclose(np.asarray(out[:, 120:]), 0.0, atol=1e-6)
+    # a visible row still matches the explicit-mask reference
+    qi = np.arange(sq)[:, None]
+    ki = np.arange(sk)[None, :]
+    allowed = np.abs(qi - ki) < window
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (d ** -0.5)
+    logits = jnp.where(allowed[None, None], logits, -1e30)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :100]), np.asarray(ref[:, :100]),
+        atol=2e-5, rtol=2e-5,
+    )

@@ -77,3 +77,30 @@ def test_lora_dense():
     up, _ = tx.update(g, st, params["params"])
     assert float(jnp.sum(jnp.abs(up["kernel"]))) == 0
     assert float(jnp.sum(jnp.abs(up["lora_a"]))) > 0
+
+
+def test_merge_lora_requires_and_uses_scale():
+    """merge_lora must use the true alpha/rank scale (ADVICE r1 finding #2)."""
+    import pytest
+    from internvideo_tpu.nn.lora import LoRADense, merge_lora
+
+    rank, alpha = 4, 16.0
+    m = LoRADense(features=8, rank=rank, alpha=alpha)
+    x = jax.random.normal(jax.random.key(0), (2, 6))
+    from flax import linen as nn
+    params = nn.unbox(m.init(jax.random.key(1), x)["params"])
+    # give lora_b nonzero values so the adapter actually contributes
+    params = dict(params)
+    params["lora_b"] = jax.random.normal(jax.random.key(2), params["lora_b"].shape) * 0.1
+    y = m.apply({"params": params}, x)
+
+    with pytest.raises(ValueError):
+        merge_lora(params)
+    merged = merge_lora(params, alpha=alpha, rank=rank)
+    assert "lora_a" not in merged
+    y_merged = (
+        x @ merged["kernel"] + merged["bias"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_merged), np.asarray(y), atol=1e-5, rtol=1e-5
+    )

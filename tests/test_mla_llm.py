@@ -134,3 +134,33 @@ def test_llm_packed_segments():
         np.asarray(out_packed.logits[:, 4:]), np.asarray(out_b.logits),
         atol=1e-4, rtol=1e-3,
     )
+
+
+def test_mla_chunked_prefill_matches_full():
+    """Second-chunk prefill (cache_len > 0) must equal the full forward.
+    Regression for ADVICE r1 finding #4 (prefill ignored the cache)."""
+    model = MLAttention(MLA_TINY, attn_impl="xla")
+    b, s, split = 2, 12, 5
+    x = jax.random.normal(jax.random.key(3), (b, s, 64))
+    from internvideo_tpu.nn.rope import rope_cos_sin
+    cos, sin = rope_cos_sin(jnp.arange(s)[None], 16)
+    cos = jnp.broadcast_to(cos, (b, s, 16))
+    sin = jnp.broadcast_to(sin, (b, s, 16))
+    params = model.init(jax.random.key(4), x, cos, sin)
+    full = model.apply(params, x, cos, sin)
+
+    cache = jnp.zeros((b, 16, MLA_TINY.cache_dim), jnp.float32)
+    out1, cache = model.apply(
+        params, x[:, :split], cos[:, :split], sin[:, :split], cache, 0,
+        method="prefill",
+    )
+    out2, cache = model.apply(
+        params, x[:, split:], cos[:, split:], sin[:, split:], cache, split,
+        method="prefill",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(full[:, :split]), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(full[:, split:]), atol=1e-5, rtol=1e-4
+    )
