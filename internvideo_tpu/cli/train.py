@@ -28,6 +28,10 @@ class RunConfig:
     model: object = None  # task-specific model config
     data: object = None  # task-specific data config / factory
     engine: object = None  # task-specific engine config
+    # frozen-teacher configs (pretrain: CLIP + MAE; distill: encoder;
+    # stage-2 clip with engine.uta > 0: CLIP teacher)
+    teacher: object = None
+    mae_teacher: object = None
 
 
 def build_finetune(run: RunConfig):
@@ -86,11 +90,16 @@ def main(argv: Optional[list[str]] = None):
         trainer, batch = build_sft(run)
         data = run.data.get("stream") or _synthetic_sft_stream(batch)
         trainer.fit(data)
+    elif run.task == "pretrain":
+        trainer, batch = build_pretrain(run)
+        data = run.data.get("stream") or _synthetic_video_stream(batch)
+        trainer.fit(data)
+    elif run.task == "distill":
+        trainer, batch = build_distill(run)
+        data = run.data.get("stream") or _synthetic_video_stream(batch)
+        trainer.fit(data)
     else:
-        raise SystemExit(
-            f"task {run.task!r}: wire the corresponding engine module "
-            "(train/engines/) with Trainer directly"
-        )
+        raise SystemExit(f"unknown task {run.task!r}")
 
 
 def build_clip(run: RunConfig):
@@ -109,15 +118,131 @@ def build_clip(run: RunConfig):
         "attention_mask": jnp.ones((b, l), jnp.int32),
         "idx": jnp.arange(b, dtype=jnp.int32),
     }
+    clip_teacher = teacher_params = None
+    if getattr(run.engine, "uta", 0.0) > 0:
+        # stage-2: frozen CLIP teacher drives masking + UTA targets
+        # (random-init here; real runs load a converted checkpoint)
+        from internvideo_tpu.models.teachers import CLIPTeacher
+
+        clip_teacher = CLIPTeacher(run.teacher)
+        teacher_params = clip_teacher.init(
+            jax.random.key(run.trainer.seed + 1), batch["video"]
+        )
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: make_clip_train_step(m, run.engine),
+        lambda m, mesh: make_clip_train_step(
+            m, run.engine, clip_teacher=clip_teacher,
+            teacher_params=teacher_params,
+        ),
         example_batch=batch,
         example_inputs=(batch["video"], batch["input_ids"],
                         batch["attention_mask"]),
         init_kwargs={"init_all_branches": True},
     )
     return trainer, batch
+
+
+def _synthetic_video_stream(batch, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {
+            "video": rng.normal(size=batch["video"].shape).astype(np.float32)
+        }
+
+
+def _num_visible_tokens(mask_type, mask_ratio, t_s, n_spatial):
+    """Static visible count matching the engines' keep-index shapes."""
+    from internvideo_tpu.data.masking import num_visible
+
+    if mask_type in ("tube", "attention"):
+        return t_s * num_visible(n_spatial, mask_ratio)
+    return num_visible(t_s * n_spatial, mask_ratio)
+
+
+def build_pretrain(run: RunConfig):
+    """UMT dual-teacher masked pretraining (S7). Teachers are frozen; their
+    params ride the step closure (random-init here — load converted
+    checkpoints into `teacher_params` for real runs)."""
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.pretrain import PretrainInternVideo2
+    from internvideo_tpu.models.teachers import CLIPTeacher, MAETeacher
+    from internvideo_tpu.train.engines.pretrain import make_pretrain_step
+
+    model = PretrainInternVideo2(run.model)
+    clip_teacher = CLIPTeacher(run.teacher)
+    mae_teacher = MAETeacher(run.mae_teacher)
+    enc = run.model.encoder
+    b = run.data["batch_size"]
+    cfg = run.engine
+    t_full = enc.num_frames * cfg.td_ratio
+    video = jnp.zeros((b, t_full, enc.img_size, enc.img_size, 3))
+    student_video = video[:, :: cfg.td_ratio]
+    n_spatial = (enc.img_size // enc.patch_size) ** 2
+    t_s = enc.num_frames // enc.tubelet_size
+    n_vis = _num_visible_tokens(cfg.mask_type, cfg.mask_ratio, t_s, n_spatial)
+    keep0 = jnp.zeros((b, n_vis), jnp.int32)
+
+    rng = jax.random.key(run.trainer.seed + 1)
+    teacher_params = {
+        "clip": clip_teacher.init(rng, student_video),
+        "mae": mae_teacher.init(jax.random.fold_in(rng, 1), video),
+    }
+    raw = make_pretrain_step(model, clip_teacher, mae_teacher, cfg)
+    trainer = Trainer(
+        run.trainer, model,
+        lambda m, mesh: (
+            lambda state, batch, step_rng: raw(
+                state, teacher_params, batch, step_rng
+            )
+        ),
+        example_batch={"video": video},
+        example_inputs=(student_video, keep0),
+    )
+    return trainer, {"video": video}
+
+
+def build_distill(run: RunConfig):
+    """Small-student distillation from a frozen encoder (S5/S9)."""
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.internvideo2 import InternVideo2
+    from internvideo_tpu.models.pretrain import PretrainInternVideo2
+    from internvideo_tpu.train.engines.distill import make_distill_step
+
+    model = PretrainInternVideo2(run.model)
+    teacher = InternVideo2(run.teacher)
+    enc = run.model.encoder
+    b = run.data["batch_size"]
+    cfg = run.engine
+    video = jnp.zeros((b, enc.num_frames, enc.img_size, enc.img_size, 3))
+    n_spatial = (enc.img_size // enc.patch_size) ** 2
+    t_s = enc.num_frames // enc.tubelet_size
+    if cfg.mask_ratio > 0:
+        n_vis = _num_visible_tokens(
+            cfg.mask_type, cfg.mask_ratio, t_s, n_spatial
+        )
+    else:
+        n_vis = enc.num_patches
+    keep0 = jnp.zeros((b, n_vis), jnp.int32)
+
+    teacher_params = teacher.init(
+        jax.random.key(run.trainer.seed + 1), video
+    )
+    raw = make_distill_step(model, teacher, cfg)
+    trainer = Trainer(
+        run.trainer, model,
+        lambda m, mesh: (
+            lambda state, batch, step_rng: raw(
+                state, teacher_params, batch, step_rng
+            )
+        ),
+        example_batch={"video": video},
+        example_inputs=(video, keep0),
+    )
+    return trainer, {"video": video}
 
 
 def _synthetic_clip_stream(batch, seed=0):

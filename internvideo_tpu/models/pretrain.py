@@ -72,6 +72,10 @@ class PretrainOutput:
     clip_middle: jax.Array  # (K, B, 1+n_vis, clip_output_dim), l2-normed
     clip_final: Optional[jax.Array]  # (B, clip_output_dim)
     mae: Optional[jax.Array]  # (K_mae, B, n_vis, mae_output_dim); None for distill
+    # encoder outputs — stage-2 (internvideo2_stage2_visual.py:264-266) feeds
+    # the masked tokens/pooled into the contrastive branch alongside UTA
+    tokens: Optional[jax.Array] = None  # (B, 1+n_vis, D)
+    pooled: Optional[jax.Array] = None  # (B, clip_embed_dim)
 
 
 class _LinearDecoder(nn.Module):
@@ -134,26 +138,41 @@ class PretrainInternVideo2(nn.Module):
     def __call__(
         self,
         video: jax.Array,  # (B, T, H, W, 3)
-        keep_indices: jax.Array,  # (B, n_vis) visible patch positions
+        keep_indices: Optional[jax.Array] = None,  # (B, n_vis) visible positions
         *,
         deterministic: bool = True,
+        return_align: Optional[bool] = None,  # None: align iff masked
     ) -> PretrainOutput:
         cfg = self.config
         enc_cfg = cfg.encoder
         dtype = jnp.dtype(enc_cfg.dtype)
         param_dtype = jnp.dtype(enc_cfg.param_dtype)
         gt, gh, gw = enc_cfg.grid_size
+        if return_align is None:
+            # stage-2 test/eval forward is unmasked and skips the decoders
+            # (internvideo2_stage2_visual.py:256-258 `if test:`)
+            return_align = keep_indices is not None
 
         want = sorted(set(cfg.clip_indices) | set(cfg.mae_indices))
         out = InternVideo2(enc_cfg, name="encoder")(
             video,
             keep_indices=keep_indices,
             deterministic=deterministic,
-            return_hidden_layers=want,
+            return_hidden_layers=want if return_align else None,
         )
+        if not return_align:
+            return PretrainOutput(
+                clip_middle=None, clip_final=None, mae=None,
+                tokens=out.tokens, pooled=out.pooled,
+            )
         hidden = dict(zip(want, out.hidden_states))
 
         b = video.shape[0]
+        if keep_indices is None:
+            keep_indices = jnp.broadcast_to(
+                jnp.arange(enc_cfg.num_patches, dtype=jnp.int32)[None],
+                (b, enc_cfg.num_patches),
+            )
         n_vis = keep_indices.shape[1]
 
         # --- CLIP alignment branch ---
@@ -201,7 +220,8 @@ class PretrainInternVideo2(nn.Module):
         if cfg.mae_return_layers == 0:
             # distillation variant (internvideo2_distill.py): CLIP-align only
             return PretrainOutput(
-                clip_middle=clip_middle, clip_final=clip_final, mae=None
+                clip_middle=clip_middle, clip_final=clip_final, mae=None,
+                tokens=out.tokens, pooled=out.pooled,
             )
         mae_pos = self.param(
             "mae_pos_embed",
@@ -229,5 +249,6 @@ class PretrainInternVideo2(nn.Module):
         mae = jnp.stack(mae_aligned)
 
         return PretrainOutput(
-            clip_middle=clip_middle, clip_final=clip_final, mae=mae
+            clip_middle=clip_middle, clip_final=clip_final, mae=mae,
+            tokens=out.tokens, pooled=out.pooled,
         )

@@ -28,6 +28,7 @@ from flax import struct
 
 from internvideo_tpu.models.bert import BertConfig, BertModel
 from internvideo_tpu.models.internvideo2 import InternVideo2, InternVideo2Config
+from internvideo_tpu.models.pretrain import PretrainConfig, PretrainInternVideo2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +40,13 @@ class VideoCLIPConfig:
     embed_dim: int = 512
     temp_init: float = 0.07
     temp_min: float = 1 / 100.0
+    # Stage-2 pretraining: when set, the vision tower is the masked pretrain
+    # student (CLIP-align decoders included) so the train step can distill
+    # from the frozen teacher inside the contrastive step — the reference's
+    # `pretrain_internvideo2_1b_patch14_224` tower
+    # (internvideo2_stage2_visual.py:302-308). `pretrain.encoder` must equal
+    # `vision`.
+    pretrain: Optional[PretrainConfig] = None
 
 
 @struct.dataclass
@@ -50,6 +58,9 @@ class VideoCLIPOutput:
     vision_proj: jax.Array  # (B, embed_dim)
     text_proj: jax.Array  # (B, embed_dim)
     temp: jax.Array  # ()
+    # UTA branch (masked stage-2 forward only): student CLIP-align outputs
+    clip_middle: Optional[jax.Array] = None  # (K, B, 1+n_vis, C_t), l2-normed
+    clip_final: Optional[jax.Array] = None  # (B, C_proj)
 
 
 class VideoCLIP(nn.Module):
@@ -58,7 +69,10 @@ class VideoCLIP(nn.Module):
     def setup(self):
         cfg = self.config
         dtype = jnp.dtype(cfg.vision.dtype)
-        self.vision_encoder = InternVideo2(cfg.vision)
+        if cfg.pretrain is not None:
+            self.vision_encoder = PretrainInternVideo2(cfg.pretrain)
+        else:
+            self.vision_encoder = InternVideo2(cfg.vision)
         self.text_encoder = BertModel(cfg.text)
         self.vision_proj = nn.Dense(
             cfg.embed_dim, dtype=dtype,
@@ -87,12 +101,20 @@ class VideoCLIP(nn.Module):
         return jnp.maximum(self.temp, self.config.temp_min)
 
     def encode_vision(
-        self, video, keep_indices=None, deterministic=True
+        self, video, keep_indices=None, deterministic=True, return_align=None
     ):
+        """Returns (tokens, pooled, clip_middle, clip_final); the align pair
+        is None for the plain tower or unmasked forwards."""
+        if self.config.pretrain is not None:
+            out = self.vision_encoder(
+                video, keep_indices, deterministic=deterministic,
+                return_align=return_align,
+            )
+            return out.tokens, out.pooled, out.clip_middle, out.clip_final
         out = self.vision_encoder(
             video, keep_indices=keep_indices, deterministic=deterministic
         )
-        return out.tokens, out.pooled
+        return out.tokens, out.pooled, None, None
 
     def encode_text(self, input_ids, attention_mask, deterministic=True):
         out = self.text_encoder(
@@ -146,8 +168,14 @@ class VideoCLIP(nn.Module):
         deterministic=True,
         init_all_branches=False,
     ) -> VideoCLIPOutput:
-        vision_embeds, pooled_vision = self.encode_vision(
-            video, keep_indices, deterministic
+        vision_embeds, pooled_vision, clip_middle, clip_final = (
+            self.encode_vision(
+                video, keep_indices, deterministic,
+                # init must trace the UTA decoders even unmasked so every
+                # parameter exists after one init pass
+                return_align=(True if init_all_branches
+                              and self.config.pretrain is not None else None),
+            )
         )
         text_embeds, pooled_text = self.encode_text(
             input_ids, attention_mask, deterministic
@@ -168,4 +196,6 @@ class VideoCLIP(nn.Module):
             vision_proj=self.vision_proj(pooled_vision),
             text_proj=self.text_proj(pooled_text),
             temp=self.clamped_temp(),
+            clip_middle=clip_middle,
+            clip_final=clip_final,
         )

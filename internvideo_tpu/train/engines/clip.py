@@ -39,6 +39,16 @@ class CLIPLossConfig:
     pad_token_id: int = 0
     cls_token_id: int = 101
     vocab_size: int = 30522
+    # ---- stage-2 UTA (unmasked-token alignment) teacher branch ----
+    # (internvideo2_stage2_visual.py:107-114 loss_uta, :155-236 encode_teacher;
+    # criterions.py:458 new_UTA_Loss). uta > 0 requires the model's vision
+    # tower to be the pretrain student (VideoCLIPConfig.pretrain) and a
+    # frozen CLIP teacher passed to make_clip_train_step.
+    uta: float = 0.0
+    mask_type: str = "attention"  # attention | tube | random
+    mask_ratio: float = 0.8
+    clip_loss_ratio: tuple[float, float] = (1.0, 1.0)  # (middle, final)
+    distill_final_features: bool = True
 
 
 def get_sim(vision_proj, text_proj, temp=1.0, agg="mean"):
@@ -129,22 +139,102 @@ def mlm_loss_from_logits(logits, labels):
     return -jnp.sum(picked * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def make_clip_train_step(model, cfg: CLIPLossConfig):
+def _align_loss(student, target):
+    """2 − 2·cos for l2-normalized features (criterions.py:481 uta_loss)."""
+    return jnp.mean(
+        2.0 - 2.0 * jnp.sum(
+            student.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
+        )
+    )
+
+
+def _teacher_targets_and_mask(clip_teacher, teacher_params, video, rng, cfg):
+    """Frozen-teacher forward + shared mask (encode_teacher :155-236).
+
+    Returns (keep_indices, tgt_middle, tgt_final): the visible-token indices
+    the student must use, and the teacher targets gathered at those
+    positions (cls + visible).
+    """
+    from internvideo_tpu.data.masking import (
+        attention_guided_keep_indices,
+        random_keep_indices,
+        tube_keep_indices,
+    )
+
+    b, t = video.shape[:2]
+    teacher_img = clip_teacher.config.img_size
+    if video.shape[2] != teacher_img:
+        # bicubic resize to the teacher's resolution (:190-196)
+        video = jax.image.resize(
+            video, (b, t, teacher_img, teacher_img, video.shape[-1]),
+            method="bicubic",
+        )
+    z, pooled, attn = clip_teacher.apply(teacher_params, video)
+    z, pooled, attn = jax.lax.stop_gradient((z, pooled, attn))
+
+    n_spatial = attn.shape[-1]
+    if cfg.mask_type == "attention":
+        keep = attention_guided_keep_indices(
+            rng, attn, cfg.mask_ratio, batch=b
+        )
+    elif cfg.mask_type == "tube":
+        keep = tube_keep_indices(rng, b, t, n_spatial, cfg.mask_ratio)
+    elif cfg.mask_type == "random":
+        keep = random_keep_indices(rng, b, t * n_spatial, cfg.mask_ratio)
+    else:
+        raise ValueError(cfg.mask_type)
+
+    # teacher middle targets at visible positions: cls + (keep+1)
+    gather = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), keep + 1], axis=1
+    )
+    tgt_middle = jnp.take_along_axis(z, gather[None, :, :, None], axis=2)
+    return keep, tgt_middle, pooled
+
+
+def make_clip_train_step(
+    model, cfg: CLIPLossConfig, clip_teacher=None, teacher_params=None
+):
     """step(state, batch, rng) for VideoCLIP stage-2.
 
     batch: {"video", "input_ids", "attention_mask", "idx"}.
+
+    With cfg.uta > 0 and a (clip_teacher, teacher_params) pair, each step
+    runs the frozen teacher, draws the shared mask, feeds the student the
+    masked forward, and adds the UTA alignment loss — the contrastive
+    losses then operate on the masked pooled features exactly like the
+    reference stage-2 step (internvideo2_stage2_visual.py:83-152).
     """
+    use_uta = cfg.uta > 0
+    if use_uta and (clip_teacher is None or teacher_params is None):
+        raise ValueError("cfg.uta > 0 needs clip_teacher + teacher_params")
 
     def loss_fn(params, batch, rng):
-        r_neg, r_mlm, r_drop = jax.random.split(rng, 3)
+        r_neg, r_mlm, r_drop, r_mask = jax.random.split(rng, 4)
         var = {"params": params}
+        keep = tgt_middle = tgt_final = None
+        if use_uta:
+            keep, tgt_middle, tgt_final = _teacher_targets_and_mask(
+                clip_teacher, teacher_params, batch["video"], r_mask, cfg
+            )
         out = model.apply(
             var, batch["video"], batch["input_ids"],
-            batch["attention_mask"], deterministic=False,
+            batch["attention_mask"], keep_indices=keep, deterministic=False,
             rngs={"dropout": r_drop, "droppath": jax.random.fold_in(r_drop, 1)},
         )
         idx = batch.get("idx")
         losses = {}
+
+        if use_uta:
+            loss_mid = _align_loss(out.clip_middle, tgt_middle)
+            if cfg.distill_final_features and cfg.clip_loss_ratio[1] > 0:
+                loss_fin = _align_loss(out.clip_final, tgt_final)
+            else:
+                loss_fin = jnp.zeros(())
+            losses["loss_uta"] = (
+                loss_mid * cfg.clip_loss_ratio[0]
+                + loss_fin * cfg.clip_loss_ratio[1]
+            )
 
         if cfg.vtc:
             losses["loss_vtc"] = vtc_loss(
@@ -207,7 +297,8 @@ def make_clip_train_step(model, cfg: CLIPLossConfig):
             )
 
         total = (
-            cfg.vtc * losses.get("loss_vtc", 0.0)
+            cfg.uta * losses.get("loss_uta", 0.0)
+            + cfg.vtc * losses.get("loss_vtc", 0.0)
             + cfg.vtm * losses.get("loss_vtm", 0.0)
             + cfg.mlm * losses.get("loss_mlm", 0.0)
         )

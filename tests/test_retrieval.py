@@ -57,7 +57,7 @@ def test_retrieval_end_to_end():
         out = model.apply(
             params, batch["video"], method="encode_vision"
         )
-        tokens, pooled = out
+        tokens, pooled = out[0], out[1]
         proj = model.apply(
             params, pooled,
             method=lambda m, x: m.vision_proj(x),

@@ -140,3 +140,102 @@ def test_clip_train_step():
         st, m = jstep(st, batch, jax.random.key(3))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_stage2_uta_train_step():
+    """Full stage-2 step: frozen teacher + shared mask + masked student fwd +
+    UTA/VTC/VTM/MLM — the flagship recipe (internvideo2_stage2_visual.py:83).
+    """
+    from internvideo_tpu.models.pretrain import PretrainConfig
+    from internvideo_tpu.models.teachers import CLIPTeacher, TeacherConfig
+
+    teacher_cfg = TeacherConfig(
+        embed_dim=48, depth=3, num_heads=2, mlp_ratio=2.0,
+        patch_size=14, img_size=56, clip_embed_dim=24,
+        return_layers=2, tubelet_size=1, attn_impl="xla",
+    )
+    pre_cfg = PretrainConfig(
+        encoder=VIS_TINY,
+        clip_output_dim=48,  # teacher hidden dim
+        clip_final_output_dim=24,  # teacher projector dim
+        clip_return_layers=2,
+        mae_return_layers=0,  # stage-2: CLIP-align only
+    )
+    cfg = VideoCLIPConfig(
+        vision=VIS_TINY, text=BERT_TINY, embed_dim=24, pretrain=pre_cfg
+    )
+    model = VideoCLIP(cfg)
+    teacher = CLIPTeacher(teacher_cfg)
+
+    b, l = 4, 12
+    video = jax.random.normal(jax.random.key(0), (b, 2, 56, 56, 3))
+    ids = jax.random.randint(jax.random.key(1), (b, l), 1, 120)
+    mask = jnp.ones((b, l), jnp.int32)
+    batch = {
+        "video": video, "input_ids": ids, "attention_mask": mask,
+        "idx": jnp.arange(b),
+    }
+    teacher_params = teacher.init(jax.random.key(5), video)
+
+    loss_cfg = CLIPLossConfig(
+        vocab_size=128, mlm_probability=0.3,
+        uta=1.0, mask_type="attention", mask_ratio=0.5,
+    )
+    step = make_clip_train_step(
+        model, loss_cfg, clip_teacher=teacher, teacher_params=teacher_params
+    )
+    params = model.init(
+        jax.random.key(2), video, ids, mask, init_all_branches=True
+    )["params"]
+    # the stage-2 tower carries the UTA decoders
+    assert any(k.startswith("clip_decoder") for k in params["vision_encoder"])
+    tx = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+    )
+    jstep = jax.jit(step)
+    state1, metrics = jstep(state, batch, jax.random.key(3))
+    assert bool(metrics["finite"]), metrics
+    for k in ("loss_uta", "loss_vtc", "loss_vtm", "loss_mlm"):
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    # UTA starts near 2 (random student vs l2-normed teacher) and must drop
+    st, first_uta = state1, float(metrics["loss_uta"])
+    losses = [float(metrics["loss"])]
+    for _ in range(4):
+        st, m = jstep(st, batch, jax.random.key(3))
+        losses.append(float(m["loss"]))
+    assert float(m["loss_uta"]) < first_uta, (first_uta, m["loss_uta"])
+    assert losses[-1] < losses[0], losses
+
+
+def test_stage2_masked_forward_shapes():
+    """The masked stage-2 forward sees only cls + visible tokens, and the
+    unmasked eval forward still works on the same params."""
+    from internvideo_tpu.models.pretrain import PretrainConfig
+
+    pre_cfg = PretrainConfig(
+        encoder=VIS_TINY, clip_output_dim=40, clip_final_output_dim=24,
+        clip_return_layers=2, mae_return_layers=0,
+    )
+    cfg = VideoCLIPConfig(
+        vision=VIS_TINY, text=BERT_TINY, embed_dim=24, pretrain=pre_cfg
+    )
+    model = VideoCLIP(cfg)
+    b, l = 2, 8
+    video = jax.random.normal(jax.random.key(0), (b, 2, 56, 56, 3))
+    ids = jnp.ones((b, l), jnp.int32)
+    mask = jnp.ones((b, l), jnp.int32)
+    params = model.init(
+        jax.random.key(1), video, ids, mask, init_all_branches=True
+    )
+    n_tokens = VIS_TINY.num_patches  # 2 * 4 * 4 = 32
+    keep = jnp.broadcast_to(jnp.arange(16, dtype=jnp.int32)[None], (b, 16))
+    out = model.apply(params, video, ids, mask, keep_indices=keep)
+    assert out.vision_embeds.shape[1] == 1 + 16  # cls + visible
+    assert out.clip_middle.shape == (2, b, 1 + 16, 40)
+    assert out.clip_final.shape == (b, 24)
+    # unmasked eval forward: full tokens, no align outputs
+    out_full = model.apply(params, video, ids, mask)
+    assert out_full.vision_embeds.shape[1] == 1 + n_tokens
+    assert out_full.clip_middle is None
