@@ -88,7 +88,10 @@ def main(argv: Optional[list[str]] = None):
         trainer.fit(data)
     elif run.task == "sft":
         trainer, batch = build_sft(run)
-        data = run.data.get("stream") or _synthetic_sft_stream(batch)
+        if run.data.get("jsonl"):
+            data = _mllm_jsonl_stream(run)
+        else:
+            data = run.data.get("stream") or _synthetic_sft_stream(batch)
         trainer.fit(data)
     elif run.task == "pretrain":
         trainer, batch = build_pretrain(run)
@@ -270,21 +273,36 @@ def build_sft(run: RunConfig):
 
     model = VideoMLLM(run.model)
     v = run.model.vision
-    b, l = run.data["batch_size"], run.data["seq_len"]
-    t = run.data.get("num_frames", 2)
-    img = run.data.get("img_size", 2 * v.patch_size * v.spatial_merge_size)
+    b = run.data["batch_size"]
+    if run.data.get("jsonl"):
+        # real data path: shapes follow the tokenize config's fixed grid
+        tok = run.data["tokenize"]
+        gt, gh, gw = tok.fixed_grid
+        l = run.data["pack_max_length"]
+        t = gt * tok.temporal_patch_size
+        img_h, img_w = gh * tok.patch_size, gw * tok.patch_size
+        pos = jnp.zeros((3, b, l), jnp.int32)
+        pos_spec = PartitionSpec(None, ("replica", "fsdp"), "seq")
+    else:
+        l = run.data["seq_len"]
+        t = run.data.get("num_frames", 2)
+        img_h = img_w = run.data.get(
+            "img_size", 2 * v.patch_size * v.spatial_merge_size
+        )
+        pos = jnp.zeros((b, l), jnp.int32)
+        pos_spec = PartitionSpec(("replica", "fsdp"), "seq")
     batch = {
         "input_ids": jnp.zeros((b, l), jnp.int32),
         "segment_ids": jnp.zeros((b, l), jnp.int32),
-        "position_ids": jnp.zeros((b, l), jnp.int32),
+        "position_ids": pos,
         "labels": jnp.zeros((b, l), jnp.int32),
-        "video": jnp.zeros((b, t, img, img, 3)),
+        "video": jnp.zeros((b, t, img_h, img_w, 3)),
     }
     dp = ("replica", "fsdp")
     specs = {
         "input_ids": PartitionSpec(dp, "seq"),
         "segment_ids": PartitionSpec(dp, "seq"),
-        "position_ids": PartitionSpec(dp, "seq"),
+        "position_ids": pos_spec,
         "labels": PartitionSpec(dp, "seq"),
         "video": PartitionSpec(dp),
     }
@@ -296,6 +314,35 @@ def build_sft(run: RunConfig):
         batch_specs=specs,
     )
     return trainer, batch
+
+
+def _mllm_jsonl_stream(run: RunConfig):
+    """Real SFT data path: jsonl + video files → packed multimodal batches
+    (data/mllm_tokenize.py). run.data needs {"jsonl", "batch_size",
+    "pack_max_length", "tokenize": MLLMTokenizeConfig with fixed_grid,
+    optional "media_root", "tokenizer" (HF dir)}."""
+    from internvideo_tpu.data.mllm_tokenize import (
+        MLLMTokenizeFunction,
+        mllm_sft_batches,
+    )
+
+    tok_cfg = run.data["tokenize"]
+    if run.data.get("tokenizer"):
+        from transformers import AutoTokenizer
+
+        hf = AutoTokenizer.from_pretrained(
+            run.data["tokenizer"], local_files_only=True
+        )
+        encode = lambda t: hf(t, add_special_tokens=False)["input_ids"]
+    else:
+        encode = lambda t: [1 + (ord(c) % 200) for c in t]  # byte fallback
+    fn = MLLMTokenizeFunction(encode, tok_cfg)
+    return mllm_sft_batches(
+        run.data["jsonl"], fn,
+        pack_max_length=run.data["pack_max_length"],
+        media_root=run.data.get("media_root", ""),
+        batch_size=run.data["batch_size"],
+    )
 
 
 def _synthetic_sft_stream(batch, seed=0):

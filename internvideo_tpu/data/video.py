@@ -160,6 +160,19 @@ def video_length(path: str) -> int:
     return n
 
 
+def read_frames(path: str, indices: np.ndarray) -> np.ndarray:
+    """Decode explicit frame `indices` as (T, H, W, 3) uint8 RGB — the
+    tokenize-fn path, where the frame plan is computed ahead of decode."""
+    indices = np.asarray(indices)
+    if path.endswith(".npy"):
+        return read_frames_npy(path, indices)
+    if os.path.isdir(path):
+        return read_frames_imgdir(path, indices)
+    if path.lower().endswith(".gif"):
+        return read_frames_gif(path, indices)
+    return read_frames_cv2(path, indices)
+
+
 def read_video(
     path: str,
     num_frames: int,
