@@ -305,39 +305,64 @@ class MLAttention(nn.Module):
         block_tables: jax.Array,  # (B, max_pages) page ids per sequence
         seq_lens: jax.Array,  # (B,) tokens already cached (incl. this one
         #                         after the caller's paged_write)
+        impl: Optional[str] = None,  # auto | pallas | xla (None = module's)
+        interpret: bool = False,
     ):
         """Absorbed decode over a paged cache (kv_cache.py:5-47 equivalent).
 
         The caller writes the new token's latent entry into the page pool
         first (compute_cache_entry + paged_write), then calls this.
-        """
-        from internvideo_tpu.nn.paged_cache import batched_paged_gather
 
+        `impl="pallas"` runs the paged-decode Pallas kernel
+        (ops/paged_decode.py): HBM traffic O(seq_len) pages per sequence,
+        no (B, max_len, C) gather is materialized — the counterpart of the
+        reference's flash_mla_decoding (mla.py:86-127). The XLA path keeps
+        the gather formulation as the CPU-testable fallback.
+        """
         cfg = self.cfg
         b = x.shape[0]
         q_nope, q_pe = self._project_q(x)
         q_pe = apply_rope(q_pe, cos, sin)
 
-        cache = batched_paged_gather(pages, block_tables)  # (B, L, R+P)
         kv_b = self.kv_b_kernel.astype(self.dtype)
         w_uk = kv_b[..., : cfg.qk_nope_head_dim]
         w_uv = kv_b[..., cfg.qk_nope_head_dim:]
         q_lat = jnp.einsum("bqhd,rhd->bqhr", q_nope, w_uk)
-        c = cache[:, :, : cfg.kv_lora_rank].astype(self.dtype)
-        p = cache[:, :, cfg.kv_lora_rank:].astype(self.dtype)
-        scores = (
-            jnp.einsum("bqhr,bsr->bhqs", q_lat, c)
-            + jnp.einsum("bqhd,bsd->bhqs", q_pe, p)
-        ) * (cfg.q_head_dim ** -0.5)
-        valid = (
-            jnp.arange(cache.shape[1])[None, None, None, :]
-            < seq_lens[:, None, None, None]
-        )
-        scores = jnp.where(valid, scores, -1e30)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            self.dtype
-        )
-        ctx_lat = jnp.einsum("bhqs,bsr->bqhr", probs, c)
+
+        impl = impl or self.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from internvideo_tpu.ops.paged_decode import paged_mla_decode
+
+            ctx_lat = paged_mla_decode(
+                q_lat[:, 0].astype(self.dtype),
+                q_pe[:, 0].astype(self.dtype),
+                pages,
+                block_tables,
+                seq_lens,
+                softmax_scale=cfg.q_head_dim ** -0.5,
+                interpret=interpret,
+            )[:, None]  # (B, 1, H, R)
+        else:
+            from internvideo_tpu.nn.paged_cache import batched_paged_gather
+
+            cache = batched_paged_gather(pages, block_tables)  # (B, L, R+P)
+            c = cache[:, :, : cfg.kv_lora_rank].astype(self.dtype)
+            p = cache[:, :, cfg.kv_lora_rank:].astype(self.dtype)
+            scores = (
+                jnp.einsum("bqhr,bsr->bhqs", q_lat, c)
+                + jnp.einsum("bqhd,bsd->bhqs", q_pe, p)
+            ) * (cfg.q_head_dim ** -0.5)
+            valid = (
+                jnp.arange(cache.shape[1])[None, None, None, :]
+                < seq_lens[:, None, None, None]
+            )
+            scores = jnp.where(valid, scores, -1e30)
+            probs = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            ctx_lat = jnp.einsum("bhqs,bsr->bqhr", probs, c)
         out = jnp.einsum("bqhr,rhd->bqhd", ctx_lat, w_uv)
         out = out.reshape(b, 1, cfg.num_heads * cfg.v_head_dim)
         return self.o_proj(out)

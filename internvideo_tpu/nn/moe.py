@@ -8,14 +8,17 @@ ops/moe/cuda/group_gemm.py, model/moe/moe.py):
     and (b) DeepSeek-V3 no-aux-loss *bias balancing* — a non-gradient bias
     added to routing scores only, updated from expert load each step
     (router bias update hook in xtuner's TrainEngine)
-  * expert compute as batched GEMMs over a static capacity: the dispatch/
-    combine one-hot contraction is the GSPMD MoE pattern — sharding experts
-    over the `expert` mesh axis makes XLA emit exactly the all-to-alls the
-    reference implements by hand (DeepEP / torch all2all)
+  * two dispatch modes:
+      - "capacity": expert compute as batched GEMMs over a static capacity;
+        the dispatch/combine one-hot contraction is the GSPMD MoE pattern —
+        sharding experts over the `expert` mesh axis makes XLA emit exactly
+        the all-to-alls the reference implements by hand (DeepEP /
+        torch all2all). Over-capacity tokens drop (pass through residual).
+      - "dropless": sort-based dispatch + `jax.lax.ragged_dot` grouped
+        GEMMs (megablox-style) — NO tokens are ever dropped, matching the
+        reference's DeepEP semantics, and the O(N·E) one-hot cumsum is
+        replaced by an argsort
   * SwiGLU experts (DeepSeek/Qwen3-MoE shape)
-
-Dropped tokens (over capacity) pass through the residual unchanged, as in
-capacity-factor MoE training.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ class MoEConfig:
     router_bias_balancing: bool = False  # DeepSeek-V3 style
     aux_loss_weight: float = 0.01
     router_dtype: str = "float32"
+    dispatch: str = "capacity"  # "capacity" (EP-shardable) | "dropless"
 
 
 @struct.dataclass
@@ -85,27 +89,6 @@ class MoEMlp(nn.Module):
             jnp.sum(top_gate, axis=-1, keepdims=True), 1e-9
         )
 
-        # position of each (token, slot) within its expert's capacity
-        onehot = jax.nn.one_hot(top_idx, e, dtype=jnp.int32)  # (N, k, E)
-        flat = onehot.reshape(n * k, e)
-        pos_in_expert = jnp.cumsum(flat, axis=0) * flat - 1  # (N*k, E)
-        pos = jnp.max(pos_in_expert, axis=-1).reshape(n, k)  # (N, k)
-        keep = pos < cap
-
-        # dispatch: (N, k) -> (E, cap, D) via scatter-add
-        expert_idx = top_idx  # (N, k)
-        combine_w = jnp.where(keep, top_gate, 0.0)  # (N, k)
-        disp = jnp.zeros((e, cap, d), xt.dtype)
-        tok = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
-        safe_pos = jnp.where(keep, pos, cap - 1)
-        disp = disp.at[
-            expert_idx.reshape(-1), safe_pos.reshape(-1)
-        ].add(
-            jnp.where(keep.reshape(-1, 1), xt[tok.reshape(-1)], 0.0)
-        )
-        disp = nn.with_logical_constraint(disp, ("expert", None, "embed"))
-
-        # expert SwiGLU, batched over E — one grouped GEMM per projection
         def expert_param(name, shape, logical):
             return self.param(
                 name,
@@ -120,15 +103,53 @@ class MoEMlp(nn.Module):
         w_gate = expert_param("w_gate", (e, d, i), ("expert", "embed", "expert_mlp"))
         w_up = expert_param("w_up", (e, d, i), ("expert", "embed", "expert_mlp"))
         w_down = expert_param("w_down", (e, i, d), ("expert", "expert_mlp", "embed"))
-        h = jnp.einsum("ecd,edi->eci", disp, w_gate)
-        u = jnp.einsum("ecd,edi->eci", disp, w_up)
-        out_e = jnp.einsum("eci,eid->ecd", nn.silu(h) * u, w_down)
-        out_e = nn.with_logical_constraint(out_e, ("expert", None, "embed"))
 
-        # combine: gather back each token's k slots
-        gathered = out_e[expert_idx.reshape(-1), safe_pos.reshape(-1)]
-        gathered = gathered.reshape(n, k, d)
-        out = jnp.sum(gathered * combine_w[..., None], axis=1)
+        if cfg.dispatch == "dropless":
+            # Sort-based dispatch + grouped ragged GEMMs (no token drops;
+            # megablox / lax.ragged_dot — the DeepEP-semantics path).
+            flat_e = top_idx.reshape(-1)  # (N*k,) expert per slot
+            order = jnp.argsort(flat_e)  # stable: ties keep token order
+            src_tok = order // k  # token index feeding each sorted slot
+            xs = xt[src_tok]  # (N*k, D) sorted by expert
+            group_sizes = jnp.bincount(flat_e, length=e)
+            h = jax.lax.ragged_dot(xs, w_gate, group_sizes)
+            u = jax.lax.ragged_dot(xs, w_up, group_sizes)
+            ys = jax.lax.ragged_dot(nn.silu(h) * u, w_down, group_sizes)
+            gate_sorted = top_gate.reshape(-1)[order]
+            out = jnp.zeros((n, d), ys.dtype).at[src_tok].add(
+                ys * gate_sorted[:, None]
+            )
+        else:
+            # position of each (token, slot) within its expert's capacity
+            onehot = jax.nn.one_hot(top_idx, e, dtype=jnp.int32)  # (N, k, E)
+            flat = onehot.reshape(n * k, e)
+            pos_in_expert = jnp.cumsum(flat, axis=0) * flat - 1  # (N*k, E)
+            pos = jnp.max(pos_in_expert, axis=-1).reshape(n, k)  # (N, k)
+            keep = pos < cap
+
+            # dispatch: (N, k) -> (E, cap, D) via scatter-add
+            expert_idx = top_idx  # (N, k)
+            combine_w = jnp.where(keep, top_gate, 0.0)  # (N, k)
+            disp = jnp.zeros((e, cap, d), xt.dtype)
+            tok = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+            safe_pos = jnp.where(keep, pos, cap - 1)
+            disp = disp.at[
+                expert_idx.reshape(-1), safe_pos.reshape(-1)
+            ].add(
+                jnp.where(keep.reshape(-1, 1), xt[tok.reshape(-1)], 0.0)
+            )
+            disp = nn.with_logical_constraint(disp, ("expert", None, "embed"))
+
+            # expert SwiGLU, batched over E — one grouped GEMM per projection
+            h = jnp.einsum("ecd,edi->eci", disp, w_gate)
+            u = jnp.einsum("ecd,edi->eci", disp, w_up)
+            out_e = jnp.einsum("eci,eid->ecd", nn.silu(h) * u, w_down)
+            out_e = nn.with_logical_constraint(out_e, ("expert", None, "embed"))
+
+            # combine: gather back each token's k slots
+            gathered = out_e[expert_idx.reshape(-1), safe_pos.reshape(-1)]
+            gathered = gathered.reshape(n, k, d)
+            out = jnp.sum(gathered * combine_w[..., None], axis=1)
 
         # load-balancing aux loss (Switch): E * Σ_e f_e · p_e
         load = jnp.mean(

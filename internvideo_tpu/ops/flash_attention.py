@@ -11,7 +11,10 @@ InternVideo3_sft/xtuner/v1/ops/flash_attn/gpu.py). Features:
   * packed-varlen support via integer *segment ids* (the TPU-idiomatic
     stand-in for the reference's cu_seqlens varlen API) — tokens attend only
     within their own segment; id < 0 marks padding
-  * GQA by repeating KV heads (wrapper-level; shared-KV index maps later)
+  * GQA via shared-KV BlockSpec index maps: K/V stay at (B, Hkv, S, D) in
+    HBM and each query head's grid step DMAs its group's KV block (no
+    jnp.repeat materialization); the dk/dv backward walks (kv_head,
+    q_heads_in_group × q_blocks) and accumulates across the group
   * custom VJP with two backward kernels (dq; dk/dv), re-computing
     probabilities from the saved log-sum-exp instead of materializing them
 
@@ -152,7 +155,7 @@ def _fwd_kernel(
 
 def _fwd(
     q, k, v, q_seg, kv_seg, *, scale, causal, block_q, block_k, interpret,
-    kv_pad=0, window=None, q_pos=0,
+    kv_pad=0, window=None, q_pos=0, group=1,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -163,8 +166,12 @@ def _fwd(
     has_segs = q_seg is not None
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+        ),
     ]
     args = [q, k, v]
     if has_segs:
@@ -275,8 +282,10 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None, q_pos: int = 0,
+    kv_pad: int = 0, window=None, q_pos: int = 0, nq_blocks: int = 1,
 ):
+    # Innermost grid dim enumerates (q_head_in_group, q_block) pairs so a
+    # single (kv_head, k_block) accumulator sums over the whole GQA group.
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
@@ -284,10 +293,11 @@ def _bwd_dkv_kernel(
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
         qseg_ref = kseg_ref = None
-    ik, iq = pl.program_id(2), pl.program_id(3)
+    ik, j = pl.program_id(2), pl.program_id(3)
+    iq = j % nq_blocks
     nq = pl.num_programs(3)
 
-    @pl.when(iq == 0)
+    @pl.when(j == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -337,7 +347,7 @@ def _bwd_dkv_kernel(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    @pl.when(iq == nq - 1)
+    @pl.when(j == nq - 1)
     def _finalize():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
@@ -346,6 +356,7 @@ def _bwd_dkv_kernel(
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
     *, scale, causal, block_q, block_k, interpret, window=None, q_pos=0,
+    group=1,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -357,8 +368,12 @@ def _bwd(
     has_segs = q_seg is not None
     common_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # q
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # k
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, iq, ik: (b, h, ik, 0)),  # v
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+        ),  # k
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+        ),  # v
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
         pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # lse
         pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # delta
@@ -385,28 +400,48 @@ def _bwd(
         interpret=interpret,
     )(*args)
 
-    # For the dk/dv pass the grid walks q blocks innermost; the index maps
-    # receive (b, h, ik, iq).
+    # For the dk/dv pass the grid walks the kv heads on dim 1 and
+    # (q_head_in_group, q_block) pairs innermost; the index maps receive
+    # (b, hk, ik, j) with q_head = hk*group + j // nq_blocks, iq = j % nq.
+    nq_blocks = pl.cdiv(sq, block_q)
+
+    def _qh(hk, j):
+        return hk * group + j // nq_blocks
+
     dkv_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, ik, iq: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
-        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
+        pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
+        ),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, 8, block_q),
+            lambda b, hk, ik, j: (b, _qh(hk, j), 0, j % nq_blocks),
+        ),
+        pl.BlockSpec(
+            (1, 1, 8, block_q),
+            lambda b, hk, ik, j: (b, _qh(hk, j), 0, j % nq_blocks),
+        ),
     ]
     dkv_seg_specs = [
-        pl.BlockSpec((1, block_q, 128), lambda b, h, ik, iq: (b, iq, 0)),
-        pl.BlockSpec((1, 8, block_k), lambda b, h, ik, iq: (b, 0, ik)),
+        pl.BlockSpec(
+            (1, block_q, 128), lambda b, hk, ik, j: (b, j % nq_blocks, 0)
+        ),
+        pl.BlockSpec((1, 8, block_k), lambda b, hk, ik, j: (b, 0, ik)),
     ] if has_segs else []
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window, q_pos=q_pos,
+            window=window, q_pos=q_pos, nq_blocks=nq_blocks,
         ),
-        grid=(b, h, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
+        grid=(b, h // group, pl.cdiv(sk, block_k), group * nq_blocks),
         in_specs=dkv_specs + dkv_seg_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
@@ -435,30 +470,30 @@ def _bwd(
 )
 def _flash_attention(
     q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
-    kv_pad, window, _nh, q_pos,
+    kv_pad, window, group, q_pos,
 ):
     out, _ = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        kv_pad=kv_pad, window=window, q_pos=q_pos,
+        kv_pad=kv_pad, window=window, q_pos=q_pos, group=group,
     )
     return out
 
 
 def _flash_fwd_rule(
     q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, window,
-    _nh, q_pos,
+    group, q_pos,
 ):
     out, lse = _fwd(
         q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
         block_q=bq, block_k=bk, interpret=interp, kv_pad=kv_pad,
-        window=window, q_pos=q_pos,
+        window=window, q_pos=q_pos, group=group,
     )
     return out, (q, k, v, out, lse, q_seg, kv_seg)
 
 
 def _flash_bwd_rule(
-    scale, causal, bq, bk, interp, kv_pad, window, _nh, q_pos, res, g
+    scale, causal, bq, bk, interp, kv_pad, window, group, q_pos, res, g
 ):
     # The backward needs no pad handling: pad K/V rows are zero, so dq gets
     # no contribution from them, and dk/dv pad rows are sliced by the
@@ -467,7 +502,7 @@ def _flash_bwd_rule(
     dq, dk, dv = _bwd(
         q, k, v, out, lse, g, q_seg, kv_seg,
         scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
-        window=window, q_pos=q_pos,
+        window=window, q_pos=q_pos, group=group,
     )
     return dq, dk, dv, None, None
 
@@ -498,10 +533,8 @@ def flash_attention(
     """
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
-    if hq != hkv:  # GQA: broadcast KV heads. TODO: shared-KV index maps.
-        assert hq % hkv == 0
-        k = jnp.repeat(k, hq // hkv, axis=2)
-        v = jnp.repeat(v, hq // hkv, axis=2)
+    assert hq % hkv == 0, f"GQA heads {hq} not divisible by kv heads {hkv}"
+    group = hq // hkv  # kernel index maps share each KV block across a group
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
 
     # Pad sequence dims to block multiples; padded tokens get segment id -1
@@ -560,7 +593,7 @@ def flash_attention(
     out = _flash_attention(
         qt, kt, vt, q_segment_ids, kv_segment_ids,
         scale, causal, block_q_eff, block_k_eff, interpret, kv_pad,
-        window, hq, q_position_offset,
+        window, group, q_position_offset,
     )
     out = jnp.transpose(out, (0, 2, 1, 3))
     if needs_pad:

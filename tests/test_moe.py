@@ -59,6 +59,47 @@ def test_moe_ep_sharded_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_moe_dropless_matches_dense_reference():
+    """Dropless (ragged_dot) output == per-expert dense computation, and no
+    token is ever dropped even at capacity_factor -> 0."""
+    cfg = MoEConfig(num_experts=4, top_k=2, intermediate_size=16,
+                    capacity_factor=0.01, dispatch="dropless")
+    model = MoEMlp(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 12))
+    params = model.init(jax.random.key(1), x)
+    out = model.apply(params, x)
+    # every token keeps its full top-k contribution: recompute densely
+    from flax.core import meta
+    p = meta.unbox(params)["params"]
+    xt = np.asarray(x.reshape(-1, 12))
+    logits = xt @ np.asarray(p["router"]["kernel"])
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    top_idx = np.argsort(-logits, axis=-1)[:, :2]
+    ref = np.zeros_like(xt)
+    for t in range(xt.shape[0]):
+        gts = probs[t, top_idx[t]]
+        gts = gts / gts.sum()
+        for j, e_id in enumerate(top_idx[t]):
+            h = xt[t] @ np.asarray(p["w_gate"])[e_id]
+            u = xt[t] @ np.asarray(p["w_up"])[e_id]
+            y = (h / (1 + np.exp(-h)) * u) @ np.asarray(p["w_down"])[e_id]
+            ref[t] += gts[j] * y
+    np.testing.assert_allclose(
+        np.asarray(out.output.reshape(-1, 12)), ref, atol=1e-4, rtol=1e-4
+    )
+    # all rows active (dropless), unlike the capacity path at cf=0.01
+    assert int(jnp.sum(jnp.any(out.output[0] != 0, axis=-1))) == 8
+
+    def loss(pp):
+        o = model.apply(pp, x)
+        return jnp.sum(jnp.square(o.output)) + o.aux_loss
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_router_bias_update():
     bias = jnp.zeros(4)
     load = jnp.array([0.7, 0.1, 0.1, 0.1])

@@ -146,3 +146,55 @@ def test_paged_decode_matches_dense():
     np.testing.assert_allclose(
         np.asarray(paged_out), np.asarray(dense_out), atol=2e-5, rtol=1e-4
     )
+
+    # Pallas paged-decode kernel (interpret mode): same numerics without
+    # materializing the gathered cache.
+    kernel_out = model.apply(
+        params, x_new, cos1, sin1, pages, block_tables,
+        jnp.full((b,), prompt + 1, jnp.int32),
+        method="decode_paged", impl="pallas", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kernel_out), np.asarray(dense_out), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_paged_decode_kernel_ragged_lengths():
+    """Kernel parity with per-sequence lengths (partial last page + clamped
+    page walk) against the XLA gather formulation."""
+    from internvideo_tpu.ops.paged_decode import paged_mla_decode
+
+    rng = np.random.default_rng(0)
+    b, h, r, p_dim, page_size, max_pages = 3, 4, 32, 16, 4, 5
+    num_pages = b * max_pages
+    seq_lens = np.array([3, 9, 17], np.int32)  # 1, 3, 5 pages
+    q_lat = jnp.asarray(rng.standard_normal((b, h, r)), jnp.float32)
+    q_pe = jnp.asarray(rng.standard_normal((b, h, p_dim)), jnp.float32)
+    pages = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, r + p_dim)), jnp.float32
+    )
+    # each sequence owns a disjoint page range, padded with page 0
+    tables = np.zeros((b, max_pages), np.int32)
+    for s in range(b):
+        n = -(-int(seq_lens[s]) // page_size)
+        tables[s, :n] = np.arange(s * max_pages, s * max_pages + n)
+    block_tables = jnp.asarray(tables)
+
+    out = paged_mla_decode(
+        q_lat, q_pe, pages, block_tables, jnp.asarray(seq_lens),
+        softmax_scale=0.17, interpret=True,
+    )
+
+    # reference: dense gather + masked softmax
+    gathered = np.asarray(pages)[tables].reshape(b, -1, r + p_dim)
+    c, pe = gathered[..., :r], gathered[..., r:]
+    s = (
+        np.einsum("bhr,bsr->bhs", np.asarray(q_lat), c)
+        + np.einsum("bhp,bsp->bhs", np.asarray(q_pe), pe)
+    ) * 0.17
+    mask = np.arange(gathered.shape[1])[None, None, :] < seq_lens[:, None, None]
+    s = np.where(mask, s, -1e30)
+    probs = np.exp(s - s.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bsr->bhr", probs, c)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
