@@ -120,6 +120,84 @@ def torch_state_dict_to_numpy(state_dict) -> dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Frozen teachers (UMT masked-distillation pretraining)
+# ---------------------------------------------------------------------------
+
+
+def convert_internvl_clip_teacher(
+    sd: Mapping[str, np.ndarray], *, depth: int
+) -> dict:
+    """internvl_clip_vision.py InternVL_CLIP state_dict -> CLIPTeacher params.
+
+    The torch teacher shares the InternVideo2 encoder naming (patch_embed /
+    blocks.N / clip_projector), so this nests the encoder conversion under
+    CLIPTeacher's `encoder` submodule.
+    """
+    enc = convert_internvideo2_encoder(sd, depth=depth)["params"]
+    return {"params": {"encoder": enc}}
+
+
+def convert_videomae_teacher(
+    sd: Mapping[str, np.ndarray], *, depth: int,
+    num_patches: "int | None" = None,
+) -> dict:
+    """videomae.py VisionTransformer state_dict -> MAETeacher params.
+
+    Layout notes: no cls token; `pos_embed` is the (1, N, D) sinusoid table;
+    attention bias is the reference's (q_bias, zeros, v_bias) trick
+    (videomae.py:86-91) reassembled into the fused (3, D) qkv bias;
+    gamma_1/gamma_2 map to ls1/ls2 LayerScale.
+    """
+    p: dict = {}
+    w = sd["patch_embed.proj.weight"]  # (D, C, kt, kh, kw)
+    d = w.shape[0]
+    kernel = np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0).reshape(-1, d))
+    p["patch_embed"] = {"proj": {"kernel": kernel}}
+    if "patch_embed.proj.bias" in sd:
+        p["patch_embed"]["proj"]["bias"] = sd["patch_embed.proj.bias"]
+    if "pos_embed" in sd:
+        p["pos_embed"] = sd["pos_embed"][0]  # drop leading broadcast dim
+    elif num_patches is not None:
+        # when the checkpoint grid matches the pre-computed table the torch
+        # module keeps a plain (non-state-dict) tensor == the raw sinusoid
+        from internvideo_tpu.models.teachers import sinusoid_table_1d
+
+        p["pos_embed"] = np.asarray(sinusoid_table_1d(num_patches, d))
+
+    for i in range(depth):
+        b = f"blocks.{i}"
+        qkv_w = sd[f"{b}.attn.qkv.weight"]  # (3D, D)
+        attn = {
+            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T).reshape(d, 3, d)},
+            "proj": _linear(sd, f"{b}.attn.proj"),
+        }
+        if f"{b}.attn.q_bias" in sd:
+            attn["qkv"]["bias"] = np.stack(
+                [
+                    sd[f"{b}.attn.q_bias"],
+                    np.zeros_like(sd[f"{b}.attn.q_bias"]),
+                    sd[f"{b}.attn.v_bias"],
+                ]
+            )
+        blk = {
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "attn": attn,
+            "mlp": {
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            },
+        }
+        if f"{b}.gamma_1" in sd:
+            blk["ls1"] = {"gamma": sd[f"{b}.gamma_1"]}
+            blk["ls2"] = {"gamma": sd[f"{b}.gamma_2"]}
+        p[f"blocks_{i}"] = blk
+
+    p["norm"] = _layernorm(sd, "norm")
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # BERT (HF naming) -> models/bert.BertModel
 # ---------------------------------------------------------------------------
 

@@ -196,8 +196,12 @@ class PretrainInternVideo2(nn.Module):
             axis=1,
         ).astype(dtype)
 
+        # Decoder j pairs with the j-th layer in ASCENDING block order — the
+        # reference appends intermediate layers as the block loop ascends
+        # (internvideo2_pretrain.py:659-668), so decoder 0 sees the earliest
+        # returned layer. Matters for K>1 and for loading reference ckpts.
         clip_aligned = []
-        for j, layer_idx in enumerate(cfg.clip_indices):
+        for j, layer_idx in enumerate(sorted(set(cfg.clip_indices))):
             feats = hidden[layer_idx] + clip_pos_vis
             clip_aligned.append(
                 _LinearDecoder(
@@ -237,7 +241,7 @@ class PretrainInternVideo2(nn.Module):
         mae_pos_vis = jnp.take(mae_pos, keep_indices, axis=0).astype(dtype)
 
         mae_aligned = []
-        for j, layer_idx in enumerate(cfg.mae_indices):
+        for j, layer_idx in enumerate(sorted(set(cfg.mae_indices))):
             feats = hidden[layer_idx][:, 1:] + mae_pos_vis
             mae_aligned.append(
                 _MlpDecoder(

@@ -10,9 +10,11 @@ returning
   * the pooling attention over patches per frame → (B*T, HW)
     (drives attention-guided masking)
 
-MAETeacher ≙ the VideoMAE-g14 hybrid (models/videomae.py): a LayerNorm-block
-video encoder (tubelet 2, no cls token pooling needed) returning K
-intermediate patch-feature layers, l2-normed → (K, B, N, C).
+MAETeacher ≙ the VideoMAE-g14 hybrid (models/videomae.py VisionTransformer):
+no cls token, 1-D sinusoid pos-embed added to tubelet tokens, LayerNorm
+blocks (optional gamma LayerScale), the FINAL norm applied to the last
+block's output before it is recorded; returns K intermediate patch-feature
+layers stacked in ascending block order, l2-normed → (K, B, N, C).
 
 Teachers are ordinary modules; freezing = jax.lax.stop_gradient at the loss
 site plus exclusion from the optimizer param tree.
@@ -80,10 +82,15 @@ class CLIPTeacher(nn.Module):
             return_hidden_layers=sorted(set(cfg.return_indices)),
             return_pool_attn=True,
         )
-        hidden = dict(
-            zip(sorted(set(cfg.return_indices)), out.hidden_states)
-        )
-        z = jnp.stack([hidden[i] for i in cfg.return_indices])  # (K,BT,1+HW,C)
+        # ascending block order — the reference appends as the block loop
+        # ascends (internvl_clip_vision.py:429-437), so z[0] is the earliest
+        # returned layer; pairs index-wise with the student's decoders
+        z = jnp.stack(
+            [
+                dict(zip(sorted(set(cfg.return_indices)), out.hidden_states))[i]
+                for i in sorted(set(cfg.return_indices))
+            ]
+        )  # (K, BT, 1+HW, C)
         k, _, hw1, c = z.shape
         cls = z[:, :, :1].reshape(k, b, t, 1, c).mean(axis=2)
         patches = z[:, :, 1:].reshape(k, b, t * (hw1 - 1), c)
@@ -101,33 +108,69 @@ class CLIPTeacher(nn.Module):
         return z, pooled, attn
 
 
+def sinusoid_table_1d(n_position: int, dim: int) -> jnp.ndarray:
+    """Classic 1-D transformer sinusoid table (videomae.py
+    get_sinusoid_encoding_table): angle[p, j] = p / 10000^(2*(j//2)/dim),
+    sin on even columns, cos on odd."""
+    import numpy as np
+
+    pos = np.arange(n_position)[:, None]
+    j = np.arange(dim)[None, :]
+    angle = pos / np.power(10000.0, 2 * (j // 2) / dim)
+    table = np.zeros((n_position, dim), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return jnp.asarray(table)
+
+
 class MAETeacher(nn.Module):
     config: TeacherConfig
 
     @nn.compact
     def __call__(self, video: jax.Array):
-        """video: (B, T, H, W, 3) -> (K, B, N, C) l2-normed patch features."""
+        """video: (B, T, H, W, 3) -> (K, B, N, C) l2-normed patch features.
+
+        Faithful to videomae.py VisionTransformer.forward:285-320: no cls
+        token; frozen sinusoid pos table; the final `norm` is applied to the
+        last block's output before recording; z stacks ascending.
+        """
+        from internvideo_tpu.nn.embeds import PatchEmbed3D
+        from internvideo_tpu.nn.norms import LayerNorm
+        from internvideo_tpu.nn.transformer import Block
+
         cfg = self.config
-        enc_cfg = InternVideo2Config(
-            embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            mlp_ratio=cfg.mlp_ratio, patch_size=cfg.patch_size,
-            img_size=cfg.img_size, num_frames=video.shape[1],
-            tubelet_size=cfg.tubelet_size,
-            qk_normalization=cfg.qk_normalization,
-            init_values=cfg.init_values,
-            clip_embed_dim=cfg.clip_embed_dim, num_classes=0,
-            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-            attn_impl=cfg.attn_impl, norm_type=cfg.norm_type,
+        dtype = jnp.dtype(cfg.dtype)
+        param_dtype = jnp.dtype(cfg.param_dtype)
+        x = PatchEmbed3D(
+            embed_dim=cfg.embed_dim, patch_size=cfg.patch_size,
+            tubelet_size=cfg.tubelet_size, dtype=dtype,
+            param_dtype=param_dtype, name="patch_embed",
+        )(video)  # (B, T', L, C)
+        x = x.reshape(x.shape[0], -1, cfg.embed_dim)  # (B, N, C)
+        n = x.shape[1]
+        pos = self.param(
+            "pos_embed",
+            lambda key, shape, dt: sinusoid_table_1d(*shape).astype(dt),
+            (n, cfg.embed_dim),
+            param_dtype,
         )
-        out = InternVideo2(enc_cfg, name="encoder")(
-            video, return_hidden_layers=sorted(set(cfg.return_indices))
-        )
-        hidden = dict(
-            zip(sorted(set(cfg.return_indices)), out.hidden_states)
-        )
-        z = jnp.stack(
-            [hidden[i][:, 1:] for i in cfg.return_indices]
-        )  # (K, B, N, C)
+        x = x + jax.lax.stop_gradient(pos)[None].astype(dtype)
+
+        want = sorted(set(cfg.return_indices))
+        z = []
+        for i in range(cfg.depth):
+            x = Block(
+                num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=True, qk_normalization=False,
+                init_values=cfg.init_values or None,
+                norm_type="layernorm", dtype=dtype, param_dtype=param_dtype,
+                attn_impl=cfg.attn_impl, name=f"blocks_{i}",
+            )(x, True)
+            if i == cfg.depth - 1:
+                x = LayerNorm(dtype=dtype, name="norm")(x)
+            if i in want:
+                z.append(x)
+        z = jnp.stack(z)  # (K, B, N, C) ascending block order
         z = z / jnp.linalg.norm(
             z.astype(jnp.float32), axis=-1, keepdims=True
         ).astype(z.dtype)

@@ -20,6 +20,28 @@ def _install_stubs():
 
     if "flash_attn" not in sys.modules:
         fa = types.ModuleType("flash_attn")
+
+        def flash_attn_func(
+            q, k, v, dropout_p=0.0, softmax_scale=None, causal=False,
+            **kwargs,
+        ):
+            # videomae.py:86-93 passes (B, H, N, D) and reshapes the result
+            # to (B, N, H*D): standard-MHSA semantics require returning
+            # (B, N, H, D) with heads concatenated by the reshape.
+            scale = (
+                softmax_scale if softmax_scale is not None
+                else q.shape[-1] ** -0.5
+            )
+            s = torch.einsum("bhqd,bhkd->bhqk", q.float(), k.float()) * scale
+            if causal:
+                nq, nk = s.shape[-2:]
+                mask = torch.ones(nq, nk, dtype=torch.bool).tril()
+                s = s.masked_fill(~mask, float("-inf"))
+            p = s.softmax(-1)
+            o = torch.einsum("bhqk,bhkd->bhqd", p, v.float())
+            return o.permute(0, 2, 1, 3).to(q.dtype)
+
+        fa.flash_attn_func = flash_attn_func
         fa_mlp = types.ModuleType("flash_attn.modules.mlp")
         fa_mlp.FusedMLP = object
         fa_modules = types.ModuleType("flash_attn.modules")
@@ -65,6 +87,7 @@ def _install_stubs():
         layers.DropPath = DropPath
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        layers.drop_path = lambda x, drop_prob=0.0, training=False: x
         registry = types.ModuleType("timm.models.registry")
         registry.register_model = lambda fn: fn
         sys.modules.update({

@@ -162,3 +162,92 @@ def test_pretrain_student_parity(ref_module):
     np.testing.assert_allclose(
         np.asarray(out.mae), r_mae.numpy(), atol=1e-4, rtol=1e-3
     )
+
+
+def test_clip_teacher_parity(ref_module):
+    """CLIPTeacher (frozen InternVL-CLIP image tower) vs
+    internvl_clip_vision.py: intermediate z stack (ordering!), pooled
+    projection, and the pooling attention used for attention-guided masks."""
+    ref_clip = load_reference_module(
+        "InternVideo2/single_modality/models/internvl_clip_vision.py",
+        extra_siblings=("flash_attention_class.py",),
+    )
+    from internvideo_tpu.models.convert import (
+        convert_internvl_clip_teacher,
+    )
+    from internvideo_tpu.models.teachers import CLIPTeacher, TeacherConfig
+
+    torch.manual_seed(0)
+    ref = ref_clip.InternVL_CLIP(
+        patch_size=14, img_size=56, embed_dim=64, num_heads=2, mlp_ratio=4,
+        init_values=0.1, qk_normalization=True, depth=3,
+        use_flash_attn=False, use_fused_rmsnorm=False, use_fused_mlp=False,
+        attn_pool_num_heads=16, clip_embed_dim=32, drop_path_rate=0.0,
+        clip_return_layer=2, clip_return_interval=1, return_attn=True,
+    ).eval()
+
+    cfg = TeacherConfig(
+        embed_dim=64, depth=3, num_heads=2, mlp_ratio=4.0,
+        patch_size=14, img_size=56, clip_embed_dim=32,
+        return_layers=2, return_interval=1.0,
+        qk_normalization=True, init_values=0.1, attn_impl="xla",
+    )
+    model = CLIPTeacher(cfg)
+    params = convert_internvl_clip_teacher(
+        torch_state_dict_to_numpy(ref.state_dict()), depth=3
+    )
+
+    rng = np.random.RandomState(1)
+    video = rng.randn(2, 4, 56, 56, 3).astype(np.float32)
+    with torch.no_grad():
+        r_z, r_pooled, r_attn = ref(
+            torch.from_numpy(video).permute(0, 4, 1, 2, 3)
+        )
+    z, pooled, attn = model.apply(params, video)
+    np.testing.assert_allclose(
+        np.asarray(z), r_z.numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), r_pooled.numpy(), atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(attn), r_attn.numpy(), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_mae_teacher_parity(ref_module):
+    """MAETeacher vs videomae.py VisionTransformer (g14-hybrid style):
+    sinusoid pos table, final-norm-before-last-record, ascending z."""
+    ref_mae = load_reference_module(
+        "InternVideo2/single_modality/models/videomae.py",
+    )
+    from internvideo_tpu.models.convert import convert_videomae_teacher
+    from internvideo_tpu.models.teachers import MAETeacher, TeacherConfig
+
+    torch.manual_seed(0)
+    ref = ref_mae.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=48, depth=3, num_heads=2,
+        mlp_ratio=4.0, qkv_bias=True, init_values=0.1,
+        all_frames=4, tubelet_size=2,
+        mae_return_layer=2, mae_return_interval=1,
+    ).eval()
+
+    cfg = TeacherConfig(
+        embed_dim=48, depth=3, num_heads=2, mlp_ratio=4.0,
+        patch_size=16, img_size=32, tubelet_size=2,
+        return_layers=2, return_interval=1.0,
+        init_values=0.1, norm_type="layernorm", attn_impl="xla",
+    )
+    model = MAETeacher(cfg)
+    params = convert_videomae_teacher(
+        torch_state_dict_to_numpy(ref.state_dict()), depth=3
+    )
+
+    rng = np.random.RandomState(1)
+    video = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        r_z = ref(torch.from_numpy(video).permute(0, 4, 1, 2, 3))
+    z = model.apply(params, video)
+    np.testing.assert_allclose(
+        np.asarray(z), r_z.numpy(), atol=1e-4, rtol=1e-3
+    )
