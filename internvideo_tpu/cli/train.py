@@ -24,6 +24,9 @@ from internvideo_tpu.train.trainer import Trainer, TrainerConfig
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
     task: str = "finetune"  # finetune | pretrain | clip | sft | distill
+    # multi-host bootstrap: "auto" honors JAX_COORDINATOR_ADDRESS/env and
+    # no-ops single-process; "off" skips entirely (core/distributed.py)
+    distributed: str = "auto"
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     model: object = None  # task-specific model config
     data: object = None  # task-specific data config / factory
@@ -74,6 +77,14 @@ def main(argv: Optional[list[str]] = None):
 
     run: RunConfig = load_config(args.config)
     run = apply_overrides(run, args.overrides)
+    if getattr(run, "distributed", "auto") != "off":
+        from internvideo_tpu.core.distributed import initialize
+
+        if initialize():
+            print(
+                f"distributed: process {jax.process_index()}/"
+                f"{jax.process_count()}, {jax.device_count()} global devices"
+            )
     print("config:", config_to_dict(run.trainer))
 
     if run.task == "finetune":

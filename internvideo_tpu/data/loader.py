@@ -65,14 +65,24 @@ class MetaLoader:
 
 
 class StatefulIterator:
-    """Seeded, epoch-aware, step-resumable index iterator over a dataset."""
+    """Seeded, epoch-aware, step-resumable index iterator over a dataset.
 
-    def __init__(self, n: int, *, seed: int = 0, shuffle: bool = True):
+    `num_shards`/`shard_id` give per-host data sharding (DistributedSampler
+    equivalent): every host computes the same epoch permutation from the
+    seed and consumes its strided slice — disjoint, no collective.
+    """
+
+    def __init__(
+        self, n: int, *, seed: int = 0, shuffle: bool = True,
+        num_shards: int = 1, shard_id: int = 0,
+    ):
         self.n = n
         self.seed = seed
         self.shuffle = shuffle
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.epoch = 0
-        self.step = 0  # index position inside the epoch
+        self.step = 0  # index position inside this shard's epoch slice
 
     def state_dict(self) -> dict:
         return {"epoch": self.epoch, "step": self.step}
@@ -81,14 +91,18 @@ class StatefulIterator:
         self.epoch, self.step = s["epoch"], s["step"]
 
     def _perm(self) -> np.ndarray:
-        if not self.shuffle:
-            return np.arange(self.n)
-        return np.random.default_rng(self.seed + self.epoch).permutation(self.n)
+        if self.shuffle:
+            perm = np.random.default_rng(
+                self.seed + self.epoch
+            ).permutation(self.n)
+        else:
+            perm = np.arange(self.n)
+        return perm[self.shard_id :: self.num_shards]
 
     def __iter__(self) -> Iterator[int]:
         while True:
             perm = self._perm()
-            while self.step < self.n:
+            while self.step < len(perm):
                 idx = int(perm[self.step])
                 self.step += 1
                 yield idx
