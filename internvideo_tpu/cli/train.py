@@ -51,7 +51,9 @@ def build_finetune(run: RunConfig):
     batch = {"video": video, "label": jnp.zeros((run.data["batch_size"],), jnp.int32)}
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: make_finetune_step(m, run.engine, mesh),
+        lambda m, mesh, grad_accum=1: make_finetune_step(
+            m, run.engine, mesh, grad_accum=grad_accum
+        ),
         example_batch=batch,
         example_inputs=(video,),
     )
@@ -144,9 +146,9 @@ def build_clip(run: RunConfig):
         )
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: make_clip_train_step(
+        lambda m, mesh, grad_accum=1: make_clip_train_step(
             m, run.engine, clip_teacher=clip_teacher,
-            teacher_params=teacher_params,
+            teacher_params=teacher_params, grad_accum=grad_accum,
         ),
         example_batch=batch,
         example_inputs=(batch["video"], batch["input_ids"],
@@ -204,13 +206,12 @@ def build_pretrain(run: RunConfig):
         "clip": clip_teacher.init(rng, student_video),
         "mae": mae_teacher.init(jax.random.fold_in(rng, 1), video),
     }
-    raw = make_pretrain_step(model, clip_teacher, mae_teacher, cfg)
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: (
-            lambda state, batch, step_rng: raw(
-                state, teacher_params, batch, step_rng
-            )
+        lambda m, mesh, grad_accum=1: (
+            lambda state, batch, step_rng, raw=make_pretrain_step(
+                model, clip_teacher, mae_teacher, cfg, grad_accum=grad_accum
+            ): raw(state, teacher_params, batch, step_rng)
         ),
         example_batch={"video": video},
         example_inputs=(student_video, keep0),
@@ -245,13 +246,12 @@ def build_distill(run: RunConfig):
     teacher_params = teacher.init(
         jax.random.key(run.trainer.seed + 1), video
     )
-    raw = make_distill_step(model, teacher, cfg)
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: (
-            lambda state, batch, step_rng: raw(
-                state, teacher_params, batch, step_rng
-            )
+        lambda m, mesh, grad_accum=1: (
+            lambda state, batch, step_rng, raw=make_distill_step(
+                model, teacher, cfg, grad_accum=grad_accum
+            ): raw(state, teacher_params, batch, step_rng)
         ),
         example_batch={"video": video},
         example_inputs=(video, keep0),
@@ -319,7 +319,9 @@ def build_sft(run: RunConfig):
     }
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh: make_sft_step(m, run.engine, mesh=mesh),
+        lambda m, mesh, grad_accum=1: make_sft_step(
+            m, run.engine, mesh=mesh, grad_accum=grad_accum
+        ),
         example_batch=batch,
         example_inputs=(batch["input_ids"], batch["video"]),
         batch_specs=specs,

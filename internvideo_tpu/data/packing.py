@@ -58,24 +58,32 @@ def soft_pack(
     return PackingResult(packs=packs, efficiency=eff, dropped=dropped)
 
 
+@dataclasses.dataclass
+class HardPackResult:
+    # per pack: (sample_idx, start, end) token ranges — full split bookkeeping
+    packs: list[list[tuple[int, int, int]]]
+    efficiency: float
+
+
 def hard_pack(
     lengths: Sequence[int], pack_max_length: int
-) -> PackingResult:
+) -> HardPackResult:
     """Stream-concatenate samples, splitting across pack boundaries.
 
-    Returns packs of (index, start, end) triples flattened as indices with
-    the split bookkeeping left to the caller (token streams, not samples).
+    Every pack except possibly the last is exactly full; each entry records
+    which token range [start, end) of which sample fills it, so the caller
+    (or `hard_pack_streams`) can slice real token arrays.
     """
-    packs: list[list[int]] = []
-    cur: list[int] = []
+    packs: list[list[tuple[int, int, int]]] = []
+    cur: list[tuple[int, int, int]] = []
     space = pack_max_length
     for i, n in enumerate(lengths):
-        left = n
-        while left > 0:
-            take = min(left, space)
-            cur.append(i)
+        pos = 0
+        while pos < n:
+            take = min(n - pos, space)
+            cur.append((i, pos, pos + take))
             space -= take
-            left -= take
+            pos += take
             if space == 0:
                 packs.append(cur)
                 cur, space = [], pack_max_length
@@ -85,7 +93,33 @@ def hard_pack(
     eff = total / max(
         ((total + pack_max_length - 1) // pack_max_length) * pack_max_length, 1
     )
-    return PackingResult(packs=packs, efficiency=eff, dropped=[])
+    return HardPackResult(packs=packs, efficiency=eff)
+
+
+def hard_pack_streams(
+    streams: Sequence, pack_max_length: int, *, pad_value: int = 0
+):
+    """Materialize hard packs from per-sample token arrays.
+
+    Returns (tokens (P, L) int array, segment_ids (P, L) — sample index per
+    token, -1 on the final pack's padding). The actual token-stream
+    splitting the reference's hard packing performs (packing.py:24-474).
+    """
+    import numpy as np
+
+    lengths = [len(s) for s in streams]
+    res = hard_pack(lengths, pack_max_length)
+    p = len(res.packs)
+    tokens = np.full((p, pack_max_length), pad_value, np.int64)
+    segs = np.full((p, pack_max_length), -1, np.int32)
+    for pi, chunks in enumerate(res.packs):
+        off = 0
+        for idx, start, end in chunks:
+            n = end - start
+            tokens[pi, off : off + n] = np.asarray(streams[idx][start:end])
+            segs[pi, off : off + n] = idx
+            off += n
+    return tokens, segs, res
 
 
 def attention_efficiency(lengths: Sequence[int]) -> float:

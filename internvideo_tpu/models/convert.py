@@ -198,6 +198,42 @@ def convert_videomae_teacher(
 
 
 # ---------------------------------------------------------------------------
+# MobileCLIP text tower -> models/text_encoders.CLIPTextEncoder
+# ---------------------------------------------------------------------------
+
+
+def convert_mobileclip_text(
+    sd: Mapping[str, np.ndarray], *, num_layers: int,
+) -> dict:
+    """mobileclip/text_encoder.py TextTransformer state_dict (base variant)
+    -> CLIPTextEncoder params. Naming: pre_norm_mha.0 = LN, .1 = MHA with
+    fused qkv_proj; pre_norm_ffn.0/.1/.4 = LN/fc1/fc2; the learnable pos
+    table lives at positional_embedding.pos_embed.pos_embed (1,1,CL,D)."""
+    d = sd["embedding_layer.weight"].shape[1]
+    p: dict = {
+        "token_embedding": {"embedding": sd["embedding_layer.weight"]},
+        "positional_embedding": sd[
+            "positional_embedding.pos_embed.pos_embed"
+        ].reshape(-1, d),
+        "ln_final": _layernorm(sd, "final_layer_norm"),
+        "text_projection": sd["projection_layer"],
+    }
+    for i in range(num_layers):
+        b = f"transformer.{i}"
+        qkv_w = sd[f"{b}.pre_norm_mha.1.qkv_proj.weight"]  # (3D, D)
+        p[f"attn_qkv_{i}"] = {
+            "kernel": np.ascontiguousarray(qkv_w.T).reshape(d, 3, d),
+            "bias": sd[f"{b}.pre_norm_mha.1.qkv_proj.bias"].reshape(3, d),
+        }
+        p[f"ln_1_{i}"] = _layernorm(sd, f"{b}.pre_norm_mha.0")
+        p[f"attn_proj_{i}"] = _linear(sd, f"{b}.pre_norm_mha.1.out_proj")
+        p[f"ln_2_{i}"] = _layernorm(sd, f"{b}.pre_norm_ffn.0")
+        p[f"mlp_fc_{i}"] = _linear(sd, f"{b}.pre_norm_ffn.1")
+        p[f"mlp_proj_{i}"] = _linear(sd, f"{b}.pre_norm_ffn.4")
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # BERT (HF naming) -> models/bert.BertModel
 # ---------------------------------------------------------------------------
 

@@ -4,6 +4,11 @@
     (Data/InternVid/viclip/viclip_text.py): token + learned positional
     embeddings, pre-LN causal blocks with quick-gelu MLP, final LN, features
     taken at the EOT token (argmax of ids), linear text projection.
+    With act="gelu" this is also the MobileCLIP-B text tower
+    (multi_modality/models/backbones/internvideo2/mobileclip/
+    text_encoder.py:18-231, the CLIP-small family's text side —
+    internvideo2_clip_small.py:196); `mobileclip_text_config` builds the
+    matching config from the reference's json text_cfg.
   * LLaMATextEncoder — the CLIP-variant's LLaMA-7B text tower
     (multi_modality/models/backbones/internvideo2_clip_text.py:14-67):
     RMSNorm + RoPE + (G)QA + SwiGLU causal decoder; the last-token hidden
@@ -34,9 +39,37 @@ class CLIPTextConfig:
     num_heads: int = 8
     context_length: int = 77
     embed_dim: int = 512  # projection output
+    mlp_ratio: float = 4.0
+    act: str = "quick_gelu"  # "quick_gelu" (CLIP/ViCLIP) | "gelu" (MobileCLIP)
+    causal: bool = True
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
+
+
+def mobileclip_text_config(
+    text_cfg: dict, projection_dim: int = 512, **overrides
+) -> "CLIPTextConfig":
+    """Build a CLIPTextConfig from a mobileclip json `text_cfg` block
+    (configs/mobileclip_b.json). Only the shipped "base" variant is
+    meaningful — the reference raises NotImplementedError for "mct"."""
+    if text_cfg.get("model_name", "base") != "base":
+        raise NotImplementedError(
+            "only the 'base' MobileCLIP text variant is implemented "
+            "(the reference's 'mct' path is itself NotImplementedError)"
+        )
+    return CLIPTextConfig(
+        vocab_size=text_cfg["vocab_size"],
+        width=text_cfg["dim"],
+        num_layers=text_cfg["n_transformer_layers"],
+        num_heads=text_cfg["n_heads_per_layer"],
+        context_length=text_cfg["context_length"],
+        embed_dim=projection_dim,
+        mlp_ratio=text_cfg.get("ffn_multiplier_per_layer", 4.0),
+        act="gelu",
+        causal=text_cfg.get("causal_masking", True),
+        **overrides,
+    )
 
 
 class CLIPTextEncoder(nn.Module):
@@ -81,7 +114,7 @@ class CLIPTextEncoder(nn.Module):
             k = k.reshape(b, l, cfg.num_heads, hd)
             v = v.reshape(b, l, cfg.num_heads, hd)
             attn = dot_product_attention(
-                q, k, v, causal=True, impl=cfg.attn_impl
+                q, k, v, causal=cfg.causal, impl=cfg.attn_impl
             ).reshape(b, l, cfg.width)
             attn = nn.Dense(
                 cfg.width, dtype=dtype, param_dtype=pdtype,
@@ -92,14 +125,19 @@ class CLIPTextEncoder(nn.Module):
             )(attn)
             x = x + attn
             h = LayerNorm(eps=1e-5, dtype=dtype, name=f"ln_2_{i}")(x)
+            # MobileCLIP rounds the FFN width up to a multiple of 16
+            ffn = int(-(-cfg.width * cfg.mlp_ratio // 16) * 16)
             h = nn.Dense(
-                cfg.width * 4, dtype=dtype, param_dtype=pdtype,
+                ffn, dtype=dtype, param_dtype=pdtype,
                 kernel_init=nn.with_logical_partitioning(
                     nn.initializers.normal(0.02), ("embed", "mlp")
                 ),
                 name=f"mlp_fc_{i}",
             )(h)
-            h = h * jax.nn.sigmoid(1.702 * h)  # quick-gelu (CLIP)
+            if cfg.act == "quick_gelu":
+                h = h * jax.nn.sigmoid(1.702 * h)  # quick-gelu (CLIP)
+            else:
+                h = nn.gelu(h, approximate=False)
             h = nn.Dense(
                 cfg.width, dtype=dtype, param_dtype=pdtype,
                 kernel_init=nn.with_logical_partitioning(

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import optax_global_norm
+from internvideo_tpu.train.step import make_accum_step, optax_global_norm
 
 NEG = -1e30
 
@@ -193,7 +193,8 @@ def _teacher_targets_and_mask(clip_teacher, teacher_params, video, rng, cfg):
 
 
 def make_clip_train_step(
-    model, cfg: CLIPLossConfig, clip_teacher=None, teacher_params=None
+    model, cfg: CLIPLossConfig, clip_teacher=None, teacher_params=None,
+    *, grad_accum: int = 1,
 ):
     """step(state, batch, rng) for VideoCLIP stage-2.
 
@@ -304,16 +305,4 @@ def make_clip_train_step(
         )
         return total, losses
 
-    def step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        grad_norm = optax_global_norm(grads)
-        state = state.apply_gradients(grads)
-        return state, {
-            "loss": loss, "grad_norm": grad_norm,
-            "finite": jnp.isfinite(loss), **aux,
-        }
-
-    return step
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from internvideo_tpu.data.masking import random_keep_indices, tube_keep_indices
 from internvideo_tpu.train.engines.pretrain import _align_loss
 from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import optax_global_norm
+from internvideo_tpu.train.step import make_accum_step, optax_global_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,7 +29,7 @@ class DistillConfig:
     loss_ratio: tuple[float, float] = (1.0, 1.0)  # (middle, final)
 
 
-def make_distill_step(student, teacher, cfg: DistillConfig):
+def make_distill_step(student, teacher, cfg: DistillConfig, *, grad_accum: int = 1):
     """step(state, teacher_params, batch{"video"}, rng)."""
 
     def teacher_targets(teacher_params, video, keep):
@@ -93,15 +93,4 @@ def make_distill_step(student, teacher, cfg: DistillConfig):
         loss = cfg.loss_ratio[0] * loss_mid + cfg.loss_ratio[1] * loss_final
         return loss, {"loss_middle": loss_mid, "loss_final": loss_final}
 
-    def step(state: TrainState, teacher_params, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, teacher_params, batch, rng
-        )
-        state = state.apply_gradients(grads)
-        return state, {
-            "loss": loss, "grad_norm": optax_global_norm(grads),
-            "finite": jnp.isfinite(loss), **aux,
-        }
-
-    return step
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

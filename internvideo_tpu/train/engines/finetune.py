@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from internvideo_tpu.data.mixup import MixupConfig, mixup_cutmix
 from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import optax_global_norm
+from internvideo_tpu.train.step import make_accum_step, optax_global_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,7 +26,7 @@ class FinetuneConfig:
     num_classes: int = 400
 
 
-def make_finetune_step(model, cfg: FinetuneConfig, mesh=None):
+def make_finetune_step(model, cfg: FinetuneConfig, mesh=None, *, grad_accum: int = 1):
     def loss_fn(params, batch, rng):
         video, labels = batch["video"], batch["label"]
         if cfg.mixup is not None:
@@ -52,16 +52,4 @@ def make_finetune_step(model, cfg: FinetuneConfig, mesh=None):
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return loss, {"acc": acc}
 
-    def step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        grad_norm = optax_global_norm(grads)
-        state = state.apply_gradients(grads)
-        return state, {
-            "loss": loss, "grad_norm": grad_norm,
-            "finite": jnp.isfinite(loss), **aux,
-        }
-
-    return step
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

@@ -30,7 +30,7 @@ from internvideo_tpu.data.masking import (
     tube_keep_indices,
 )
 from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import optax_global_norm
+from internvideo_tpu.train.step import make_accum_step, optax_global_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +55,8 @@ def make_pretrain_step(
     clip_teacher,
     mae_teacher,
     cfg: UMTPretrainConfig,
+    *,
+    grad_accum: int = 1,
 ):
     """Returns step(state, teacher_params, batch, rng) -> (state, metrics).
 
@@ -130,19 +132,4 @@ def make_pretrain_step(
         }
         return loss, aux
 
-    def step(state: TrainState, teacher_params, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, teacher_params, batch, rng
-        )
-        grad_norm = optax_global_norm(grads)
-        state = state.apply_gradients(grads)
-        metrics = {
-            "loss": loss,
-            "grad_norm": grad_norm,
-            "finite": jnp.isfinite(loss),
-            **aux,
-        }
-        return state, metrics
-
-    return step
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

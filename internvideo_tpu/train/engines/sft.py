@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from internvideo_tpu.ops.attention import ulysses_context
 from internvideo_tpu.train.chunked_ce import chunked_cross_entropy
 from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import optax_global_norm
+from internvideo_tpu.train.step import make_accum_step, optax_global_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,7 +25,7 @@ class SFTConfig:
     ce_chunk_size: int = 2048
 
 
-def make_sft_step(model, cfg: SFTConfig, mesh=None):
+def make_sft_step(model, cfg: SFTConfig, mesh=None, *, grad_accum: int = 1):
     """step(state, batch, rng); batch carries a packed SequenceContext:
     {"input_ids", "segment_ids", "position_ids", "labels", "video"(opt)}.
     """
@@ -56,16 +56,4 @@ def make_sft_step(model, cfg: SFTConfig, mesh=None):
         n_tok = jnp.sum(labels != -100)
         return loss, {"tokens": n_tok}
 
-    def step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
-        grad_norm = optax_global_norm(grads)
-        state = state.apply_gradients(grads)
-        return state, {
-            "loss": loss, "grad_norm": grad_norm,
-            "finite": jnp.isfinite(loss), **aux,
-        }
-
-    return step
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

@@ -76,6 +76,61 @@ def make_train_step(
     return train_step
 
 
+def make_accum_step(loss_fn: Callable, *, grad_accum: int = 1):
+    """Shared step factory for the engines.
+
+    loss_fn(params, *extra, batch, rng) -> (loss, aux_metrics); returns
+    step(state, *extra, batch, rng) -> (state, metrics). With grad_accum>1
+    the batch leaves must arrive shaped (accum, micro, ...) (Trainer
+    reshapes) and gradients average over a lax.scan of micro-batches — the
+    TPU form of xtuner's micro-batch loop (train_engine.py:226-310).
+    """
+
+    def step(state: TrainState, *rest):
+        *extra, batch, rng = rest
+        rng = jax.random.fold_in(rng, state.step)
+
+        def _grads(mb, mrng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, *extra, mb, mrng
+            )
+            return loss, aux, grads
+
+        if grad_accum == 1:
+            loss, aux, grads = _grads(batch, rng)
+        else:
+            def body(carry, micro):
+                mb, mrng = micro
+                loss, aux, grads = _grads(mb, mrng)
+                acc_loss, acc_grads = carry
+                return (
+                    acc_loss + loss,
+                    jax.tree.map(jnp.add, acc_grads, grads),
+                ), aux
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            micro_rngs = jax.random.split(rng, grad_accum)
+            (loss_sum, grads), aux = jax.lax.scan(
+                body, (jnp.zeros(()), zeros), (batch, micro_rngs)
+            )
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), aux)
+
+        grad_norm = optax_global_norm(grads)
+        state = state.apply_gradients(grads)
+        return state, {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "finite": jnp.isfinite(loss).astype(jnp.float32),
+            **aux,
+        }
+
+    return step
+
+
 def optax_global_norm(tree) -> jax.Array:
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x.astype(jnp.float32)))

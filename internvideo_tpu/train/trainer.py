@@ -46,6 +46,11 @@ class TrainerConfig:
     hf_export_every: int = 0
     # save + stop cleanly on SIGTERM/SIGINT (preemption-aware, SURVEY §5.3)
     save_on_preemption: bool = True
+    # micro-batch gradient accumulation: incoming batches of size B are
+    # reshaped to (grad_accum, B // grad_accum, ...) and scanned
+    grad_accum: int = 1
+    # tensorboard event-file directory (xtuner _writer/ equivalent)
+    tensorboard_dir: Optional[str] = None
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig
@@ -89,10 +94,26 @@ class Trainer:
                 rules=self.rules, init_kwargs=init_kwargs,
             )
 
-        step_fn = step_builder(model, self.mesh)
+        import inspect
+
+        ga = config.grad_accum
+        if ga > 1 and "grad_accum" in inspect.signature(step_builder).parameters:
+            step_fn = step_builder(model, self.mesh, grad_accum=ga)
+        elif ga > 1:
+            raise ValueError(
+                "grad_accum > 1 but the step builder does not accept a "
+                "grad_accum kwarg"
+            )
+        else:
+            step_fn = step_builder(model, self.mesh)
         dp = ("replica", "fsdp")
         if batch_specs is None:
             batch_specs = {k: PartitionSpec(dp) for k in example_batch}
+        if ga > 1:
+            # leading micro-batch axis is scanned, never sharded
+            batch_specs = {
+                k: PartitionSpec(None, *spec) for k, spec in batch_specs.items()
+            }
         self.batch_shardings = {
             k: NamedSharding(self.mesh, spec) for k, spec in batch_specs.items()
         }
@@ -113,10 +134,25 @@ class Trainer:
                 if restored is not None:
                     self.state = restored
         self.metrics = MetricLogger(
-            jsonl_path=jsonl_path, log_every=config.log_every
+            jsonl_path=jsonl_path, log_every=config.log_every,
+            tensorboard_dir=config.tensorboard_dir,
         )
 
     def put_batch(self, batch: dict) -> dict:
+        ga = self.config.grad_accum
+        if ga > 1:
+            dims = {np.asarray(v).shape[0] for v in batch.values()}
+            if len(dims) != 1:
+                raise ValueError(
+                    "grad_accum requires every batch leaf to lead with the "
+                    f"batch dim; got leading dims {sorted(dims)}"
+                )
+            batch = {
+                k: np.reshape(
+                    np.asarray(v), (ga, -1) + np.asarray(v).shape[1:]
+                )
+                for k, v in batch.items()
+            }
         return {
             k: jax.device_put(v, self.batch_shardings[k])
             for k, v in batch.items()

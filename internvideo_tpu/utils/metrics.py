@@ -51,6 +51,7 @@ class MetricLogger:
         jsonl_path: Optional[str] = None,
         log_every: int = 10,
         print_fn=print,
+        tensorboard_dir: Optional[str] = None,
     ):
         self.meters: dict[str, SmoothedValue] = collections.defaultdict(
             SmoothedValue
@@ -61,6 +62,12 @@ class MetricLogger:
         if jsonl_path:
             os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
             self._jsonl = open(jsonl_path, "a")
+        self._tb = None
+        if tensorboard_dir:
+            # xtuner _writer/ tensorboard tracker equivalent (trainer.py:949)
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(tensorboard_dir)
         self._t_last = time.perf_counter()
         self._tokens_since = 0
 
@@ -88,6 +95,10 @@ class MetricLogger:
         if self._jsonl:
             self._jsonl.write(json.dumps(record) + "\n")
             self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, float(v), step)
         msg = "  ".join(
             f"{k}: {v:.5g}" if isinstance(v, float) else f"{k}: {v}"
             for k, v in record.items()
@@ -98,3 +109,5 @@ class MetricLogger:
     def close(self):
         if self._jsonl:
             self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

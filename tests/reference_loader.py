@@ -63,6 +63,21 @@ def _install_stubs():
             "flash_attn.bert_padding": fa_pad,
         })
 
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+
+        class StochasticDepth(nn.Module):  # eval-path identity
+            def __init__(self, p=0.0, mode="row"):
+                super().__init__()
+                self.p = p
+
+            def forward(self, x):
+                return x
+
+        tv_ops.StochasticDepth = StochasticDepth
+        sys.modules.update({"torchvision": tv, "torchvision.ops": tv_ops})
+
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         models = types.ModuleType("timm.models")

@@ -98,6 +98,24 @@ def test_packing():
 
     res = hard_pack([50, 30], 40)
     assert res.efficiency == 1.0
+    # split bookkeeping: sample 0 spans packs 0-1, sample 1 finishes pack 1
+    assert res.packs[0] == [(0, 0, 40)]
+    assert res.packs[1] == [(0, 40, 50), (1, 0, 30)]
+
+    # token-stream materialization
+    import numpy as np
+    from internvideo_tpu.data.packing import hard_pack_streams
+
+    streams = [np.arange(50), 100 + np.arange(30)]
+    tokens, segs, _ = hard_pack_streams(streams, 40)
+    assert tokens.shape == (2, 40)
+    np.testing.assert_array_equal(tokens[0], np.arange(40))
+    np.testing.assert_array_equal(tokens[1, :10], 40 + np.arange(10))
+    np.testing.assert_array_equal(tokens[1, 10:], 100 + np.arange(30))
+    np.testing.assert_array_equal(segs[0], np.zeros(40))
+    np.testing.assert_array_equal(
+        segs[1], np.concatenate([np.zeros(10), np.ones(30)])
+    )
 
     assert attention_efficiency([10, 10]) == 200 / 400
 

@@ -62,6 +62,48 @@ def test_trainer_fit_and_resume(tmp_path):
     t2.ckpt.close()
 
 
+def test_trainer_grad_accum(tmp_path):
+    """grad_accum=2: batches are split into micro-batches inside the step;
+    the run completes and metrics stay finite. Numeric equivalence of
+    accumulated vs full-batch gradients is pinned in test_misc_ops."""
+    from internvideo_tpu.train.engines.finetune import (
+        FinetuneConfig,
+        make_finetune_step,
+    )
+
+    cfg = TrainerConfig(
+        total_steps=3, log_every=1, grad_accum=2,
+        mesh=MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1),
+        optimizer=OptimizerConfig(lr=1e-3, total_steps=3),
+    )
+    eng = FinetuneConfig(mixup=None, num_classes=4)
+    t = Trainer(
+        cfg,
+        InternVideo2(TINY),
+        lambda model, mesh, grad_accum=1: make_finetune_step(
+            model, eng, mesh, grad_accum=grad_accum
+        ),
+        example_batch={
+            "video": jnp.zeros((16, 1, 28, 28, 3)),
+            "label": jnp.zeros((16,), jnp.int32),
+        },
+        example_inputs=(jnp.zeros((16, 1, 28, 28, 3)),),
+    )
+
+    def data16():
+        k = 0
+        while True:
+            key = jax.random.key(k)
+            yield {
+                "video": jax.random.normal(key, (16, 1, 28, 28, 3)),
+                "label": jax.random.randint(key, (16,), 0, 4),
+            }
+            k += 1
+
+    state = t.fit(data16())
+    assert int(jax.device_get(state.step)) == 3
+
+
 def test_config_overrides():
     cfg = TrainerConfig()
     cfg = apply_overrides(
