@@ -35,7 +35,26 @@ from internvideo_tpu.models.internvideo2 import InternVideo2, make_config
 TARGET_CLIPS_PER_SEC = 150.0
 
 
+def _timer(fn, args, batch, iters, scalar):
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        float(jax.device_get(scalar(out)))  # true device sync
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    run(1)
+    base = run(1)
+    total = run(iters + 1)
+    dt = max(total - base, 1e-9)
+    return batch * iters / dt
+
+
 def main():
+    import numpy as np
+
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         size, frames, img, batch, iters = "1B", 16, 224, 8, 10
@@ -61,29 +80,119 @@ def main():
 
     @jax.jit
     def _scalar(x):
-        return jnp.sum(x[:1, :1])
+        return jnp.sum(x.reshape(-1)[:1])
 
-    def run(n):
+    t_start = time.perf_counter()
+    dense = _timer(fwd, (params, video), batch, iters, _scalar)
+    extra = {}
+    # Soft budget for the secondary metrics: tunnel compiles are slow and
+    # flaky; the headline dense number must always print.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    def over_budget():
+        return time.perf_counter() - t_start > budget
+
+    # masked pretrain-student forward (UMT recipe: 20% visible) — the
+    # workload the 150-clips/s north star was written around
+    from internvideo_tpu.models.pretrain import (
+        PretrainConfig,
+        PretrainInternVideo2,
+    )
+
+    pcfg = PretrainConfig(
+        encoder=cfg, clip_output_dim=3200 if on_tpu else 64,
+        clip_final_output_dim=768 if on_tpu else 32,
+        clip_return_layers=6 if on_tpu else 2,
+        mae_output_dim=1408 if on_tpu else 32, mae_return_layers=1,
+    )
+    pmodel = PretrainInternVideo2(pcfg)
+    n = cfg.num_patches
+    n_vis = max(int(round(n * 0.2)), 1)
+    keep = jnp.broadcast_to(
+        jnp.asarray(np.sort(
+            np.random.default_rng(0).choice(n, n_vis, replace=False)
+        ), jnp.int32)[None],
+        (batch, n_vis),
+    )
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget")
+        pparams = jax.jit(pmodel.init)(jax.random.key(0), video, keep)
+
+        @jax.jit
+        def masked_fwd(p, v, k):
+            return pmodel.apply(p, v, k).clip_middle
+
+        extra["masked_pretrain_fwd_clips_per_sec"] = round(
+            _timer(masked_fwd, (pparams, video, keep), batch, iters, _scalar),
+            2,
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["masked_pretrain_fwd_error"] = type(e).__name__
+
+    # full finetune train step (remat'd blocks so the 1B fits one chip)
+    import optax
+
+    from internvideo_tpu.train.engines.finetune import (
+        FinetuneConfig,
+        make_finetune_step,
+    )
+    from internvideo_tpu.train.state import TrainState
+
+    tcfg = dataclasses_replace_num_classes(cfg)
+    tmodel = InternVideo2(tcfg)
+    tb = 4 if on_tpu else batch
+    tvideo = video[:tb]
+    tparams = jax.jit(tmodel.init)(jax.random.key(0), tvideo)["params"]
+    tx = optax.sgd(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=tparams,
+        opt_state=tx.init(tparams), tx=tx, apply_fn=tmodel.apply,
+    )
+    step = jax.jit(make_finetune_step(
+        tmodel, FinetuneConfig(mixup=None, num_classes=400)
+    ), donate_argnums=(0,))
+    labels = jnp.zeros((tb,), jnp.int32)
+
+    def tstep(s):
+        s, m = step(s, {"video": tvideo, "label": labels}, jax.random.key(1))
+        return s, m
+
+    def train_run(n):
+        nonlocal state
         t0 = time.perf_counter()
-        out = None
+        m = None
         for _ in range(n):
-            out = fwd(params, video)
-        float(jax.device_get(_scalar(out)))  # true device sync
+            state, m = tstep(state)
+        float(jax.device_get(m["loss"]))
         return time.perf_counter() - t0
 
-    run(1)  # compile + warm
-    run(1)
-    base = run(1)
-    total = run(iters + 1)
-    dt = max(total - base, 1e-9)
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget")
+        train_run(1)
+        train_run(1)
+        tbase = train_run(1)
+        ttotal = train_run(iters + 1)
+        extra["finetune_train_step_clips_per_sec"] = round(
+            tb * iters / max(ttotal - tbase, 1e-9), 2
+        )
+    except Exception as e:  # noqa: BLE001 — report instead of failing bench
+        extra["finetune_train_step_error"] = type(e).__name__
 
-    clips_per_sec = batch * iters / dt
     print(json.dumps({
         "metric": f"internvideo2_{size}_encoder_clips_per_sec_per_chip_{frames}f{img}",
-        "value": round(clips_per_sec, 2),
+        "value": round(dense, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / TARGET_CLIPS_PER_SEC, 3),
+        "vs_baseline": round(dense / TARGET_CLIPS_PER_SEC, 3),
+        "extra": extra,
     }))
+
+
+def dataclasses_replace_num_classes(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, num_classes=400, remat=True)
 
 
 if __name__ == "__main__":

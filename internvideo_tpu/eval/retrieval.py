@@ -44,6 +44,7 @@ def retrieval_evaluation(
     batch_size: int = 32,
     k_test: int = 16,
     rerank_batch: int = 32,
+    shard_hosts: bool = False,  # shard rerank rows across jax processes
 ):
     """Returns (score_v2t, score_t2v) as numpy (Nv, Nt)/(Nt, Nv) matrices."""
     vis_embeds, vis_proj = _encode_in_batches(
@@ -62,49 +63,80 @@ def retrieval_evaluation(
 
     nv, nt = itc.shape
     k = min(k_test, nt)
-    score_v2t = np.full_like(itc, -100.0)
-    for i in range(nv):  # rows shardable across hosts
-        topk = np.argsort(-itc[i])[:k]
-        vis_rep = np.broadcast_to(
-            vis_embeds[i][None], (k,) + vis_embeds.shape[1:]
-        )
-        itm = np.asarray(
-            _batched_rerank(
-                rerank_score, vis_rep,
-                txt_embeds[topk], texts["attention_mask"][topk],
-                rerank_batch,
-            )
-        )
-        score_v2t[i, topk] = itc[i, topk] + itm
-
     kv = min(k_test, nv)
+
+    # per-host row sharding — exactly the reference's rank sharding
+    # (retrieval_utils.py:371-379); single-process covers everything
+    if shard_hosts:
+        from internvideo_tpu.core.distributed import (
+            host_shard_indices,
+            process_allgather,
+        )
+
+        v_rows = host_shard_indices(nv)
+        t_rows = host_shard_indices(nt)
+    else:
+        v_rows = np.arange(nv)
+        t_rows = np.arange(nt)
+
+    mask_arr = np.asarray(texts["attention_mask"])
+
+    score_v2t = np.full_like(itc, -100.0)
+    topk_v = _topk_idx(itc[v_rows], k)  # (rows, k)
+    itm = _rerank_rows(
+        rerank_score, vis_embeds[v_rows], txt_embeds, mask_arr,
+        topk_v, rerank_batch,
+    )
+    score_v2t[v_rows[:, None], topk_v] = (
+        itc[v_rows[:, None], topk_v] + itm
+    )
+
     score_t2v = np.full_like(itc.T, -100.0)
-    for j in range(nt):
-        topk = np.argsort(-itc[:, j])[:kv]
-        txt_rep = np.broadcast_to(
-            txt_embeds[j][None], (kv,) + txt_embeds.shape[1:]
-        )
-        mask_rep = np.broadcast_to(
-            np.asarray(texts["attention_mask"])[j][None],
-            (kv,) + texts["attention_mask"].shape[1:],
-        )
-        itm = np.asarray(
-            _batched_rerank(
-                rerank_score, vis_embeds[topk], txt_rep, mask_rep,
-                rerank_batch,
-            )
-        )
-        score_t2v[j, topk] = itc[topk, j] + itm
+    topk_t = _topk_idx(itc.T[t_rows], kv)
+    itm = _rerank_rows(
+        lambda t_rep, v_cand, m_rep: rerank_score(v_cand, t_rep, m_rep),
+        txt_embeds[t_rows], vis_embeds, None,
+        topk_t, rerank_batch, row_masks=mask_arr[t_rows],
+    )
+    score_t2v[t_rows[:, None], topk_t] = (
+        itc.T[t_rows[:, None], topk_t] + itm
+    )
+
+    if shard_hosts:
+        # disjoint row fills merge by elementwise max (-100 elsewhere)
+        score_v2t = np.max(process_allgather(score_v2t), axis=0)
+        score_t2v = np.max(process_allgather(score_t2v), axis=0)
     return score_v2t, score_t2v
 
 
-def _batched_rerank(fn, vis, txt, mask, batch):
-    outs = []
-    for s in range(0, vis.shape[0], batch):
-        outs.append(
-            jax.device_get(fn(vis[s:s + batch], txt[s:s + batch], mask[s:s + batch]))
-        )
-    return np.concatenate(outs, 0)
+def _topk_idx(scores: np.ndarray, k: int) -> np.ndarray:
+    part = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+    return part
+
+
+def _rerank_rows(fn, row_feats, cand_feats, cand_masks, topk, rerank_batch,
+                 *, row_masks=None):
+    """Pair each row with its top-k candidates and score them in DEVICE
+    batches of whole row-groups (one dispatch + one device_get per chunk,
+    instead of the per-row host loop the reference uses). The last chunk is
+    padded to the fixed batch so only one program is compiled."""
+    n, k = topk.shape
+    rows_per = max(1, rerank_batch // k)
+    itm = np.zeros((n, k), np.float32)
+    for s in range(0, n, rows_per):
+        rows = np.arange(s, min(s + rows_per, n))
+        pad = rows_per - len(rows)
+        rows_p = np.concatenate([rows, np.zeros(pad, np.int64)])
+        idx = topk[rows_p].reshape(-1)
+        a = np.repeat(row_feats[rows_p], k, axis=0)
+        b = cand_feats[idx]
+        if row_masks is not None:  # t2v: the mask belongs to the text row
+            m = np.repeat(row_masks[rows_p], k, axis=0)
+        else:  # v2t: the mask belongs to the text candidate
+            m = cand_masks[idx]
+        out = np.asarray(jax.device_get(fn(a, b, m))).reshape(rows_per, k)
+        itm[rows] = out[: len(rows)]
+    return itm
 
 
 def itm_eval(

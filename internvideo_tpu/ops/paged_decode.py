@@ -87,9 +87,9 @@ def _decode_kernel(
 
         m_prev = m_ref[:, 0]  # (H,)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        prob = jnp.exp(s - m_cur[:, None])
+        prob = jnp.exp2((s - m_cur[:, None]) * 1.4426950408889634)
         prob = jnp.where((s <= _NEG_INF), 0.0, prob)
-        alpha = jnp.exp(m_prev - m_cur)
+        alpha = jnp.exp2((m_prev - m_cur) * 1.4426950408889634)
         alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(prob, axis=1)
         m_ref[:, 0] = m_cur

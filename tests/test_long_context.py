@@ -1,0 +1,99 @@
+"""262k-token long-context shape test: the FULL packed SFT train step
+(MLLM + segment-id attention + Ulysses SP over a seq axis + chunked CE)
+traces and SPMD-lowers at the reference's production sequence length
+(configs/internvideo3_sft_long.py:64-66,180 — pack_max_length=262144,
+sp_size=4) on tiny model dims. Trace+lower catches shape/overflow/sharding
+bugs at the real sequence length without paying a 262k compile/run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax.sharding import PartitionSpec
+
+from internvideo_tpu.core.mesh import MeshConfig, create_mesh, logical_axis_rules
+from internvideo_tpu.models.llm import LLMConfig
+from internvideo_tpu.models.mllm import MLLMConfig, VideoMLLM
+from internvideo_tpu.models.vision_tower import VisionTowerConfig
+from internvideo_tpu.nn.mla import MLAConfig
+from internvideo_tpu.train.engines.sft import SFTConfig, make_sft_step
+from internvideo_tpu.train.state import TrainState
+
+PACK = 262_144
+SP = 4
+
+
+def test_sft_262k_trace_and_lower():
+    vis = VisionTowerConfig(
+        hidden_size=32, num_layers=1, num_heads=4, intermediate_size=64,
+        patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
+        pos_embed_grid=6, deepstack_indexes=(0,), text_hidden_size=48,
+        attn_impl="xla",
+    )
+    llm = LLMConfig(
+        vocab_size=260, hidden_size=48, num_layers=1, intermediate_size=96,
+        mrope_section=(2, 1, 1),
+        mla=MLAConfig(
+            hidden_size=48, num_heads=4, kv_lora_rank=24,
+            qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+        ),
+        attn_impl="xla",
+    )
+    model = VideoMLLM(MLLMConfig(
+        vision=vis, text=llm, image_token_id=250, video_token_id=251,
+    ))
+
+    mesh = create_mesh(MeshConfig(replica=2, fsdp=1, seq=SP, tensor=1))
+    rules = logical_axis_rules()
+
+    b, t = 2, 2  # dp=2 × sp=4 over the 8 virtual devices
+    img = 2 * vis.patch_size * vis.spatial_merge_size  # 32
+    batch = {
+        "input_ids": jnp.zeros((b, PACK), jnp.int32),
+        "segment_ids": jnp.zeros((b, PACK), jnp.int32),
+        "position_ids": jnp.zeros((3, b, PACK), jnp.int32),
+        "labels": jnp.zeros((b, PACK), jnp.int32),
+        "video": jnp.zeros((b, t, img, img, 3), jnp.float32),
+    }
+
+    with mesh, nn.logical_axis_rules(list(rules)):
+        # init at a short length (params are length-independent)
+        short = jax.eval_shape(
+            lambda r: model.init(
+                r, batch["input_ids"][:, :64], batch["video"]
+            ),
+            jax.random.key(0),
+        )
+        params = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), nn.unbox(short)
+        )["params"]
+
+        import optax
+
+        tx = optax.sgd(1e-3)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+        )
+        step = make_sft_step(model, SFTConfig(ce_chunk_size=8192), mesh=mesh)
+        dp = ("replica", "fsdp")
+        shardings = {
+            "input_ids": PartitionSpec(dp, "seq"),
+            "segment_ids": PartitionSpec(dp, "seq"),
+            "position_ids": PartitionSpec(None, dp, "seq"),
+            "labels": PartitionSpec(dp, "seq"),
+            "video": PartitionSpec(dp),
+        }
+        lowered = jax.jit(
+            step,
+            in_shardings=(
+                None,
+                {k: jax.sharding.NamedSharding(mesh, s)
+                 for k, s in shardings.items()},
+                None,
+            ),
+        ).lower(state, batch, jax.random.key(1))
+        hlo = lowered.as_text()
+    # the packed length survives tracing (no silent truncation) and the
+    # program references the full 262144-token activations
+    assert str(PACK) in hlo or str(PACK // SP) in hlo
