@@ -180,27 +180,53 @@ class VideoMLLM(nn.Module):
 def hico_compress(
     frame_tokens: jax.Array,  # (B, T, N, D) per-frame visual tokens
     target_tokens: int,  # e.g. 16 (HiCo-R16)
+    *,
+    refine_iters: int = 2,
+    temp: float = 50.0,
 ) -> jax.Array:
-    """HiCo-style hierarchical token compression via bipartite soft matching.
+    """HiCo-style hierarchical token compression (static shapes).
 
-    ToMe-flavored, static-shape: split each frame's tokens into sets A/B,
-    match every A token to its most similar B token, and merge (average) the
-    r most similar pairs, repeating until `target_tokens` remain. Here we do
-    it in one shot: keep the `target_tokens` B-centroids with the highest
-    aggregate similarity mass — a single-pass approximation that preserves
-    static shapes (the reference ships no in-repo implementation;
-    InternVideo2.5/README.md:26-28 documents only the token budget).
+    The reference ships no in-repo implementation (InternVideo2.5/
+    README.md:26-28 documents only the 16-token/frame budget), so this is an
+    original clustering formulation validated by a retrieval-quality test
+    (tests/test_mllm.py::test_hico_compress_quality):
+
+      1. farthest-point sampling over cosine distance picks K seed tokens —
+         guaranteed coverage of every token mode (a fixed K-step fori_loop,
+         unlike strided picks which can miss a cluster entirely)
+      2. `refine_iters` soft-Lloyd steps: sharply-peaked softmax assignment
+         to the current centroids, centroids re-estimated as the assignment-
+         weighted token means
+
+    Output tokens are UNnormalized token averages (the LLM consumes raw
+    feature scale), K per frame.
     """
     b, t, n, d = frame_tokens.shape
+    k = target_tokens
     x = frame_tokens.reshape(b * t, n, d)
     xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-6)
-    # similarity of every token to every candidate centroid (strided picks)
-    stride = max(n // target_tokens, 1)
-    centroids = xn[:, ::stride][:, :target_tokens]  # (BT, K, D)
-    sim = jnp.einsum("bnd,bkd->bnk", xn, centroids)
-    assign = jax.nn.softmax(sim * 10.0, axis=-1)  # soft assignment
-    merged = jnp.einsum("bnk,bnd->bkd", assign, x)
-    merged = merged / (
-        jnp.sum(assign, axis=1)[..., None] + 1e-6
-    )
-    return merged.reshape(b, t, target_tokens, d)
+
+    # farthest-point sampling on cosine distance, vectorized over clips
+    def fps_body(i, carry):
+        idx, d_min = carry  # (BT, K) int32, (BT, N) f32
+        nxt = jnp.argmax(d_min, axis=1)  # (BT,)
+        idx = idx.at[:, i].set(nxt)
+        picked = jnp.take_along_axis(xn, nxt[:, None, None], axis=1)
+        dist = 1.0 - jnp.einsum("bnd,bqd->bn", xn, picked)
+        return idx, jnp.minimum(d_min, dist)
+
+    idx0 = jnp.zeros((b * t, k), jnp.int32)
+    d0 = jnp.full((b * t, n), jnp.inf)
+    idx, _ = jax.lax.fori_loop(0, k, fps_body, (idx0, d0))
+    centroids = jnp.take_along_axis(xn, idx[..., None], axis=1)  # (BT,K,D)
+
+    merged = None
+    for _ in range(max(refine_iters, 1)):
+        sim = jnp.einsum("bnd,bkd->bnk", xn, centroids)
+        assign = jax.nn.softmax(sim * temp, axis=-1)
+        merged = jnp.einsum("bnk,bnd->bkd", assign, x)
+        merged = merged / (jnp.sum(assign, axis=1)[..., None] + 1e-6)
+        centroids = merged / (
+            jnp.linalg.norm(merged, axis=-1, keepdims=True) + 1e-6
+        )
+    return merged.reshape(b, t, k, d)

@@ -87,6 +87,66 @@ def test_mllm_forward_and_generate():
     assert [int(x) for x in gen[0]] == expected
 
 
+def test_hico_compress_quality():
+    """Compression-quality validation: on clustered token sets, HiCo-merged
+    tokens must (a) represent every cluster (low reconstruction error vs the
+    true centroids), and (b) preserve cross-clip similarity ranking far
+    better than random token subsets, with quality degrading gracefully as
+    the budget shrinks."""
+    rng = np.random.RandomState(0)
+    d, n, k_true = 16, 64, 8
+    centers = rng.randn(k_true, d) * 3
+
+    def make_clip(jitter):
+        toks = centers[rng.randint(0, k_true, n)] + rng.randn(n, d) * jitter
+        return toks.astype(np.float32)
+
+    def recon_err(budget):
+        clip = make_clip(0.1)[None, None]  # (1,1,N,D)
+        comp = np.asarray(hico_compress(jnp.asarray(clip), budget))[0, 0]
+        # every true center should have a nearby compressed token
+        dists = np.linalg.norm(
+            centers[:, None] - comp[None, :], axis=-1
+        ).min(axis=1)
+        return float(dists.mean())
+
+    e16, e4 = recon_err(16), recon_err(4)
+    assert e16 < 1.5, e16  # 16 tokens cover 8 clusters well
+    assert e4 >= e16 * 0.8  # fewer tokens -> no better coverage
+
+    # similarity-ranking preservation: mean-pooled compressed tokens rank
+    # clip pairs like full tokens do
+    clips = [make_clip(0.2) for _ in range(8)]
+    full = np.stack([c.mean(0) for c in clips])
+    full /= np.linalg.norm(full, axis=-1, keepdims=True)
+    sim_full = full @ full.T
+
+    comp_toks = np.asarray(
+        hico_compress(jnp.asarray(np.stack(clips)[:, None]), 8)
+    )[:, 0]  # (8, K, D)
+    # mass-weighted pooling: each compressed token weighted by how many
+    # original tokens it represents (cluster frequencies survive)
+    comp = np.zeros((8, d))
+    for ci, (toks, cc) in enumerate(zip(clips, comp_toks)):
+        assign = np.argmin(
+            np.linalg.norm(toks[:, None] - cc[None], axis=-1), axis=1
+        )
+        w = np.bincount(assign, minlength=cc.shape[0]).astype(np.float64)
+        comp[ci] = (cc * w[:, None]).sum(0) / w.sum()
+    comp /= np.linalg.norm(comp, axis=-1, keepdims=True)
+    sim_comp = comp @ comp.T
+
+    rnd = np.stack([c[rng.choice(n, 2, replace=False)].mean(0) for c in clips])
+    rnd /= np.linalg.norm(rnd, axis=-1, keepdims=True)
+    sim_rnd = rnd @ rnd.T
+
+    iu = np.triu_indices(8, 1)
+    corr_comp = np.corrcoef(sim_full[iu], sim_comp[iu])[0, 1]
+    corr_rnd = np.corrcoef(sim_full[iu], sim_rnd[iu])[0, 1]
+    assert corr_comp > 0.95, corr_comp
+    assert corr_comp > corr_rnd, (corr_comp, corr_rnd)
+
+
 def test_hico_compress():
     toks = jax.random.normal(jax.random.key(0), (2, 4, 64, 16))
     out = hico_compress(toks, 16)
