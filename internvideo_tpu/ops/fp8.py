@@ -1,0 +1,143 @@
+"""float8 (e4m3) quantized matmuls with tensor- and tile-wise scaling.
+
+Counterpart of the reference's float8 stack (InternVideo3_sft/xtuner/v1/
+float8/: float8_handler.py:38-230 FSDP all-gather hooks with precomputed
+dynamic scales, tensor-wise + tile-wise Triton GEMMs). TPU restructuring:
+
+  * XLA's native fp8 dot (`preferred_element_type=f32`) replaces the Triton
+    kernels; on fp8-MXU TPUs (v6e+) this hits the doubled-rate path, on
+    older chips XLA falls back to bf16 compute with the same numerics —
+    so the module is a portable drop-in
+  * the reference's FSDP all-gather hook exists because IT gathers fp8
+    shards by hand; under GSPMD the gather is compiler-inserted, so the
+    equivalent is simply quantizing inside the jitted step (scales are
+    recomputed per step — "dynamic scaling")
+  * backward stays bf16/f32 (the e5m2-gradient variant is a numerics
+    trade the reference gates behind a flag; correctness first here)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+E4M3_MAX = 448.0
+
+
+def quantize_fp8(
+    x: jax.Array, *, axis: Optional[int] = None, tile: Optional[int] = None
+):
+    """-> (q: e4m3, scale: f32). Modes:
+    axis=None, tile=None : tensor-wise scale
+    axis=k               : per-slice scale along axis k (rowwise/colwise)
+    tile=t (with axis)   : tile-wise — scale per contiguous t-chunk of axis
+    """
+    xf = x.astype(jnp.float32)
+    if axis is None:
+        amax = jnp.max(jnp.abs(xf))
+        scale = jnp.maximum(amax, 1e-12) / E4M3_MAX
+        q = (xf / scale).astype(jnp.float8_e4m3fn)
+        return q, scale
+    axis = axis % x.ndim
+    if tile is None:
+        amax = jnp.max(
+            jnp.abs(xf), axis=tuple(i for i in range(x.ndim) if i != axis),
+            keepdims=True,
+        )
+        scale = jnp.maximum(amax, 1e-12) / E4M3_MAX
+        return (xf / scale).astype(jnp.float8_e4m3fn), scale
+    # tile-wise along `axis` (float8 tile GEMM equivalent)
+    n = x.shape[axis]
+    assert n % tile == 0, f"axis {axis} size {n} not divisible by tile {tile}"
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [n // tile, tile]
+    xt = xf.reshape(shape)
+    red = tuple(
+        i for i in range(xt.ndim) if i != axis  # keep the tile-count dim
+    )
+    amax = jnp.max(jnp.abs(xt), axis=red, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / E4M3_MAX
+    q = (xt / scale).astype(jnp.float8_e4m3fn).reshape(x.shape)
+    return q, scale  # scale keeps the tiled layout for dequant
+
+
+def fp8_matmul(
+    x: jax.Array,  # (..., K)
+    w_q: jax.Array,  # (K, N) e4m3
+    w_scale: jax.Array,  # () or (1, N) f32
+) -> jax.Array:
+    """Quantize activations row-tensor-wise, fp8×fp8 dot, rescale to f32."""
+    x2 = x.reshape(-1, x.shape[-1])
+    xq, xs = quantize_fp8(x2)
+    out = jax.lax.dot_general(
+        xq, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = out * xs * jnp.reshape(w_scale, (1, -1) if w_scale.ndim else ())
+    return out.reshape(x.shape[:-1] + (w_q.shape[-1],))
+
+
+@jax.custom_vjp
+def _fp8_dense_op(x, w):
+    xq, xs = quantize_fp8(x.reshape(-1, x.shape[-1]))
+    wq, ws = quantize_fp8(w, axis=1)  # colwise weight scales
+    out = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * xs * ws.reshape(1, -1)
+    return out.reshape(x.shape[:-1] + (w.shape[-1],))
+
+
+def _fp8_dense_fwd(x, w):
+    return _fp8_dense_op(x, w), (x, w)
+
+
+def _fp8_dense_bwd(res, g):
+    x, w = res
+    gf = g.astype(jnp.float32)
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    g2 = gf.reshape(-1, gf.shape[-1])
+    dx = (g2 @ w.astype(jnp.float32).T).reshape(x.shape).astype(x.dtype)
+    dw = (x2.T @ g2).astype(w.dtype)
+    return dx, dw
+
+
+_fp8_dense_op.defvjp(_fp8_dense_fwd, _fp8_dense_bwd)
+
+
+class Fp8Dense(nn.Module):
+    """Dense layer running its forward GEMM in e4m3 with dynamic scaling
+    (backward in full precision). Master weights stay in param_dtype —
+    the GSPMD analogue of the reference's fp8 FSDP parameters whose scales
+    are recomputed before every all-gather (float8_handler.py:38-230)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), ("embed", "mlp")
+            ),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = _fp8_dense_op(x, w).astype(self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, ("mlp",)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + b.astype(self.dtype)
+        return y
