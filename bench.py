@@ -69,6 +69,9 @@ def main():
         dtype="bfloat16",
         param_dtype="bfloat16",
         attn_impl="pallas" if on_tpu else "xla",
+        # the reference's production encoders run flash-attn FusedMLP with
+        # the tanh gelu approximation; exact erf stays the parity default
+        mlp_act="gelu_tanh",
     )
     model = InternVideo2(cfg)
     video = jnp.zeros((batch, frames, img, img, 3), jnp.bfloat16)

@@ -61,6 +61,9 @@ class InternVideo2Config:
     param_dtype: str = "float32"
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style backbones
+    # "gelu_tanh" = the tanh approximation the reference trains/serves with
+    # when use_fused_mlp=True (flash-attn FusedMLP); "gelu" = exact erf
+    mlp_act: str = "gelu"
     remat: bool = False  # jax.checkpoint each block (memory/flops trade)
 
     @property
@@ -185,6 +188,7 @@ class InternVideo2(nn.Module):
                 param_dtype=param_dtype,
                 attn_impl=cfg.attn_impl,
                 norm_type=cfg.norm_type,
+                mlp_act=cfg.mlp_act,
                 name=f"blocks_{i}",
             )(x, deterministic)
             if return_hidden_states or (

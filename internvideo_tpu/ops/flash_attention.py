@@ -106,12 +106,15 @@ def _fwd_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (bq, d)
-        k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # operands stay in their storage dtype (bf16 on the hot path) with
+        # f32 accumulation — upcasting inputs would push the MXU onto the
+        # multi-pass f32 path
+        q = q_ref[0, 0]  # (bq, d)
+        k = k_ref[0, 0]  # (bk, d)
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bk)
+        ) * scale  # (bq, bk) f32
         q_seg = k_seg = None
         if qseg_ref is not None:
             q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
@@ -249,10 +252,10 @@ def _bwd_dq_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
         delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
 
@@ -272,7 +275,7 @@ def _bwd_dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         dq_acc[:] += scale * jax.lax.dot(
             ds, k, preferred_element_type=jnp.float32
         )
@@ -319,10 +322,10 @@ def _bwd_dkv_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
         delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
 
@@ -340,12 +343,13 @@ def _bwd_dkv_kernel(
         )
         p = jnp.exp2((s - lse) * LOG2E)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_acc[:] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
