@@ -140,3 +140,56 @@ def load_reference_module(relpath: str, extra_siblings: tuple[str, ...] = ()):
     for sib in extra_siblings:
         _load(sib)
     return _load(os.path.basename(relpath))
+
+
+def load_reference_module_nested(
+    relpath: str,
+    extra_siblings: tuple[str, ...] = (),
+    parent_stub_sources: dict[str, str] = None,
+):
+    """Like load_reference_module but registers a TWO-level package so
+    `..utils.xxx`-style relative imports resolve: the file's directory
+    becomes `_refpkgN.<dirname>` and `parent_stub_sources` maps dotted
+    names under the parent (e.g. "utils.distributed") to python source
+    strings executed as stub modules."""
+    _install_stubs()
+    import os
+
+    pkg_name = f"_refpkg{next(_pkg_counter)}"
+    dirpath = os.path.join(REFERENCE_ROOT, os.path.dirname(relpath))
+    subname = os.path.basename(dirpath)
+    parent = types.ModuleType(pkg_name)
+    parent.__path__ = [os.path.dirname(dirpath)]
+    sys.modules[pkg_name] = parent
+    sub = types.ModuleType(f"{pkg_name}.{subname}")
+    sub.__path__ = [dirpath]
+    sys.modules[f"{pkg_name}.{subname}"] = sub
+
+    for dotted, src in (parent_stub_sources or {}).items():
+        parts = dotted.split(".")
+        for i in range(1, len(parts)):
+            name = f"{pkg_name}." + ".".join(parts[:i])
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                m.__path__ = []
+                sys.modules[name] = m
+        mod = types.ModuleType(f"{pkg_name}.{dotted}")
+        exec(src, mod.__dict__)
+        sys.modules[f"{pkg_name}.{dotted}"] = mod
+
+    def _load(modfile):
+        name = (
+            f"{pkg_name}.{subname}."
+            + os.path.splitext(os.path.basename(modfile))[0]
+        )
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(dirpath, modfile)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    for sib in extra_siblings:
+        _load(sib)
+    return _load(os.path.basename(relpath))
