@@ -45,6 +45,7 @@ def retrieval_evaluation(
     k_test: int = 16,
     rerank_batch: int = 32,
     shard_hosts: bool = False,  # shard rerank rows across jax processes
+    dsl: bool = False,  # dual-softmax (retrieval_utils.py:283-287)
 ):
     """Returns (score_v2t, score_t2v) as numpy (Nv, Nt)/(Nt, Nv) matrices."""
     vis_embeds, vis_proj = _encode_in_batches(
@@ -57,6 +58,18 @@ def retrieval_evaluation(
     v = vis_proj / np.linalg.norm(vis_proj, axis=-1, keepdims=True)
     t = txt_proj / np.linalg.norm(txt_proj, axis=-1, keepdims=True)
     itc = v @ t.T  # (Nv, Nt)
+
+    if dsl:
+        # dual-softmax: rescale each score by its column-softmax mass —
+        # both directions derive from the v2t matrix as the reference does
+        def _sm0(m):
+            e = np.exp(m - m.max(axis=0, keepdims=True))
+            return e / e.sum(axis=0, keepdims=True)
+
+        itc_t2v = itc.T * _sm0(itc.T)
+        itc = itc * _sm0(itc)
+        if rerank_score is None:
+            return itc, itc_t2v
 
     if rerank_score is None:
         return itc, itc.T

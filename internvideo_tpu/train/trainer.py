@@ -26,7 +26,12 @@ from flax import linen as nn
 from jax.sharding import NamedSharding, PartitionSpec
 
 from internvideo_tpu.core.checkpoint import CheckpointManager
-from internvideo_tpu.core.mesh import MeshConfig, create_mesh, logical_axis_rules
+from internvideo_tpu.core.mesh import (
+    MESH_AXES,
+    MeshConfig,
+    create_mesh,
+    logical_axis_rules,
+)
 from internvideo_tpu.train.optim import OptimizerConfig, build_optimizer
 from internvideo_tpu.train.state import TrainState, create_sharded_state
 from internvideo_tpu.utils.metrics import MetricLogger
@@ -51,6 +56,9 @@ class TrainerConfig:
     grad_accum: int = 1
     # tensorboard event-file directory (xtuner _writer/ equivalent)
     tensorboard_dir: Optional[str] = None
+    # run a cross-device collective probe every N steps (0 = never) —
+    # xtuner trainer.py:1080 _maybe_check_health equivalent
+    health_check_every: int = 0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig
@@ -137,6 +145,27 @@ class Trainer:
             jsonl_path=jsonl_path, log_every=config.log_every,
             tensorboard_dir=config.tensorboard_dir,
         )
+
+    def check_health(self) -> float:
+        """Cross-device collective probe: a replicated-sum over every mesh
+        device must return the device count. Raises RuntimeError on
+        mismatch; the wall time is returned for goodput logging (a slow
+        probe flags a sick interconnect before the step stalls)."""
+        import time as _time
+
+        n = self.mesh.devices.size
+        spec = PartitionSpec(MESH_AXES)
+        x = jax.device_put(
+            np.ones((n,), np.float32), NamedSharding(self.mesh, spec)
+        )
+        t0 = _time.perf_counter()
+        total = float(jax.device_get(jnp.sum(x)))
+        dt = _time.perf_counter() - t0
+        if total != float(n):
+            raise RuntimeError(
+                f"health probe failed: collective sum {total} != {n} devices"
+            )
+        return dt
 
     def put_batch(self, batch: dict) -> dict:
         ga = self.config.grad_accum
@@ -234,6 +263,11 @@ class Trainer:
                     self.metrics.log_step(step + 1, extra={"lr": lr})
                 if self.ckpt is not None:
                     self.ckpt.save(step + 1, self.state)
+                if (
+                    cfg.health_check_every
+                    and (step + 1) % cfg.health_check_every == 0
+                ):
+                    self.check_health()
                 if (
                     self.export_fn is not None
                     and cfg.hf_export_every

@@ -99,3 +99,40 @@ def test_retrieval_end_to_end():
     assert 0 <= m["v2t_r1"] <= 100 and np.isfinite(m["r_mean"])
     # top-k rows got reranked, everything else is the -100 floor
     assert (s_v2t > -100).sum() == nv * 3
+
+
+def test_dsl_rescoring():
+    """Dual-softmax rescoring preserves a clean diagonal and matches the
+    reference formula (retrieval_utils.py:283-287)."""
+    import numpy as np
+
+    from internvideo_tpu.eval.retrieval import retrieval_evaluation
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(6, 8).astype(np.float32) * 2
+
+    def enc_v(v):
+        return v, v
+
+    def enc_t(t):
+        return t["input_ids"], t["input_ids"]
+
+    texts = {
+        "input_ids": feats + rng.randn(6, 8).astype(np.float32) * 0.05,
+        "attention_mask": np.ones((6, 4), np.int32),
+    }
+    v2t, t2v = retrieval_evaluation(
+        encode_video=enc_v, encode_text=enc_t, rerank_score=None,
+        videos=feats, texts=texts, dsl=True,
+    )
+    assert (np.argmax(v2t, 1) == np.arange(6)).all()
+    assert (np.argmax(t2v, 1) == np.arange(6)).all()
+    # reference formula check
+    vn = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    tn = texts["input_ids"] / np.linalg.norm(
+        texts["input_ids"], axis=-1, keepdims=True
+    )
+    itc = vn @ tn.T
+    e = np.exp(itc - itc.max(0, keepdims=True))
+    np.testing.assert_allclose(v2t, itc * e / e.sum(0, keepdims=True),
+                               rtol=1e-5, atol=1e-6)

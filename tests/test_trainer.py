@@ -104,6 +104,14 @@ def test_trainer_grad_accum(tmp_path):
     assert int(jax.device_get(state.step)) == 3
 
 
+def test_health_probe(tmp_path):
+    """Collective probe over the 8-device mesh returns and validates."""
+    t = _trainer(tmp_path, steps=2)
+    dt = t.check_health()
+    assert dt >= 0.0
+    t.ckpt.close()
+
+
 def test_config_overrides():
     cfg = TrainerConfig()
     cfg = apply_overrides(
