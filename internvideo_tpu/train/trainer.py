@@ -215,7 +215,10 @@ class Trainer:
         per-step host syncs catastrophically slow — fetch every log_every)."""
         if not pending:
             return
-        host = jax.device_get(pending)
+        host = jax.device_get(list(pending))
+        # release the device references (keeps donation effective and makes
+        # the next flush fetch only its own window)
+        pending.clear()
         last_step, last_m = host[-1]
         for _, hm in host:
             scalars = {

@@ -104,6 +104,30 @@ def test_trainer_grad_accum(tmp_path):
     assert int(jax.device_get(state.step)) == 3
 
 
+def test_no_per_step_host_sync(tmp_path, monkeypatch):
+    """Async metrics: over a full log window, the host fetches device data
+    once (the batched flush), not once per step — and each flush consumes
+    only its own window (no re-fetch of earlier steps)."""
+    import jax as _jax
+
+    t = _trainer(tmp_path, steps=8)
+    calls = []
+    real = _jax.device_get
+    monkeypatch.setattr(
+        _jax, "device_get", lambda x: calls.append(1) or real(x)
+    )
+    t.config = dataclasses.replace(t.config, log_every=4, checkpoint_dir=None)
+    t.ckpt.close()
+    t.ckpt = None
+    t.fit(_data(), steps=8)
+    # 8 steps / log_every 4 → 2 window flushes (+1 empty final flush skipped)
+    # plus the lr float() does not device_get; allow a small constant slack
+    assert sum(calls) <= 4, sum(calls)
+
+    # flush consumed its window: meters saw each step exactly once
+    assert abs(t.metrics.meters["loss"].count - 8) <= 1
+
+
 def test_health_probe(tmp_path):
     """Collective probe over the 8-device mesh returns and validates."""
     t = _trainer(tmp_path, steps=2)
