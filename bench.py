@@ -183,6 +183,69 @@ def main():
     except Exception as e:  # noqa: BLE001 — report instead of failing bench
         extra["finetune_train_step_error"] = type(e).__name__
 
+    # VideoCLIP retrieval query p50: one text through the BERT tower + ITC
+    # dot against a cached video-embedding bank (BASELINE.json tracked
+    # metric "VideoCLIP retrieval p50 lat")
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget")
+        from internvideo_tpu.models.presets import internvideo2_stage2_1b
+
+        vc_cfg = internvideo2_stage2_1b() if on_tpu else None
+        if vc_cfg is None:
+            from internvideo_tpu.models.bert import BertConfig
+            from internvideo_tpu.models.internvideo2 import (
+                InternVideo2Config,
+            )
+            from internvideo_tpu.models.videoclip import VideoCLIPConfig
+
+            vc_cfg = VideoCLIPConfig(
+                vision=InternVideo2Config(
+                    embed_dim=32, depth=1, num_heads=2, img_size=56,
+                    num_frames=4, patch_size=14, clip_embed_dim=16,
+                    attn_impl="xla",
+                ),
+                text=BertConfig(
+                    vocab_size=100, hidden_size=32, num_layers=2,
+                    num_heads=2, intermediate_size=64, fusion_layer=1,
+                ),
+                embed_dim=16,
+            )
+        from internvideo_tpu.models.videoclip import VideoCLIP
+
+        vc = VideoCLIP(vc_cfg)
+        ids = jnp.zeros((1, 32), jnp.int32)
+        mask = jnp.ones((1, 32), jnp.int32)
+        vvid = jnp.zeros(
+            (1, vc_cfg.vision.num_frames, vc_cfg.vision.img_size,
+             vc_cfg.vision.img_size, 3), jnp.bfloat16,
+        )
+        vparams = jax.jit(vc.init)(jax.random.key(0), vvid, ids, mask)
+        bank = jnp.zeros((1000, vc_cfg.embed_dim), jnp.bfloat16)
+
+        @jax.jit
+        def query(p, ids, mask, bank):
+            def run(m, ids, mask):
+                _, pooled = m.encode_text(ids, mask)
+                return m.text_proj(pooled)
+
+            proj = vc.apply(p, ids, mask, method=run)
+            proj = proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+            return jnp.argmax(proj.astype(jnp.bfloat16) @ bank.T, axis=-1)
+
+        lats = []
+        float(jax.device_get(query(vparams, ids, mask, bank)[0]))  # compile
+        for _ in range(20):
+            t0 = time.perf_counter()
+            float(jax.device_get(query(vparams, ids, mask, bank)[0]))
+            lats.append(time.perf_counter() - t0)
+        lats.sort()
+        extra["videoclip_retrieval_p50_ms"] = round(
+            lats[len(lats) // 2] * 1e3, 2
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["videoclip_retrieval_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": f"internvideo2_{size}_encoder_clips_per_sec_per_chip_{frames}f{img}",
         "value": round(dense, 2),
