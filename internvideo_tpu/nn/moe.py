@@ -41,7 +41,13 @@ class MoEConfig:
     router_bias_balancing: bool = False  # DeepSeek-V3 style
     aux_loss_weight: float = 0.01
     router_dtype: str = "float32"
-    dispatch: str = "capacity"  # "capacity" (EP-shardable) | "dropless"
+    # "capacity": GSPMD static-capacity dispatch (EP-shardable)
+    # "dropless": single-shard sort + lax.ragged_dot (zero drops)
+    # "dropless_ep": ragged_all_to_all expert-parallel dispatch over the
+    #   `expert` mesh axis (parallel/ep.py, DeepEP semantics) — the module
+    #   needs `mesh` set
+    dispatch: str = "capacity"
+    ep_buffer_factor: float = 2.0
 
 
 @struct.dataclass
@@ -55,6 +61,7 @@ class MoEMlp(nn.Module):
     cfg: MoEConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    mesh: Optional[object] = None  # jax Mesh, required for dispatch="dropless_ep"
 
     @nn.compact
     def __call__(
@@ -104,7 +111,17 @@ class MoEMlp(nn.Module):
         w_up = expert_param("w_up", (e, d, i), ("expert", "embed", "expert_mlp"))
         w_down = expert_param("w_down", (e, i, d), ("expert", "expert_mlp", "embed"))
 
-        if cfg.dispatch == "dropless":
+        if cfg.dispatch == "dropless_ep":
+            from internvideo_tpu.parallel.ep import ep_dropless_moe
+
+            if self.mesh is None:
+                raise ValueError("dispatch='dropless_ep' needs mesh=")
+            out, _dropped = ep_dropless_moe(
+                xt, top_idx, top_gate, w_gate, w_up, w_down,
+                mesh=self.mesh, axis="expert",
+                buffer_factor=cfg.ep_buffer_factor,
+            )
+        elif cfg.dispatch == "dropless":
             # Sort-based dispatch + grouped ragged GEMMs (no token drops;
             # megablox / lax.ragged_dot — the DeepEP-semantics path).
             flat_e = top_idx.reshape(-1)  # (N*k,) expert per slot

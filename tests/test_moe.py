@@ -100,6 +100,31 @@ def test_moe_dropless_matches_dense_reference():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_moe_dropless_ep_matches_dropless():
+    """dispatch='dropless_ep' (ragged a2a over the expert axis) matches the
+    single-shard dropless path bit-for-bit at fp32 tolerances."""
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=1, tensor=1,
+                                  expert=8))
+    base = MoEConfig(num_experts=8, top_k=2, intermediate_size=16,
+                     dispatch="dropless")
+    m1 = MoEMlp(base)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 12))
+    params = m1.init(jax.random.key(1), x)
+    ref = m1.apply(params, x).output
+
+    ep = MoEMlp(
+        MoEConfig(num_experts=8, top_k=2, intermediate_size=16,
+                  dispatch="dropless_ep", ep_buffer_factor=8.0),
+        mesh=mesh,
+    )
+    rules = logical_axis_rules()
+    with mesh, nn.logical_axis_rules(list(rules)):
+        out = jax.jit(lambda p, x: ep.apply(p, x).output)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_router_bias_update():
     bias = jnp.zeros(4)
     load = jnp.array([0.7, 0.1, 0.1, 0.1])
