@@ -35,6 +35,10 @@ class LLMConfig:
     rope_theta: float = 5_000_000.0
     mrope_section: Optional[tuple[int, int, int]] = (24, 20, 20)
     mla: MLAConfig = dataclasses.field(default_factory=MLAConfig)
+    # MoE feed-forward (Qwen3-MoE / DeepSeek-V3 / Intern-S1 class): when
+    # set, every layer's MLP is a routed MoEMlp; the per-layer aux loss is
+    # sown into the "intermediates" collection (moe_aux_losses() sums it)
+    moe: "object | None" = None  # nn/moe.py MoEConfig
     tie_word_embeddings: bool = False
     dtype: str = "float32"
     param_dtype: str = "float32"
@@ -87,10 +91,27 @@ class _DecoderLayer(nn.Module):
         self.post_attention_layernorm = RMSNorm(
             eps=cfg.rms_norm_eps, dtype=dtype
         )
-        self.mlp = SwiGLU(
-            cfg.intermediate_size, dtype=dtype,
-            param_dtype=jnp.dtype(cfg.param_dtype),
-        )
+        if cfg.moe is not None:
+            from internvideo_tpu.nn.moe import MoEMlp
+
+            self.mlp_moe = MoEMlp(
+                cfg.moe, dtype=dtype,
+                param_dtype=jnp.dtype(cfg.param_dtype), name="mlp",
+            )
+        else:
+            self.mlp = SwiGLU(
+                cfg.intermediate_size, dtype=dtype,
+                param_dtype=jnp.dtype(cfg.param_dtype),
+            )
+
+    def _mlp(self, x):
+        if self.cfg.moe is None:
+            return self.mlp(x)
+        out = self.mlp_moe(x)
+        # surface the load-balancing loss without changing call signatures
+        # (readable via capture_intermediates / mutable=["intermediates"])
+        self.sow("intermediates", "moe_aux_loss", out.aux_loss)
+        return out.output
 
     def __call__(self, x, cos, sin, segment_ids=None):
         h = self.self_attn(
@@ -99,7 +120,7 @@ class _DecoderLayer(nn.Module):
             causal=True,
         )
         x = x + h
-        x = x + self.mlp(self.post_attention_layernorm(x))
+        x = x + self._mlp(self.post_attention_layernorm(x))
         return x
 
     def decode(self, x, cos, sin, cache, cache_len):
@@ -107,7 +128,7 @@ class _DecoderLayer(nn.Module):
             self.input_layernorm(x), cos, sin, cache, cache_len
         )
         x = x + h
-        x = x + self.mlp(self.post_attention_layernorm(x))
+        x = x + self._mlp(self.post_attention_layernorm(x))
         return x, cache
 
 
@@ -202,7 +223,7 @@ class MLATransformer(nn.Module):
                 layer.input_layernorm(x), cos, sin, cache, 0
             )
             x = x + h
-            x = x + layer.mlp(layer.post_attention_layernorm(x))
+            x = x + layer._mlp(layer.post_attention_layernorm(x))
             new_caches.append(cache)
         x = self.norm(x)
         logits = self._head(x[:, -1:])
@@ -231,3 +252,13 @@ class MLATransformer(nn.Module):
         return LLMOutput(
             logits=self._head(x), hidden=x, caches=new_caches
         )
+
+
+def moe_aux_losses(intermediates) -> jax.Array:
+    """Sum the per-layer MoE load-balancing losses sown by _DecoderLayer
+    (pass `mutable=["intermediates"]` / `capture_intermediates=True` to
+    apply). Returns 0.0 when the model has no MoE layers."""
+    total = jnp.zeros(())
+    for leaf in jax.tree.leaves(intermediates):
+        total = total + jnp.sum(jnp.asarray(leaf))
+    return total

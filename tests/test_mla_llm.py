@@ -164,3 +164,54 @@ def test_mla_chunked_prefill_matches_full():
     np.testing.assert_allclose(
         np.asarray(out2), np.asarray(full[:, split:]), atol=1e-5, rtol=1e-4
     )
+
+
+def test_moe_llm_forward_and_decode():
+    """MoE feed-forward inside the MLA LLM (Qwen3-MoE/Intern-S1 class):
+    forward emits aux losses via intermediates; cached decode matches the
+    full forward."""
+    from internvideo_tpu.models.llm import LLMConfig, MLATransformer, moe_aux_losses
+    from internvideo_tpu.nn.mla import MLAConfig
+    from internvideo_tpu.nn.moe import MoEConfig
+
+    cfg = LLMConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, intermediate_size=48,
+        mrope_section=None,
+        mla=MLAConfig(
+            hidden_size=32, num_heads=2, kv_lora_rank=16,
+            qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+        ),
+        moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=24,
+                      dispatch="dropless"),
+        attn_impl="xla",
+    )
+    model = MLATransformer(cfg)
+    ids = jnp.concatenate([
+        jnp.arange(6, dtype=jnp.int32)[None],
+        jnp.arange(6, dtype=jnp.int32)[None] + 3,
+    ])
+    params = model.init(jax.random.key(0), ids)
+    out, inter = model.apply(
+        params, ids, mutable=["intermediates"], capture_intermediates=True
+    )
+    assert out.logits.shape == (2, 6, 64)
+    aux = moe_aux_losses(inter["intermediates"])
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+    # cached decode parity vs dense forward
+    full = model.apply(params, ids).logits
+    caches = model.apply(params, 2, 8, jnp.float32, method="init_cache")
+    emb = model.apply(params, ids[:, :5],
+                      method=lambda m, i: m.embed_tokens(i))
+    pre = model.apply(params, emb, caches, method="prefill")
+    np.testing.assert_allclose(
+        np.asarray(pre.logits[:, -1]), np.asarray(full[:, 4]),
+        atol=2e-4, rtol=2e-3,
+    )
+    step = model.apply(
+        params, ids[:, 5:6], pre.caches, jnp.int32(5), method="decode_step"
+    )
+    np.testing.assert_allclose(
+        np.asarray(step.logits[:, 0]), np.asarray(full[:, 5]),
+        atol=2e-4, rtol=2e-3,
+    )
