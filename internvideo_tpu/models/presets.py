@@ -78,3 +78,64 @@ def internvideo3_8b(**overrides) -> MLLMConfig:
         vision_end_token_id=151653,
     )
     return dataclasses.replace(cfg, **overrides)
+
+
+def qwen3_moe_text(**overrides) -> LLMConfig:
+    """Qwen3-MoE-class text model (xtuner model/moe/qwen3.py): 48 layers,
+    hidden 2048, 128 routed experts top-8, moe_intermediate 768 — attention
+    here is the M²LA flavor (dense-GQA ckpts bridge via models/mla_convert)."""
+    from internvideo_tpu.nn.moe import MoEConfig
+
+    cfg = LLMConfig(
+        vocab_size=151936, hidden_size=2048, num_layers=48,
+        intermediate_size=6144, rope_theta=1_000_000.0, mrope_section=None,
+        mla=MLAConfig(
+            hidden_size=2048, num_heads=32, kv_lora_rank=512,
+            qk_rope_head_dim=64, qk_nope_head_dim=64, v_head_dim=64,
+            qkv_bias=False,
+        ),
+        moe=MoEConfig(
+            num_experts=128, top_k=8, intermediate_size=768,
+            router_bias_balancing=True, dispatch="dropless",
+        ),
+        dtype="bfloat16", param_dtype="bfloat16", remat=True,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def intern_s1_mini(**overrides):
+    """Intern-S1-mini compose (intern_s1_config.py:144): InternViT 1024/24L
+    + pixel-shuffle projector + dense 8B-class text."""
+    from internvideo_tpu.models.internvl import InternVLConfig
+
+    cfg = InternVLConfig(
+        vision=InternVideo2Config(
+            embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0,
+            patch_size=14, img_size=448, num_frames=1, tubelet_size=1,
+            qk_normalization=False, norm_type="layernorm",
+            init_values=0.1, num_classes=0,
+            dtype="bfloat16", param_dtype="bfloat16",
+        ),
+        text=qwen3_8b_mla(vocab_size=153216, mrope_section=None),
+        image_token_id=152957,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def intern_s1(**overrides):
+    """Intern-S1 compose (intern_s1_config.py:130): InternViT 3200/45L
+    (RMSNorm + QK-norm) + pixel-shuffle projector + MoE text."""
+    from internvideo_tpu.models.internvl import InternVLConfig
+
+    cfg = InternVLConfig(
+        vision=InternVideo2Config(
+            embed_dim=3200, depth=45, num_heads=25, mlp_ratio=4.0,
+            patch_size=14, img_size=448, num_frames=1, tubelet_size=1,
+            qk_normalization=True, norm_type="rmsnorm",
+            init_values=0.1, num_classes=0,
+            dtype="bfloat16", param_dtype="bfloat16",
+        ),
+        text=qwen3_moe_text(vocab_size=153216),
+        image_token_id=152957,
+    )
+    return dataclasses.replace(cfg, **overrides)

@@ -215,3 +215,63 @@ def test_moe_llm_forward_and_decode():
         np.asarray(step.logits[:, 0]), np.asarray(full[:, 5]),
         atol=2e-4, rtol=2e-3,
     )
+
+
+def test_internvl_compose():
+    """InternVL/Intern-S1 compose: InternViT patches → pixel shuffle →
+    projector → scattered into the LLM at image placeholders."""
+    from internvideo_tpu.models.internvl import (
+        InternVLChat,
+        InternVLConfig,
+        pixel_shuffle,
+    )
+    from internvideo_tpu.models.internvideo2 import InternVideo2Config
+    from internvideo_tpu.models.llm import LLMConfig
+    from internvideo_tpu.nn.mla import MLAConfig
+
+    # pixel shuffle restacks 2x2 spatial blocks into channels
+    x = jnp.arange(1 * 4 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 4, 2)
+    y = pixel_shuffle(x, 0.5)
+    assert y.shape == (1, 2, 2, 8)
+    np.testing.assert_array_equal(
+        np.asarray(y[0, 0, 0]), np.asarray(
+            jnp.concatenate([x[0, 0, 0], x[0, 0, 1], x[0, 1, 0], x[0, 1, 1]])
+        ),
+    )
+
+    cfg = InternVLConfig(
+        vision=InternVideo2Config(
+            embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0,
+            patch_size=8, img_size=32, num_frames=1, tubelet_size=1,
+            clip_embed_dim=16, num_classes=0, attn_impl="xla",
+        ),
+        text=LLMConfig(
+            vocab_size=64, hidden_size=48, num_layers=1,
+            intermediate_size=96, mrope_section=None,
+            mla=MLAConfig(
+                hidden_size=48, num_heads=2, kv_lora_rank=16,
+                qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+            ),
+            attn_impl="xla",
+        ),
+        image_token_id=60,
+    )
+    model = InternVLChat(cfg)
+    # 4x4 patch grid -> pixel shuffle 0.5 -> 4 tokens per image
+    ids = np.full((2, 10), 3, np.int32)
+    ids[:, 2:6] = 60  # 4 placeholders
+    images = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    params = model.init(jax.random.key(1), jnp.asarray(ids), images)
+    out = model.apply(params, jnp.asarray(ids), images)
+    assert out.logits.shape == (2, 10, 64)
+
+    # image content reaches the LM: different images change the logits at
+    # placeholder-adjacent positions
+    out2 = model.apply(params, jnp.asarray(ids), images + 1.0)
+    assert float(jnp.max(jnp.abs(out.logits - out2.logits))) > 1e-4
+
+    # the Intern-S1 presets build
+    from internvideo_tpu.models.presets import intern_s1, intern_s1_mini
+
+    assert intern_s1().text.moe is not None
+    assert intern_s1_mini().vision.depth == 24
