@@ -198,6 +198,46 @@ def convert_videomae_teacher(
 
 
 # ---------------------------------------------------------------------------
+# Stage-2 VideoCLIP full checkpoint -> models/videoclip.VideoCLIP
+# ---------------------------------------------------------------------------
+
+
+def convert_internvideo2_stage2(
+    sd: Mapping[str, np.ndarray],
+    *,
+    depth: int,
+    clip_return_layers: int,
+    text_layers: int,
+) -> dict:
+    """Full stage-2 checkpoint (internvideo2_stage2_visual.py:32-44 naming:
+    vision_encoder.* masked pretrain tower, text_encoder.* HF-BERT fusion
+    tower, vision_proj/text_proj/itm_head linears, temp scalar) -> VideoCLIP
+    params. Published Stage2-1B/6B checkpoints load through this."""
+    vis_sd = {
+        k[len("vision_encoder."):]: v
+        for k, v in sd.items() if k.startswith("vision_encoder.")
+    }
+    txt_sd = {
+        k[len("text_encoder."):]: v
+        for k, v in sd.items() if k.startswith("text_encoder.")
+    }
+    p: dict = {
+        "vision_encoder": convert_internvideo2_pretrain(
+            vis_sd, depth=depth, clip_return_layers=clip_return_layers,
+            mae_return_layers=0,
+        )["params"],
+        "text_encoder": convert_hf_bert(
+            txt_sd, num_layers=text_layers, prefix="bert."
+        )["params"],
+        "vision_proj": _linear(sd, "vision_proj"),
+        "text_proj": _linear(sd, "text_proj"),
+        "itm_head": _linear(sd, "itm_head"),
+        "temp": np.asarray(sd["temp"]),
+    }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # MobileCLIP text tower -> models/text_encoders.CLIPTextEncoder
 # ---------------------------------------------------------------------------
 
