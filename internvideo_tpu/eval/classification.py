@@ -57,6 +57,13 @@ class MultiViewAccumulator:
             self.probs[vid] = self.probs[vid] + p
             self.labels[vid] = int(y)
 
+    def merge(self, other_probs: dict, other_labels: dict):
+        """Fold another host's accumulated views in (the reference's
+        per-rank txt merge — engine_for_finetuning.py:246-311)."""
+        for vid, p in other_probs.items():
+            self.probs[vid] = self.probs[vid] + p
+        self.labels.update(other_labels)
+
     def result(self, ks=(1, 5)) -> dict:
         vids = sorted(self.probs)
         logits = np.stack([self.probs[v] for v in vids])
@@ -69,9 +76,32 @@ class MultiViewAccumulator:
 def final_test(
     forward: Callable,  # video -> logits
     view_iter: Iterable[dict],  # {"video", "label", "video_id"} per view-batch
+    *,
+    merge_hosts: bool = False,
 ) -> dict:
+    """Multi-view softmax ensemble. With `merge_hosts`, each jax process
+    feeds only its shard of views (e.g. via StatefulIterator num_shards)
+    and the partial ensembles merge across hosts before scoring."""
     acc = MultiViewAccumulator()
     for batch in view_iter:
         logits = np.asarray(jax.device_get(forward(batch["video"])))
         acc.add(batch["video_id"], logits, np.asarray(batch["label"]))
+    if merge_hosts and jax.process_count() > 1:
+        import pickle
+
+        from internvideo_tpu.core.distributed import process_allgather
+
+        blob = np.frombuffer(
+            pickle.dumps((dict(acc.probs), acc.labels)), np.uint8
+        )
+        # pad to a common length for the gather, prefix with the true size
+        sizes = process_allgather(np.asarray([blob.size], np.int64))
+        pad = int(sizes.max()) - blob.size
+        blob = np.concatenate([blob, np.zeros(pad, np.uint8)])
+        gathered = process_allgather(blob)
+        merged = MultiViewAccumulator()
+        for row, size in zip(np.atleast_2d(gathered), sizes.reshape(-1)):
+            probs, labels = pickle.loads(row[: int(size)].tobytes())
+            merged.merge(probs, labels)
+        return merged.result()
     return acc.result()

@@ -90,3 +90,28 @@ def test_validate_and_final_test():
     ]
     r = final_test(fwd, views)
     assert r["num_videos"] == 2
+
+
+def test_multiview_merge_across_accumulators():
+    """Host-merge semantics: two partial ensembles (disjoint view shards of
+    the same videos) merge to the single-accumulator result."""
+    import numpy as np
+
+    from internvideo_tpu.eval.classification import MultiViewAccumulator
+
+    rng = np.random.default_rng(0)
+    vids = ["a", "b", "c"]
+    labels = {"a": 0, "b": 1, "c": 2}
+    views = [(v, rng.standard_normal(4).astype(np.float32)) for v in vids
+             for _ in range(4)]
+
+    full = MultiViewAccumulator()
+    h0, h1 = MultiViewAccumulator(), MultiViewAccumulator()
+    for i, (v, logit) in enumerate(views):
+        full.add([v], logit[None], np.asarray([labels[v]]))
+        (h0 if i % 2 == 0 else h1).add(
+            [v], logit[None], np.asarray([labels[v]])
+        )
+    h0.merge(dict(h1.probs), h1.labels)
+    r_full, r_merged = full.result(), h0.result()
+    assert r_full == r_merged, (r_full, r_merged)
