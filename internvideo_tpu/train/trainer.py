@@ -146,6 +146,22 @@ class Trainer:
             tensorboard_dir=config.tensorboard_dir,
         )
 
+    def load_params(self, params) -> None:
+        """Replace the model params with a CONVERTED checkpoint (host
+        pytree from models/convert.py bridges), device_put per the
+        existing shardings — the setup_model ckpt-surgery entry point
+        (tasks/shared_utils.py:57 equivalent). Tree structure must match
+        the model's init tree (the converters' tests pin this)."""
+        inner = params.get("params", params) if isinstance(params, dict) else params
+        new = jax.tree.map(
+            lambda cur, v: jax.device_put(
+                jnp.asarray(v, cur.dtype), cur.sharding
+            ),
+            self.state.params,
+            inner,
+        )
+        self.state = self.state.replace(params=new)
+
     def check_health(self) -> float:
         """Cross-device collective probe: a replicated-sum over every mesh
         device must return the device count. Raises RuntimeError on

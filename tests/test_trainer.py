@@ -136,6 +136,21 @@ def test_health_probe(tmp_path):
     t.ckpt.close()
 
 
+def test_load_converted_params(tmp_path):
+    """Trainer.load_params swaps in a converted checkpoint respecting the
+    sharded layout; subsequent steps train from the injected weights."""
+    t = _trainer(tmp_path, steps=2)
+    host = jax.device_get(t.state.params)
+    bumped = jax.tree.map(lambda x: x + 1.0, host)
+    t.load_params({"params": bumped})
+    after = jax.device_get(t.state.params)
+    leaves_a = jax.tree.leaves(after)
+    leaves_b = jax.tree.leaves(bumped)
+    np.testing.assert_allclose(leaves_a[0], leaves_b[0], atol=1e-6)
+    t.fit(_data(), steps=1)
+    t.ckpt.close()
+
+
 def test_config_overrides():
     cfg = TrainerConfig()
     cfg = apply_overrides(
