@@ -155,7 +155,41 @@ def build_clip(run: RunConfig):
                         batch["attention_mask"]),
         init_kwargs={"init_all_branches": True},
     )
+    ckpt = run.data.get("init_state_dict")
+    if ckpt:
+        # reference stage-2 checkpoint (torch naming) -> converted params
+        trainer.load_params(_load_stage2_state_dict(ckpt, run))
     return trainer, batch
+
+
+def _load_stage2_state_dict(path: str, run: RunConfig):
+    """Load a reference stage-2 state dict (.safetensors / .npz / torch
+    .pth) and convert it (models/convert.convert_internvideo2_stage2)."""
+    import numpy as np
+
+    from internvideo_tpu.models.convert import convert_internvideo2_stage2
+
+    if path.endswith(".safetensors"):
+        from internvideo_tpu.core.checkpoint import read_safetensors
+
+        sd = read_safetensors(path)
+    elif path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:  # torch .pth
+        import torch
+
+        raw = torch.load(path, map_location="cpu")
+        raw = raw.get("module", raw.get("model", raw))
+        from internvideo_tpu.models.convert import torch_state_dict_to_numpy
+
+        sd = torch_state_dict_to_numpy(raw)
+    pre = run.model.pretrain
+    return convert_internvideo2_stage2(
+        sd,
+        depth=run.model.vision.depth,
+        clip_return_layers=pre.clip_return_layers if pre else 0,
+        text_layers=run.model.text.num_layers,
+    )
 
 
 def _synthetic_video_stream(batch, seed=0):
