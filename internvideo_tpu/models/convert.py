@@ -8,7 +8,7 @@ needed by the caller.
 
 Key layout translations (torch → flax):
   * Linear weight (out, in)            → kernel (in, out)       [transpose]
-  * fused qkv weight (3D, D)           → DenseGeneral (D, 3, D)
+  * fused qkv weight (3D, D)           → flat Dense kernel (D, 3D)
   * Conv3d patchify (D, C, kt, kh, kw) → Dense ((kt kh kw C), D)
     with patch-content flattened in (kt, kh, kw, C) order to match
     PatchEmbed3D's reshape.
@@ -71,11 +71,11 @@ def convert_internvideo2_encoder(
         }
         qkv_w = sd[f"{b}.attn.qkv.weight"]  # (3D, D)
         attn = {
-            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T).reshape(d, 3, d)},
+            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T)},  # (D, 3D) flat
             "proj": _linear(sd, f"{b}.attn.proj"),
         }
         if f"{b}.attn.qkv.bias" in sd:
-            attn["qkv"]["bias"] = sd[f"{b}.attn.qkv.bias"].reshape(3, d)
+            attn["qkv"]["bias"] = sd[f"{b}.attn.qkv.bias"]
         if f"{b}.attn.q_norm.weight" in sd:
             attn["q_norm"] = _rmsnorm(sd, f"{b}.attn.q_norm")
             attn["k_norm"] = _rmsnorm(sd, f"{b}.attn.k_norm")
@@ -168,11 +168,11 @@ def convert_videomae_teacher(
         b = f"blocks.{i}"
         qkv_w = sd[f"{b}.attn.qkv.weight"]  # (3D, D)
         attn = {
-            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T).reshape(d, 3, d)},
+            "qkv": {"kernel": np.ascontiguousarray(qkv_w.T)},  # (D, 3D) flat
             "proj": _linear(sd, f"{b}.attn.proj"),
         }
         if f"{b}.attn.q_bias" in sd:
-            attn["qkv"]["bias"] = np.stack(
+            attn["qkv"]["bias"] = np.concatenate(
                 [
                     sd[f"{b}.attn.q_bias"],
                     np.zeros_like(sd[f"{b}.attn.q_bias"]),

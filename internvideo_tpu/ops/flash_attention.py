@@ -72,29 +72,11 @@ def _mask_block(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    *refs,
-    scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None, q_pos: int = 0,
-):
-    if has_segs:
-        q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
-        qseg_ref = kseg_ref = None
-    iq, ik = pl.program_id(2), pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(ik == 0)
-    def _init():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # With causal masking, blocks strictly above the diagonal contribute 0.
-    block_visible = True
+def _block_visible(iq, ik, *, causal, block_q, block_k, q_pos, window):
+    """Whether k-block ik can contribute to q-block iq (whole-block skip)."""
+    visible = True
     if causal:
-        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
+        visible = q_pos + (iq + 1) * block_q > ik * block_k
     if window is not None:
         in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
         if not causal:
@@ -102,7 +84,42 @@ def _fwd_kernel(
                 in_window,
                 ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
             )
-        block_visible = jnp.logical_and(block_visible, in_window)
+        visible = jnp.logical_and(visible, in_window)
+    return visible
+
+
+def _fwd_kernel(
+    *refs,
+    scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
+    kv_pad: int = 0, window=None, q_pos: int = 0,
+):
+    # Softmax runs entirely in the base-2 domain: log2(e) is folded into the
+    # score scale, so the per-element work is just sub+exp2 (no multiply),
+    # and the denominator rides the MXU — V carries an appended ones column
+    # (d+1 <= the same 128-lane tile), so acc[:, d] accumulates sum(p) as a
+    # by-product of the p@V dot instead of a VPU row-reduction.
+    #
+    # (A one-step software pipeline — lagging the p@V dot one grid step to
+    # overlap it with the next block's softmax — was tried and measured
+    # SLOWER on v5e: spilling p through a VMEM scratch adds a write+read
+    # pass per element and the p-buffer WAR hazard serializes anyway.)
+    if has_segs:
+        q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref = refs
+        qseg_ref = kseg_ref = None
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block_visible = _block_visible(
+        iq, ik, causal=causal, block_q=block_q, block_k=block_k,
+        q_pos=q_pos, window=window,
+    )
 
     @pl.when(block_visible)
     def _compute():
@@ -111,10 +128,10 @@ def _fwd_kernel(
         # multi-pass f32 path
         q = q_ref[0, 0]  # (bq, d)
         k = k_ref[0, 0]  # (bk, d)
-        v = v_ref[0, 0]
+        v = v_ref[0, 0]  # (bk, d+1): last column is ones (denominator lane)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bk) f32
+        ) * (scale * LOG2E)  # (bq, bk) f32, base-2 domain
         q_seg = k_seg = None
         if qseg_ref is not None:
             q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
@@ -125,19 +142,16 @@ def _fwd_kernel(
             window=window,
         )
 
-        m_prev = m_ref[:, 0]  # (bq,)
+        m_prev = m_ref[:, 0]  # (bq,) running max of base-2 scores
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        # exp2 is the VPU-native transcendental (exp lowers to exp2 + a
-        # per-element mul); folding log2(e) in saves ~15% kernel time
-        p = jnp.exp2((s - m_cur[:, None]) * LOG2E)
+        p = jnp.exp2(s - m_cur[:, None])
         if has_segs or causal or window is not None:
             # Rows where every key so far is masked: keep everything at 0
             # (with a plain kv-length bound every row has >=1 real key, but
             # segment/causal/window masking can fully mask a row's block).
             p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
-        alpha = jnp.exp2((m_prev - m_cur) * LOG2E)
+        alpha = jnp.exp2(m_prev - m_cur)
         alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         m_ref[:, 0] = m_cur
         acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -145,17 +159,20 @@ def _fwd_kernel(
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        l = l_ref[:, 0]
+        d_out = o_ref.shape[-1]
+        l = acc_ref[:, d_out]
         if kv_pad:
             # K/V tail padding is zeros, so each pad key contributed exactly
-            # exp(0 - m) to l (and nothing to acc) — remove it analytically
+            # exp2(0 - m) to l (and nothing to acc) — remove it analytically
             # instead of masking every tile (saves a VPU pass per tile).
-            l = l - kv_pad * jnp.exp(-m_ref[:, 0])
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l_safe[:, None]).astype(o_ref.dtype)
+            l = l - kv_pad * jnp.exp2(-m_ref[:, 0])
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:, :d_out] / l_safe[:, None]).astype(o_ref.dtype)
         m = m_ref[:, 0]
-        # Empty rows get a huge LSE so exp(s - lse) == 0 in the backward.
-        lse = jnp.where(l == 0.0, -DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
+        # LSE is kept in the base-2 domain (log2 sum exp2 of scaled scores);
+        # the backward recomputes p = exp2(s2 - lse2). Empty rows get a huge
+        # LSE so p == 0 in the backward.
+        lse = jnp.where(l <= 0.0, -DEFAULT_MASK_VALUE, m + jnp.log2(l_safe))
         lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[2:])
 
 
@@ -169,6 +186,14 @@ def _fwd(
     block_k = min(block_k, sk)
     grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
 
+    # Ones column appended to V: the p @ V dot then accumulates the softmax
+    # denominator in acc[:, d] on the MXU (d+1 stays inside the same 128-lane
+    # tile, so the extra column is free). XLA fuses this pad into the
+    # preceding transpose copy. Sequence tail-pad rows (zeros in features)
+    # also carry a 1 here — exactly the exp2(-m) mass the kv_pad finalize
+    # correction removes.
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=1)
+
     has_segs = q_seg is not None
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -176,7 +201,7 @@ def _fwd(
             (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, block_k, d + 1), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
     ]
     args = [q, k, v]
@@ -206,9 +231,8 @@ def _fwd(
             jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),   # acc (+denominator)
+            pltpu.VMEM((block_q, 128), jnp.float32),     # running max
         ],
         interpret=interpret,
     )(*args)
@@ -261,7 +285,7 @@ def _bwd_dq_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)  # base-2 domain, matching the saved base-2 LSE
         q_seg = k_seg = None
         if qseg_ref is not None:
             q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
@@ -271,7 +295,7 @@ def _bwd_dq_kernel(
             q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
             window=window,
         )
-        p = jnp.exp2((s - lse) * LOG2E)
+        p = jnp.exp2(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -331,7 +355,7 @@ def _bwd_dkv_kernel(
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)  # base-2 domain, matching the saved base-2 LSE
         q_seg = k_seg = None
         if qseg_ref is not None:
             q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
@@ -341,7 +365,7 @@ def _bwd_dkv_kernel(
             q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
             window=window,
         )
-        p = jnp.exp2((s - lse) * LOG2E)  # (bq, bk)
+        p = jnp.exp2(s - lse)  # (bq, bk)
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -517,6 +541,151 @@ def _flash_bwd_rule(
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Ragged-tail decomposition
+# ---------------------------------------------------------------------------
+#
+# Sequences just over a block boundary (the encoder's S = 4096 patches + CLS
+# = 4097) would pad a whole extra block per grid axis — 1.56x wasted work at
+# 1024-blocks. Instead: run the Pallas kernel on the block-aligned main
+# region only (zero padding), handle the ragged tails (< _RAGGED_TAIL_MAX
+# rows/keys) with plain XLA einsum attention, and merge the two partial
+# softmaxes through their base-2 LSEs. The backward reuses the main _bwd
+# kernel with the *combined* LSE (p = exp2(s2 - lse2) is then the true
+# probability over the full key set, so per-key-subset gradients just add).
+
+_RAGGED_TAIL_MAX = 64  # XLA tail branches materialize (B,H,tail,S) scores
+
+
+def _xla_partial_attn(q, k, v, scale2):
+    """Dense attention over a small key set. (B,H,Sq,D)x(B,H,T,D) ->
+    normalized out (B,H,Sq,D) and base-2 lse (B,H,Sq)."""
+    s2 = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale2
+    m = jnp.max(s2, axis=-1)
+    p = jnp.exp2(s2 - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ) / l[..., None]
+    return o, m + jnp.log2(l)
+
+
+def _combine_partials(o1, lse1, o2, lse2, out_dtype):
+    """Merge two normalized partial softmax outputs via their base-2 LSEs."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp2(lse1 - m)
+    w2 = jnp.exp2(lse2 - m)
+    den = w1 + w2
+    o = o1 * (w1 / den)[..., None] + o2 * (w2 / den)[..., None]
+    return o.astype(out_dtype), m + jnp.log2(den)
+
+
+def _xla_partial_grads(q, k, v, do, lse2, delta, scale, scale2):
+    """Gradients of the (small-key-set) branch given the global base-2 lse
+    and delta = sum(do * out_full): returns (dq_add, dk, dv)."""
+    f32 = jnp.float32
+    s2 = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=f32) * scale2
+    p = jnp.exp2(s2 - lse2[..., None])  # true probs over the full key set
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do, v, preferred_element_type=f32)
+    ds = (p * (dp - delta[..., None])).astype(q.dtype)
+    dq = scale * jnp.einsum(
+        "bhqk,bhkd->bhqd", ds, k, preferred_element_type=f32
+    )
+    dk = scale * jnp.einsum(
+        "bhqk,bhqd->bhkd", ds, q, preferred_element_type=f32
+    )
+    dv = jnp.einsum(
+        "bhqk,bhqd->bhkd", p.astype(do.dtype), do, preferred_element_type=f32
+    )
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _ragged_fwd_impl(q, k, v, scale, bq, bk, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sqm, skm = sq - sq % bq, sk - sk % bk
+    scale2 = scale * LOG2E
+    qm = q[:, :, :sqm]
+    km, vm = k[:, :, :skm], v[:, :, :skm]
+    om, lsem = _fwd(
+        qm, km, vm, None, None, scale=scale, causal=False,
+        block_q=bq, block_k=bk, interpret=interpret,
+    )
+    lse_main = lsem[:, :, 0, :]  # (b,h,sqm) base-2
+    if skm < sk:
+        ot, lset = _xla_partial_attn(qm, k[:, :, skm:], v[:, :, skm:], scale2)
+        out_main, lse_main = _combine_partials(
+            om.astype(jnp.float32), lse_main, ot, lset, q.dtype
+        )
+    else:
+        out_main = om
+    if sqm < sq:
+        o_tail, lse_tail = _xla_partial_attn(q[:, :, sqm:], k, v, scale2)
+        out = jnp.concatenate([out_main, o_tail.astype(q.dtype)], axis=2)
+        lse = jnp.concatenate([lse_main, lse_tail], axis=2)
+    else:
+        out, lse = out_main, lse_main
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_ragged(q, k, v, scale, block_q, block_k, interpret):
+    return _ragged_fwd_impl(q, k, v, scale, block_q, block_k, interpret)[0]
+
+
+def _ragged_fwd_rule(q, k, v, scale, bq, bk, interpret):
+    out, lse = _ragged_fwd_impl(q, k, v, scale, bq, bk, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _ragged_bwd_rule(scale, bq, bk, interpret, res, g):
+    q, k, v, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    sqm, skm = sq - sq % bq, sk - sk % bk
+    scale2 = scale * LOG2E
+
+    qm, km, vm = q[:, :, :sqm], k[:, :, :skm], v[:, :, :skm]
+    out_m, do_m = out[:, :, :sqm], g[:, :, :sqm]
+    lse_m = jnp.broadcast_to(lse[:, :, None, :sqm], (b, h, 8, sqm))
+    dq_m, dk, dv = _bwd(
+        qm, km, vm, out_m, lse_m, do_m, None, None,
+        scale=scale, causal=False, block_q=bq, block_k=bk,
+        interpret=interpret,
+    )
+    if skm < sk:
+        delta_m = jnp.sum(
+            do_m.astype(jnp.float32) * out_m.astype(jnp.float32), axis=-1
+        )
+        dq_add, dk_t, dv_t = _xla_partial_grads(
+            qm, k[:, :, skm:], v[:, :, skm:], do_m,
+            lse[:, :, :sqm], delta_m, scale, scale2,
+        )
+        dq_m = dq_m + dq_add.astype(q.dtype)
+        dk = jnp.concatenate([dk, dk_t], axis=2)
+        dv = jnp.concatenate([dv, dv_t], axis=2)
+    if sqm < sq:
+        q_t, out_t, do_t = q[:, :, sqm:], out[:, :, sqm:], g[:, :, sqm:]
+        delta_t = jnp.sum(
+            do_t.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1
+        )
+        dq_t, dk_add, dv_add = _xla_partial_grads(
+            q_t, k, v, do_t, lse[:, :, sqm:], delta_t, scale, scale2,
+        )
+        dq = jnp.concatenate([dq_m, dq_t.astype(q.dtype)], axis=2)
+        dk = dk + dk_add
+        dv = dv + dv_add
+    else:
+        dq = dq_m
+    return dq, dk, dv
+
+
+_flash_attention_ragged.defvjp(_ragged_fwd_rule, _ragged_bwd_rule)
+
+
 def flash_attention(
     q: jax.Array,  # (B, Sq, Hq, D)
     k: jax.Array,  # (B, Sk, Hkv, D)
@@ -553,6 +722,20 @@ def flash_attention(
     sq_p = _round_up(sq, block_q_eff)
     sk_p = _round_up(sk, block_k_eff)
     needs_pad = (sq_p != sq) or (sk_p != sk)
+    # Small ragged tails (CLS-token shapes like 4097) skip block padding
+    # entirely: Pallas on the aligned main region + XLA tails + LSE merge.
+    if (needs_pad and q_segment_ids is None and not causal
+            and window is None and group == 1
+            and sq >= block_q_eff and sk >= block_k_eff
+            and sq % block_q_eff <= _RAGGED_TAIL_MAX
+            and sk % block_k_eff <= _RAGGED_TAIL_MAX):
+        out = _flash_attention_ragged(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            scale, block_q_eff, block_k_eff, interpret,
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))
     # With tail-padding only (no real packing), no masking is needed at all:
     # padded q rows are sliced off (zero cotangent), and zero-padded K/V
     # contributions to the softmax are removed analytically in the kernel's

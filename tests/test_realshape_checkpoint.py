@@ -58,7 +58,7 @@ def test_1b_width_convert_export_reload(tmp_path):
     # shapes land exactly where the flax model expects them
     assert params["patch_embed"]["proj"]["kernel"].shape == (
         1 * PATCH * PATCH * 3, D)
-    assert params["blocks_0"]["attn"]["qkv"]["kernel"].shape == (D, 3, D)
+    assert params["blocks_0"]["attn"]["qkv"]["kernel"].shape == (D, 3 * D)
     assert params["blocks_0"]["mlp"]["fc1"]["kernel"].shape == (D, MLP)
     # conversion is a layout transform, not a numeric one
     np.testing.assert_array_equal(
