@@ -200,3 +200,81 @@ def test_window_fully_masked_rows_zero():
         np.asarray(out[:, :100]), np.asarray(ref[:, :100]),
         atol=2e-5, rtol=2e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Ragged-tail decomposition (CLS shapes like 4097 = 4096 + 1)
+# ---------------------------------------------------------------------------
+
+
+def _assert_ragged_taken(monkeypatch, taken=True):
+    """Wrap the ragged entry point with a call counter."""
+    import internvideo_tpu.ops.flash_attention as fa
+
+    calls = []
+    orig = fa._flash_attention_ragged
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_flash_attention_ragged", spy)
+    return calls
+
+
+def test_ragged_forward_matches_xla(monkeypatch):
+    # 257 = 2*128 + 1: block-aligned main + 1-row/1-key tails
+    calls = _assert_ragged_taken(monkeypatch)
+    q, k, v = _rand_qkv(jax.random.key(12), 2, 257, 257, 2, 64)
+    ref = xla_attention(q, k, v)
+    out = _flash(q, k, v)
+    assert calls, "ragged decomposition was not taken for 257 @ 128-blocks"
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_ragged_grads_match_xla(monkeypatch):
+    calls = _assert_ragged_taken(monkeypatch)
+    q, k, v = _rand_qkv(jax.random.key(13), 1, 257, 257, 2, 32)
+
+    def loss(f):
+        return lambda q, k, v: jnp.sum(jnp.square(f(q, k, v)))
+
+    g_ref = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(_flash), argnums=(0, 1, 2))(q, k, v)
+    assert calls
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_ragged_one_sided_tails(monkeypatch):
+    calls = _assert_ragged_taken(monkeypatch)
+    # k-tail only (cross-attention flavored): sq aligned, sk ragged
+    q, k, v = _rand_qkv(jax.random.key(14), 1, 256, 263, 2, 64)
+    np.testing.assert_allclose(
+        _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
+    )
+    # q-tail only
+    q, k, v = _rand_qkv(jax.random.key(15), 1, 263, 256, 2, 64)
+    np.testing.assert_allclose(
+        _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
+    )
+    assert len(calls) >= 2
+
+
+def test_ragged_tail_at_threshold(monkeypatch):
+    # tail == _RAGGED_TAIL_MAX stays on the ragged path; one over falls back
+    import internvideo_tpu.ops.flash_attention as fa
+
+    calls = _assert_ragged_taken(monkeypatch)
+    s_at = 128 + fa._RAGGED_TAIL_MAX
+    q, k, v = _rand_qkv(jax.random.key(16), 1, s_at, s_at, 2, 64)
+    np.testing.assert_allclose(
+        _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
+    )
+    assert len(calls) == 1
+    s_over = s_at + 1
+    q, k, v = _rand_qkv(jax.random.key(17), 1, s_over, s_over, 2, 64)
+    np.testing.assert_allclose(
+        _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
+    )
+    assert len(calls) == 1, "over-threshold tail must use the padded path"
