@@ -113,23 +113,25 @@ def main():
     pmodel = PretrainInternVideo2(pcfg)
     n = cfg.num_patches
     n_vis = max(int(round(n * 0.2)), 1)
+    mb = min(batch, 8)  # masked fwd peaks at B=8 (56.3 @16 vs 59.5 @8)
+    mvideo = video[:mb]
     keep = jnp.broadcast_to(
         jnp.asarray(np.sort(
             np.random.default_rng(0).choice(n, n_vis, replace=False)
         ), jnp.int32)[None],
-        (batch, n_vis),
+        (mb, n_vis),
     )
     try:
         if over_budget():
             raise TimeoutError("bench budget")
-        pparams = jax.jit(pmodel.init)(jax.random.key(0), video, keep)
+        pparams = jax.jit(pmodel.init)(jax.random.key(0), mvideo, keep)
 
         @jax.jit
         def masked_fwd(p, v, k):
             return pmodel.apply(p, v, k).clip_middle
 
         extra["masked_pretrain_fwd_clips_per_sec"] = round(
-            _timer(masked_fwd, (pparams, video, keep), batch, iters, _scalar),
+            _timer(masked_fwd, (pparams, mvideo, keep), mb, iters, _scalar),
             2,
         )
     except Exception as e:  # noqa: BLE001
