@@ -250,6 +250,49 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["videoclip_retrieval_error"] = type(e).__name__
 
+    # MLA paged-decode kernel microbench: Qwen3-8B-MLA cache shapes
+    # (kv_lora 896 + rope 128 = 1024 latent dim, 32 heads), 2048-token
+    # contexts — tokens/s for one layer's decode attention
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget")
+        from internvideo_tpu.ops.paged_decode import paged_mla_decode
+
+        db, dh, dr, dp = (8, 32, 896, 128) if on_tpu else (2, 8, 32, 16)
+        seq, page = (2048, 64) if on_tpu else (32, 8)
+        n_pages = db * (seq // page) + 8
+        cdt = jnp.bfloat16 if on_tpu else jnp.float32
+        q_lat = jnp.ones((db, dh, dr), cdt)
+        q_pe = jnp.ones((db, dh, dp), cdt)
+        pages_arr = jnp.ones((n_pages, page, dr + dp), cdt)
+        tables = jnp.arange(db * (seq // page), dtype=jnp.int32).reshape(
+            db, seq // page
+        )
+        lens = jnp.full((db,), seq, jnp.int32)
+
+        @jax.jit
+        def dec(q_lat, q_pe, pages_arr, tables, lens):
+            return paged_mla_decode(
+                q_lat, q_pe, pages_arr, tables, lens,
+                softmax_scale=(dr + dp) ** -0.5, interpret=not on_tpu,
+            )
+
+        dn = 50
+        args = (q_lat, q_pe, pages_arr, tables, lens)
+        float(jax.device_get(jnp.sum(dec(*args)[0, 0, :1])))
+        t0 = time.perf_counter()
+        float(jax.device_get(jnp.sum(dec(*args)[0, 0, :1])))
+        dbase = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(dn):
+            out = dec(*args)
+        float(jax.device_get(jnp.sum(out[0, 0, :1])))
+        ddt = max(time.perf_counter() - t0 - dbase, 1e-9)
+        extra["mla_paged_decode_tokens_per_sec"] = round(db * (dn - 1) / ddt)
+    except Exception as e:  # noqa: BLE001
+        extra["mla_paged_decode_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": f"internvideo2_{size}_encoder_clips_per_sec_per_chip_{frames}f{img}",
         "value": round(dense, 2),

@@ -155,3 +155,32 @@ def compress_tree(
             compress_video(src, dst, fps=fps, short_side=short_side)
             done.append(dst)
     return done
+
+
+def diversity_sample(
+    annotations: list[dict],
+    n: int,
+    *,
+    key=lambda a: a["video"].rsplit("/", 1)[-1][:11],
+    seed: int = 42,
+) -> list[dict]:
+    """Source-diversity subsampling of a video-text corpus.
+
+    InternVid's curation downsamples over-represented source videos by
+    weighting each annotation with the inverse frequency of its video id
+    (Data/InternVid/div_sampling.py) — clips from videos with many captions
+    get proportionally lower keep probability. Sampling is without
+    replacement.
+    """
+    import collections
+
+    import numpy as np
+
+    ids = [key(a) for a in annotations]
+    counts = collections.Counter(ids)
+    w = np.array([1.0 / counts[i] for i in ids], dtype=np.float64)
+    w /= w.sum()
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(annotations), min(n, len(annotations)),
+                     replace=False, p=w)
+    return [annotations[i] for i in idx]

@@ -54,3 +54,21 @@ def test_compress_video_cv2(tmp_path, monkeypatch):
     cap.release()
     assert h == 32  # short side resized
     assert 2 <= nf <= 5  # ~1 s at 3 fps
+
+
+def test_diversity_sample_balances_sources():
+    # 90 clips from one video, 10 from another: inverse-frequency weights
+    # should pull the sample toward balance.
+    anns = [{"video": f"a/AAAAAAAAAAA_{i}.mp4", "caption": str(i)}
+            for i in range(90)]
+    anns += [{"video": f"b/BBBBBBBBBBB_{i}.mp4", "caption": str(i)}
+             for i in range(10)]
+    from internvideo_tpu.tools.preprocess import diversity_sample
+
+    out = diversity_sample(anns, 20, seed=0)
+    assert len(out) == 20
+    n_b = sum(a["video"].startswith("b/") for a in out)
+    assert n_b >= 6, n_b  # ~half in expectation vs 2 under uniform sampling
+    # deterministic given seed
+    again = diversity_sample(anns, 20, seed=0)
+    assert [a["caption"] for a in again] == [a["caption"] for a in out]
