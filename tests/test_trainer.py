@@ -164,3 +164,21 @@ def test_config_overrides():
     assert cfg.checkpoint_dir == "/tmp/x"
     d = config_to_dict(cfg)
     assert d["optimizer"]["lr"] == 0.5
+
+
+def test_all_shipped_configs_load():
+    """Every config under configs/ must construct a RunConfig (production
+    recipes included — they are real dataclasses, not templates)."""
+    import glob
+    import os
+
+    from internvideo_tpu.cli.train import RunConfig
+    from internvideo_tpu.core.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.py")))
+    assert len(paths) >= 9, paths
+    for p in paths:
+        cfg = load_config(p)
+        assert isinstance(cfg, RunConfig), p
+        assert cfg.task in ("finetune", "pretrain", "distill", "clip", "sft")
