@@ -463,3 +463,60 @@ def convert_internvideo2_pretrain(
                 "norm": _layernorm(sd, f"mae_decoder.{j}.norm"),
             }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# BEATs audio encoder -> models/beats.BEATsEncoder
+# ---------------------------------------------------------------------------
+
+
+def convert_beats(sd, num_layers: int = 12) -> dict:
+    """BEATs torch state dict (backbones/beats/BEATs.py) -> flax params.
+
+    Handles: Conv2d patch embed (OIHW -> HWIO), the weight-normed pos_conv
+    (weight_g/weight_v folded into a plain kernel, norm over (out, in) per
+    tap as torch's dim=2 weight_norm does), T5 relative-bias table (layer 0
+    only — later layers share it), and the GRU-gate parameters.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p = {
+        "patch_embedding": {
+            # (512, 1, 16, 16) OIHW -> (16, 16, 1, 512) HWIO
+            "kernel": sd["patch_embedding.weight"].transpose(2, 3, 1, 0),
+        },
+        "layer_norm": _layernorm(sd, "layer_norm"),
+        "post_extract_proj": _linear(sd, "post_extract_proj"),
+        "encoder_layer_norm": _layernorm(sd, "encoder.layer_norm"),
+    }
+    # weight_norm(dim=2): w[:, :, j] = g[0, 0, j] * v[:, :, j] / ||v[:, :, j]||
+    g = sd["encoder.pos_conv.0.weight_g"]  # (1, 1, k)
+    v = sd["encoder.pos_conv.0.weight_v"]  # (Cout, Cin/groups, k)
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)
+    p["pos_conv"] = {
+        # torch conv1d (Cout, Cin/g, k) -> flax (k, Cin/g, Cout)
+        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+        "bias": sd["encoder.pos_conv.0.bias"],
+    }
+    for i in range(num_layers):
+        b = f"encoder.layers.{i}"
+        attn = {
+            "q_proj": _linear(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{b}.self_attn.out_proj"),
+            "grep_linear": _linear(sd, f"{b}.self_attn.grep_linear"),
+            "grep_a": sd[f"{b}.self_attn.grep_a"],
+        }
+        if i == 0:
+            attn["relative_attention_bias"] = sd[
+                f"{b}.self_attn.relative_attention_bias.weight"
+            ]
+        p[f"layers_{i}"] = {
+            "self_attn": attn,
+            "self_attn_layer_norm": _layernorm(sd, f"{b}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{b}.fc1"),
+            "fc2": _linear(sd, f"{b}.fc2"),
+            "final_layer_norm": _layernorm(sd, f"{b}.final_layer_norm"),
+        }
+    return {"params": p}

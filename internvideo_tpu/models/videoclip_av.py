@@ -38,6 +38,13 @@ class VideoCLIPAVConfig:
     audio: AudioEncoderConfig = dataclasses.field(
         default_factory=AudioEncoderConfig
     )
+    # "simple" = models/audio.AudioEncoder (from-scratch tower);
+    # "beats" = models/beats.BEATsEncoder, checkpoint-faithful to the
+    # reference's frozen BEATs (load via convert_beats) — the stage-2 AV
+    # recipe initializes the audio side from a released BEATs checkpoint
+    # (internvideo2_stage2_audiovisual.py:831-837).
+    audio_tower: str = "simple"
+    beats: object = None  # BEATsConfig when audio_tower == "beats"
     text: BertConfig = dataclasses.field(default_factory=BertConfig)
     embed_dim: int = 512
     temp_init: float = 0.07
@@ -61,7 +68,12 @@ class VideoCLIPAV(nn.Module):
             )
 
         self.vision_encoder = InternVideo2(cfg.vision)
-        self.audio_encoder = AudioEncoder(cfg.audio)
+        if cfg.audio_tower == "beats":
+            from internvideo_tpu.models.beats import BEATsConfig, BEATsEncoder
+
+            self.audio_encoder = BEATsEncoder(cfg.beats or BEATsConfig())
+        else:
+            self.audio_encoder = AudioEncoder(cfg.audio)
         self.text_encoder = BertModel(cfg.text)
         self.vision_proj = proj("vision_proj")
         self.audio_proj = proj("audio_proj")
@@ -91,15 +103,11 @@ class VideoCLIPAV(nn.Module):
             out = self.vision_encoder(video, deterministic=deterministic)
             return out.tokens, self.vision_proj(out.pooled)
         if media_type == "audio":
-            tokens, pooled = self.audio_encoder(
-                audio, deterministic=deterministic
-            )
+            tokens, pooled = self._encode_audio(audio, deterministic)
             return self.audio_to_fusion(tokens), self.audio_proj(pooled)
         if media_type == "audio_video":
             v = self.vision_encoder(video, deterministic=deterministic)
-            a_tokens, a_pooled = self.audio_encoder(
-                audio, deterministic=deterministic
-            )
+            a_tokens, a_pooled = self._encode_audio(audio, deterministic)
             tokens = jnp.concatenate(
                 [self.audio_to_fusion(a_tokens), v.tokens], axis=1
             )
@@ -108,6 +116,11 @@ class VideoCLIPAV(nn.Module):
             )
             return tokens, pooled
         raise ValueError(media_type)
+
+    def _encode_audio(self, audio, deterministic):
+        if self.config.audio_tower == "beats":
+            return self.audio_encoder(audio)  # no dropout paths
+        return self.audio_encoder(audio, deterministic=deterministic)
 
     def encode_text(self, input_ids, attention_mask, deterministic=True):
         out = self.text_encoder(

@@ -63,6 +63,21 @@ def _install_stubs():
             "flash_attn.bert_padding": fa_pad,
         })
 
+    if "torchaudio" not in sys.modules:
+        # BEATs.py imports torchaudio.compliance.kaldi for its fbank
+        # preprocessing only; parity tests feed fbanks directly.
+        ta = types.ModuleType("torchaudio")
+        ta_comp = types.ModuleType("torchaudio.compliance")
+        ta_kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        ta_kaldi.fbank = None
+        ta.compliance = ta_comp
+        ta_comp.kaldi = ta_kaldi
+        sys.modules.update({
+            "torchaudio": ta,
+            "torchaudio.compliance": ta_comp,
+            "torchaudio.compliance.kaldi": ta_kaldi,
+        })
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv_ops = types.ModuleType("torchvision.ops")

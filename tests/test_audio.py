@@ -74,3 +74,42 @@ def test_av_model_media_types():
         assert out.vision_proj.shape == (2, 24), media
         assert out.text_proj.shape == (2, 24)
         assert np.isfinite(np.asarray(out.vision_proj)).all()
+
+
+def test_av_model_beats_tower():
+    """AV model with the checkpoint-faithful BEATs audio tower."""
+    from internvideo_tpu.models.beats import BEATsConfig
+
+    cfg = VideoCLIPAVConfig(
+        vision=InternVideo2Config(
+            embed_dim=32, depth=1, num_heads=2, patch_size=14, img_size=28,
+            num_frames=2, tubelet_size=1, clip_embed_dim=16, num_classes=0,
+            attn_impl="xla",
+        ),
+        audio_tower="beats",
+        beats=BEATsConfig(
+            input_patch_size=8, embed_dim=16, encoder_embed_dim=32,
+            encoder_ffn_embed_dim=64, encoder_layers=2,
+            encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+            num_buckets=32, max_distance=16,
+        ),
+        text=BertConfig(
+            vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, fusion_layer=1, attn_impl="xla",
+        ),
+        embed_dim=24,
+    )
+    model = VideoCLIPAV(cfg)
+    video = jnp.zeros((2, 2, 28, 28, 3))
+    audio = jax.random.normal(jax.random.key(0), (2, 32, 32))
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    params = model.init(jax.random.key(1), ids, mask, video=video,
+                        audio=audio, media_type="audio_video",
+                        init_all_branches=True)
+    for media in ("audio", "audio_video"):
+        tokens, pooled = model.apply(
+            params, media, video, audio, method="encode_media",
+        )
+        assert pooled.shape == (2, 24)
+        assert np.isfinite(np.asarray(tokens)).all()

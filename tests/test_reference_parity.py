@@ -251,3 +251,63 @@ def test_mae_teacher_parity(ref_module):
     np.testing.assert_allclose(
         np.asarray(z), r_z.numpy(), atol=1e-4, rtol=1e-3
     )
+
+
+def test_beats_encoder_parity():
+    """Faithful BEATs tower vs the reference torch module (random init),
+    including weight-normed pos_conv, T5 relative bias and the GRU gate."""
+    import torch
+
+    ref_beats = load_reference_module(
+        "InternVideo2/multi_modality/models/backbones/beats/BEATs.py",
+        extra_siblings=("modules.py", "backbone.py"),
+    )
+
+    from internvideo_tpu.models.beats import BEATsConfig, BEATsEncoder
+    from internvideo_tpu.models.convert import convert_beats
+
+    layers, heads = 2, 4
+    torch.manual_seed(0)
+    rcfg = ref_beats.BEATsConfig({
+        "input_patch_size": 8,
+        "embed_dim": 24,
+        "encoder_embed_dim": 32,
+        "encoder_ffn_embed_dim": 64,
+        "encoder_layers": layers,
+        "encoder_attention_heads": heads,
+        "conv_pos": 16,
+        "conv_pos_groups": 4,
+        "relative_position_embedding": True,
+        "num_buckets": 32,
+        "max_distance": 16,
+        "gru_rel_pos": True,
+        "deep_norm": True,
+        "layer_norm_first": False,
+        "dropout": 0.0,
+        "attention_dropout": 0.0,
+        "activation_dropout": 0.0,
+        "dropout_input": 0.0,
+        "encoder_layerdrop": 0.0,
+    })
+    ref = ref_beats.BEATs(rcfg).eval()
+
+    cfg = BEATsConfig(
+        input_patch_size=8, embed_dim=24, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_layers=layers,
+        encoder_attention_heads=heads, conv_pos=16, conv_pos_groups=4,
+        num_buckets=32, max_distance=16,
+    )
+    model = BEATsEncoder(cfg)
+    params = convert_beats(
+        torch_state_dict_to_numpy(ref.state_dict()), num_layers=layers
+    )
+
+    rng = np.random.RandomState(2)
+    fbank = rng.randn(2, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        r_out = ref(torch.from_numpy(fbank))
+    tokens, pooled = model.apply(params, fbank)
+    np.testing.assert_allclose(
+        np.asarray(tokens), r_out.numpy(), atol=1e-4, rtol=1e-3
+    )
+    assert pooled.shape == (2, 32)
