@@ -1,0 +1,71 @@
+"""Multiprocess decode worker pool: ordering, collate, parallelism."""
+
+import os
+import time
+
+import numpy as np
+
+from internvideo_tpu.data.workers import WorkerPool, default_collate
+
+
+class _Dataset:
+    def __len__(self):
+        return 20
+
+    def __getitem__(self, i):
+        return {
+            "x": np.full((3,), i, np.float32),
+            "idx": np.int32(i),
+            "pid": np.int64(os.getpid()),
+        }
+
+
+def test_default_collate_nested():
+    items = [{"a": np.ones((2,)), "b": (np.int32(1), np.zeros((1,)))}] * 3
+    out = default_collate(items)
+    assert out["a"].shape == (3, 2)
+    assert out["b"][0].shape == (3,)
+    assert out["b"][1].shape == (3, 1)
+
+
+def test_worker_pool_ordered_batches():
+    pool = WorkerPool(_Dataset(), batch_size=4, num_workers=2, prefetch=2)
+    batches = list(pool.iterate())
+    assert len(batches) == 5
+    got = np.concatenate([b["idx"] for b in batches])
+    np.testing.assert_array_equal(got, np.arange(20))
+    # work actually ran in child processes
+    pids = set(int(p) for b in batches for p in b["pid"])
+    assert os.getpid() not in pids
+    assert len(pids) >= 1
+
+
+def test_worker_pool_inprocess_and_drop_last():
+    pool = WorkerPool(_Dataset(), batch_size=6, num_workers=0,
+                      drop_last=False)
+    batches = list(pool.iterate())
+    assert [len(b["idx"]) for b in batches] == [6, 6, 6, 2]
+
+
+def test_worker_pool_custom_indices_resume():
+    # resumable iteration: the caller passes the index stream (e.g. from
+    # StatefulIterator), the pool only maps and orders
+    pool = WorkerPool(_Dataset(), batch_size=2, num_workers=2)
+    batches = list(pool.iterate([5, 3, 9, 1]))
+    got = np.concatenate([b["idx"] for b in batches]).tolist()
+    assert got == [5, 3, 9, 1]
+
+
+class _SlowDataset(_Dataset):
+    def __getitem__(self, i):
+        time.sleep(0.05)
+        return super().__getitem__(i)
+
+
+def test_worker_pool_parallel_speedup():
+    t0 = time.perf_counter()
+    list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=4,
+                    prefetch=4).iterate())
+    parallel = time.perf_counter() - t0
+    # 20 items x 50 ms = 1 s serial; 4 workers should beat 700 ms easily
+    assert parallel < 0.8, parallel
