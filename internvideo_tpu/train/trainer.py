@@ -59,6 +59,9 @@ class TrainerConfig:
     # run a cross-device collective probe every N steps (0 = never) —
     # xtuner trainer.py:1080 _maybe_check_health equivalent
     health_check_every: int = 0
+    # model FLOPs per global batch (fwd+bwd); > 0 enables tflops_per_sec
+    # and, when the chip's peak is known, MFU in the step log
+    flops_per_batch: float = 0.0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig
@@ -145,6 +148,8 @@ class Trainer:
             jsonl_path=jsonl_path, log_every=config.log_every,
             tensorboard_dir=config.tensorboard_dir,
         )
+        if config.flops_per_batch:
+            self.metrics.set_peak_flops()
 
     def load_params(self, params) -> None:
         """Replace the model params with a CONVERTED checkpoint (host
@@ -245,6 +250,8 @@ class Trainer:
             )
             if "tokens" in scalars:
                 self.metrics.add_tokens(int(scalars["tokens"]))
+            if self.config.flops_per_batch:
+                self.metrics.add_flops(self.config.flops_per_batch)
         if halt_on_nan and not float(last_m.get("finite", 1.0)):
             raise FloatingPointError(
                 f"non-finite loss at step {last_step}: "

@@ -45,6 +45,28 @@ class SmoothedValue:
         )
 
 
+# bf16 peak FLOPs by TPU generation (public spec numbers)
+_PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _device_peak_flops() -> Optional[float]:
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # noqa: BLE001
+        return None
+    for key, peak in _PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return None
+
+
 class MetricLogger:
     def __init__(
         self,
@@ -70,6 +92,13 @@ class MetricLogger:
             self._tb = SummaryWriter(tensorboard_dir)
         self._t_last = time.perf_counter()
         self._tokens_since = 0
+        self._flops_since = 0.0
+        self._peak_flops = None
+
+    def set_peak_flops(self, peak: Optional[float] = None):
+        """Enable MFU reporting. peak=None autodetects the chip's bf16 peak
+        from the device kind (fallback: report achieved TFLOPs only)."""
+        self._peak_flops = peak if peak is not None else _device_peak_flops()
 
     def update(self, **kwargs):
         for k, v in kwargs.items():
@@ -77,6 +106,10 @@ class MetricLogger:
 
     def add_tokens(self, n: int):
         self._tokens_since += int(n)
+
+    def add_flops(self, n: float):
+        """Model FLOPs spent this window (e.g. flops_per_step each step)."""
+        self._flops_since += float(n)
 
     def log_step(self, step: int, extra: Optional[dict] = None):
         now = time.perf_counter()
@@ -89,6 +122,15 @@ class MetricLogger:
         if self._tokens_since:
             record["tokens_per_sec"] = self._tokens_since / dt
             self._tokens_since = 0
+        if self._flops_since:
+            achieved = self._flops_since / dt
+            record["tflops_per_sec"] = achieved / 1e12
+            if self._peak_flops:
+                # MFU: achieved model FLOPs over the chip's peak — the
+                # TPU-idiomatic form of xtuner's throughput log
+                # (trainer.py:786-800)
+                record["mfu"] = achieved / self._peak_flops
+            self._flops_since = 0.0
         if extra:
             record.update(extra)
         self._t_last = now

@@ -104,3 +104,26 @@ def test_merge_lora_requires_and_uses_scale():
     np.testing.assert_allclose(
         np.asarray(y_merged), np.asarray(y), atol=1e-5, rtol=1e-5
     )
+
+
+def test_flops_estimator_and_mfu_logging():
+    from internvideo_tpu.models.internvideo2 import make_config
+    from internvideo_tpu.utils.flops import (
+        encoder_forward_flops,
+        train_step_flops,
+    )
+    from internvideo_tpu.utils.metrics import MetricLogger
+
+    cfg = make_config("1B", num_frames=16, img_size=224, num_classes=0)
+    fwd = encoder_forward_flops(cfg)
+    # the 1B 16f@224 dense forward is ~12 TFLOP/clip (PERF.md accounting)
+    assert 9e12 < fwd < 15e12, fwd
+    assert train_step_flops(fwd) == 3 * fwd
+
+    logs = []
+    m = MetricLogger(log_every=1, print_fn=lambda s: logs.append(s))
+    m.set_peak_flops(100e12)
+    m.add_flops(5e12)
+    rec = m.log_step(1)
+    assert "mfu" in rec and 0 < rec["mfu"] <= 10
+    assert rec["tflops_per_sec"] > 0
