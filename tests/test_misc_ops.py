@@ -123,7 +123,12 @@ def test_flops_estimator_and_mfu_logging():
     logs = []
     m = MetricLogger(log_every=1, print_fn=lambda s: logs.append(s))
     m.set_peak_flops(100e12)
+    import time
+
     m.add_flops(5e12)
+    time.sleep(0.05)  # give dt a real value so the rates are sane
     rec = m.log_step(1)
-    assert "mfu" in rec and 0 < rec["mfu"] <= 10
+    assert "mfu" in rec and rec["mfu"] > 0
     assert rec["tflops_per_sec"] > 0
+    # 5 TF over >=50 ms at 100 TF peak -> mfu <= 1.0
+    assert rec["mfu"] <= 1.0, rec
