@@ -2,9 +2,14 @@
 
 Prefill once, then a lax.scan'd greedy/temperature decode loop — the whole
 generate is ONE compiled XLA program (static max_new_tokens; eos handled by
-a finished-mask so shapes stay fixed). Replaces the reference's
-paged-prefill/decode path (xtuner mha.py:195-303) for the batch=small,
-dense-cache regime; paged-Pallas decode is the follow-up optimization.
+a finished-mask so shapes stay fixed). Two cache regimes, mirroring the
+reference's paged prefill/decode (xtuner mha.py:195-303):
+
+  * dense (default): per-layer (B, max_len, C) latent caches
+  * `paged=True`: latent entries in per-layer page pools walked by the
+    Pallas paged-decode kernel (ops/paged_decode.py) — O(seq_len) HBM
+    traffic per step, page-granular memory; token-identical to dense
+    (tests/test_mla_llm.py::test_paged_generate_matches_dense)
 """
 
 from __future__ import annotations
@@ -27,21 +32,44 @@ def generate(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
+    paged: bool = False,  # page-pool decode via the Pallas paged kernel
+    page_size: int = 64,
+    decode_impl: Optional[str] = None,  # paged: auto | pallas | xla
+    interpret: bool = False,
 ) -> jax.Array:
     """Returns (B, max_new_tokens) generated ids (eos-padded)."""
     b, prompt_len = input_ids.shape
     max_len = prompt_len + max_new_tokens
 
-    caches = model.apply(
-        params, b, max_len, cache_dtype, method="init_cache"
-    )
-    if video is not None:
-        out = model.apply(
-            params, input_ids, video, caches, method="prefill"
+    if paged:
+        assert video is None, "paged generate is the text/serving path"
+        from internvideo_tpu.models.llm import init_paged_cache
+
+        pages, tables = init_paged_cache(
+            model.cfg, b, max_len, page_size, cache_dtype
         )
+        out = model.apply(
+            params, input_ids, pages, tables, page_size,
+            method="prefill_paged",
+        )
+        caches = out.caches
     else:
-        out = model.apply(params, input_ids, None, caches, method="prefill")
-    caches = out.caches
+        caches = model.apply(
+            params, b, max_len, cache_dtype, method="init_cache"
+        )
+        import inspect
+
+        takes_video = "video" in inspect.signature(model.prefill).parameters
+        if takes_video:  # MLLM flavor: prefill(input_ids, video, caches)
+            out = model.apply(
+                params, input_ids, video, caches, method="prefill"
+            )
+        else:  # bare MLATransformer: prefill(input_embeds, caches)
+            embeds = model.apply(
+                params, method=lambda m: m.embed_tokens
+            )(input_ids)
+            out = model.apply(params, embeds, caches, method="prefill")
+        caches = out.caches
 
     def sample(logits, key):
         logits = logits[:, -1].astype(jnp.float32)
@@ -55,10 +83,18 @@ def generate(
     def body(carry, step):
         token, caches, finished, key = carry
         key, sub = jax.random.split(key)
-        out = model.apply(
-            params, token[:, None], caches, prompt_len + step,
-            method="decode_step",
-        )
+        if paged:
+            seq_lens = jnp.full((b,), prompt_len + step, jnp.int32)
+            out = model.apply(
+                params, token[:, None], caches, tables, seq_lens,
+                page_size, impl=decode_impl, interpret=interpret,
+                method="decode_step_paged",
+            )
+        else:
+            out = model.apply(
+                params, token[:, None], caches, prompt_len + step,
+                method="decode_step",
+            )
         nxt = sample(out.logits, sub)
         if eos_token_id is not None:
             nxt = jnp.where(finished, eos_token_id, nxt)

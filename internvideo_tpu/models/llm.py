@@ -21,6 +21,7 @@ from flax import linen as nn
 from flax import struct
 
 from internvideo_tpu.nn.mla import MLAConfig, MLAttention
+from internvideo_tpu.nn.paged_cache import paged_write
 from internvideo_tpu.nn.norms import RMSNorm
 from internvideo_tpu.nn.rope import mrope_cos_sin, rope_cos_sin
 
@@ -252,6 +253,119 @@ class MLATransformer(nn.Module):
         return LLMOutput(
             logits=self._head(x), hidden=x, caches=new_caches
         )
+
+    def prefill_paged(
+        self,
+        input_ids: Optional[jax.Array],  # (B, S)
+        pages: list,  # per-layer (P, page_size, C) pools
+        block_tables: jax.Array,  # (B, max_pages)
+        page_size: int,
+        *,
+        input_embeds: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+    ) -> LLMOutput:
+        """Prompt pass writing latent entries into the page pools.
+
+        Attention itself runs as plain causal self-attention (the cache is
+        empty before the prompt); only the entry writes differ from
+        `prefill`."""
+        input_embeds = (
+            input_embeds if input_embeds is not None
+            else self.embed_tokens(input_ids)
+        )
+        b, s, _ = input_embeds.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = self._rope(position_ids)
+        x = input_embeds
+        new_pages = []
+        for layer, pool in zip(self.layers, pages):
+            xn = layer.input_layernorm(x)
+            entries = layer.self_attn.compute_cache_entry(xn, cos, sin)
+            new_pages.append(_write_positions(
+                pool, entries, block_tables, position_ids, page_size
+            ))
+            x = x + layer.self_attn(xn, cos, sin, causal=True)
+            x = x + layer._mlp(layer.post_attention_layernorm(x))
+        x = self.norm(x)
+        return LLMOutput(
+            logits=self._head(x[:, -1:]), hidden=x, caches=new_pages
+        )
+
+    def decode_step_paged(
+        self,
+        token_ids: jax.Array,  # (B, 1)
+        pages: list,
+        block_tables: jax.Array,
+        seq_lens: jax.Array,  # (B,) tokens already cached (ragged OK)
+        page_size: int,
+        *,
+        impl: Optional[str] = None,
+        interpret: bool = False,
+    ) -> LLMOutput:
+        """One decode step over the paged pools (Pallas kernel on TPU):
+        write this token's latent entry, then absorbed paged attention.
+        O(seq_len) HBM traffic per sequence; memory O(pool)."""
+        x = self.embed_tokens(token_ids)
+        positions = seq_lens[:, None].astype(jnp.int32)  # (B, 1)
+        cos, sin = self._rope(positions)
+        new_pages = []
+        for layer, pool in zip(self.layers, pages):
+            xn = layer.input_layernorm(x)
+            entry = layer.self_attn.compute_cache_entry(xn, cos, sin)
+            pool = _write_positions(
+                pool, entry, block_tables, positions, page_size
+            )
+            new_pages.append(pool)
+            h = layer.self_attn.decode_paged(
+                xn, cos, sin, pool, block_tables, seq_lens + 1,
+                impl=impl, interpret=interpret,
+            )
+            x = x + h
+            x = x + layer._mlp(layer.post_attention_layernorm(x))
+        x = self.norm(x)
+        return LLMOutput(
+            logits=self._head(x), hidden=x, caches=new_pages
+        )
+
+
+# ---------------------------------------------------------------------------
+# Paged decode path (serving): latent entries live in a shared page pool
+# walked by the Pallas paged-decode kernel — end-to-end counterpart of the
+# reference's paged prefill/decode (xtuner mha.py:195-303, kv_cache.py:5-47)
+# ---------------------------------------------------------------------------
+
+
+def init_paged_cache(
+    cfg, batch: int, max_len: int, page_size: int = 64, dtype=jnp.bfloat16
+):
+    """Contiguously-allocated page pool + block tables for a fixed batch.
+
+    Returns (pages_per_layer, block_tables): layer l's pool is
+    pages[l] (P, page_size, cache_dim); block_tables (B, max_pages) maps
+    sequence b's page j to pool page b*max_pages + j. For dynamic serving
+    with sequence join/leave, drive nn/paged_cache.PageAllocator instead.
+    """
+    pages_per_seq = -(-max_len // page_size)
+    n_pages = batch * pages_per_seq
+    pages = [
+        jnp.zeros((n_pages, page_size, cfg.mla.cache_dim), dtype)
+        for _ in range(cfg.num_layers)
+    ]
+    tables = jnp.arange(n_pages, dtype=jnp.int32).reshape(
+        batch, pages_per_seq
+    )
+    return pages, tables
+
+
+def _write_positions(pages, entries, tables, positions, page_size):
+    """Scatter (B, S, C) entries at token `positions` (B, S) into the pool."""
+    b, s, c = entries.shape
+    pids = jnp.take_along_axis(
+        tables, positions // page_size, axis=1
+    ).reshape(-1)
+    offs = (positions % page_size).reshape(-1)
+    return paged_write(pages, entries.reshape(-1, c), pids, offs)
 
 
 def moe_aux_losses(intermediates) -> jax.Array:

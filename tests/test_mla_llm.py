@@ -275,3 +275,27 @@ def test_internvl_compose():
 
     assert intern_s1().text.moe is not None
     assert intern_s1_mini().vision.depth == 24
+
+
+def test_paged_generate_matches_dense():
+    """End-to-end paged generate (XLA gather path AND Pallas interpret
+    kernel) produces token-identical output to the dense-cache generate."""
+    from internvideo_tpu.models.generation import generate
+
+    model = MLATransformer(LLM_TINY)
+    ids = jax.random.randint(jax.random.key(3), (2, 5), 1, 90)
+    params = model.init(jax.random.key(4), ids)
+
+    dense = generate(model, params, ids, max_new_tokens=6)
+    paged_xla = generate(
+        model, params, ids, max_new_tokens=6,
+        paged=True, page_size=4, decode_impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged_xla))
+    paged_kernel = generate(
+        model, params, ids, max_new_tokens=6,
+        paged=True, page_size=4, decode_impl="pallas", interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense), np.asarray(paged_kernel)
+    )
