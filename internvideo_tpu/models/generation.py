@@ -30,6 +30,8 @@ def generate(
     max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.float32,
     paged: bool = False,  # page-pool decode via the Pallas paged kernel
@@ -73,9 +75,25 @@ def generate(
 
     def sample(logits, key):
         logits = logits[:, -1].astype(jnp.float32)
-        if temperature > 0.0:
-            return jax.random.categorical(key, logits / temperature, axis=-1)
-        return jnp.argmax(logits, axis=-1)
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1)
+        logits = logits / temperature
+        if top_k is not None and top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p is not None and top_p < 1.0:
+            # nucleus: keep the smallest prefix of sorted probs summing to
+            # top_p (the first token is always kept)
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_p
+            cutoff = jnp.min(
+                jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                keepdims=True,
+            )
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1)
 
     rng = rng if rng is not None else jax.random.key(0)
     first = sample(out.logits, rng)

@@ -299,3 +299,27 @@ def test_paged_generate_matches_dense():
     np.testing.assert_array_equal(
         np.asarray(dense), np.asarray(paged_kernel)
     )
+
+
+def test_generate_topk_topp_sampling():
+    from internvideo_tpu.models.generation import generate
+
+    model = MLATransformer(LLM_TINY)
+    ids = jax.random.randint(jax.random.key(5), (2, 4), 1, 90)
+    params = model.init(jax.random.key(6), ids)
+
+    # top_k=1 at any temperature == greedy
+    greedy = generate(model, params, ids, max_new_tokens=5)
+    k1 = generate(model, params, ids, max_new_tokens=5,
+                  temperature=1.0, top_k=1, rng=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(k1))
+    # tiny top_p keeps only the argmax token -> greedy as well
+    p_small = generate(model, params, ids, max_new_tokens=5,
+                       temperature=1.0, top_p=1e-6, rng=jax.random.key(8))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(p_small))
+    # plain sampling stays in-vocab and runs
+    samp = generate(model, params, ids, max_new_tokens=5,
+                    temperature=1.0, top_k=10, top_p=0.9,
+                    rng=jax.random.key(9))
+    assert np.asarray(samp).shape == (2, 5)
+    assert (np.asarray(samp) >= 0).all() and (np.asarray(samp) < 97).all()
