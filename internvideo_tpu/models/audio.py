@@ -121,3 +121,80 @@ class AudioEncoder(nn.Module):
             )(x, deterministic)
         x = LayerNorm(dtype=dtype, name="norm")(x)
         return x, x.mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi-compatible fbank frontend (BEATs preprocess parity)
+# ---------------------------------------------------------------------------
+
+
+def _povey_window(n: int) -> np.ndarray:
+    # kaldi "povey" window = hann^0.85
+    return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / (n - 1))) ** 0.85
+
+
+def _kaldi_mel_banks(n_mels, n_fft, sr, low_freq=20.0, high_freq=0.0):
+    """Kaldi mel filterbank (triangular in mel domain, bins over FFT freqs;
+    differs from the HTK/librosa variant used by mel_filterbank above)."""
+    if high_freq <= 0.0:
+        high_freq = sr / 2 + high_freq
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)
+    mel_lo, mel_hi = mel(low_freq), mel(high_freq)
+    mel_delta = (mel_hi - mel_lo) / (n_mels + 1)
+    fft_freqs = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    fft_mel = mel(fft_freqs)
+    banks = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for i in range(n_mels):
+        left = mel_lo + i * mel_delta
+        center = left + mel_delta
+        right = center + mel_delta
+        up = (fft_mel - left) / (center - left)
+        down = (right - fft_mel) / (right - center)
+        banks[i] = np.maximum(0.0, np.minimum(up, down))
+    return banks
+
+
+def kaldi_fbank(
+    wav: np.ndarray,  # (num_samples,) float waveform
+    *,
+    sr: int = 16000,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    n_mels: int = 128,
+    preemphasis: float = 0.97,
+    remove_dc: bool = True,
+) -> np.ndarray:
+    """Kaldi-style log-mel fbank, matching torchaudio.compliance.kaldi
+    defaults as BEATs' preprocess invokes it (BEATs.py:124-137: fbank with
+    num_mel_bins=128, 25/10 ms frames; waveform pre-scaled by 2^15).
+
+    snip_edges=True framing, DC removal, 0.97 pre-emphasis, povey window,
+    power spectrum over a 512-point FFT (round to pow2), kaldi mel banks
+    (low 20 Hz), natural-log output. -> (frames, n_mels).
+    """
+    frame_len = int(sr * frame_length_ms / 1000)  # 400
+    shift = int(sr * frame_shift_ms / 1000)  # 160
+    n_fft = 1 << (frame_len - 1).bit_length()  # 512
+    if len(wav) < frame_len:
+        return np.zeros((0, n_mels), np.float32)
+    n = 1 + (len(wav) - frame_len) // shift
+    idx = np.arange(frame_len)[None, :] + shift * np.arange(n)[:, None]
+    frames = wav[idx].astype(np.float64)
+    if remove_dc:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if preemphasis:
+        pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - preemphasis * pre
+    frames = frames * _povey_window(frame_len)
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+    mel = spec @ _kaldi_mel_banks(n_mels, n_fft, sr).T
+    return np.log(np.maximum(mel, 1.1921e-07)).astype(np.float32)
+
+
+def beats_preprocess(
+    wav: np.ndarray, *, fbank_mean: float = 15.41663, fbank_std: float = 6.55582
+) -> np.ndarray:
+    """Waveform -> normalized fbank exactly as BEATs.preprocess
+    (BEATs.py:124-141): x2^15 scaling then (fbank - mean) / (2 * std)."""
+    fb = kaldi_fbank(np.asarray(wav, np.float64) * 2 ** 15)
+    return (fb - fbank_mean) / (2 * fbank_std)

@@ -113,3 +113,52 @@ def test_av_model_beats_tower():
         )
         assert pooled.shape == (2, 24)
         assert np.isfinite(np.asarray(tokens)).all()
+
+
+def test_kaldi_fbank_properties():
+    from internvideo_tpu.models.audio import beats_preprocess, kaldi_fbank
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    # 1 kHz tone: energy should peak in the mel bin containing 1 kHz
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float64)
+    fb = kaldi_fbank(tone)
+    # snip_edges framing: 1 + (16000 - 400) // 160 frames
+    assert fb.shape == (1 + (sr - 400) // 160, 128)
+    mean_spec = fb.mean(0)
+    peak_bin = int(np.argmax(mean_spec))
+    # kaldi mel: mel(f) = 1127 ln(1 + f/700); bin centers linear in mel
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)
+    centers_mel = mel(20.0) + (np.arange(128) + 1) * (
+        (mel(8000.0) - mel(20.0)) / 129
+    )
+    expected_bin = int(np.argmin(np.abs(centers_mel - mel(1000.0))))
+    assert abs(peak_bin - expected_bin) <= 1, (peak_bin, expected_bin)
+    # louder signal -> uniformly larger log energies
+    fb_loud = kaldi_fbank(tone * 4)
+    assert (fb_loud.mean(0) >= fb.mean(0) - 1e-6).all()
+    # 16x power shows up as +ln(16) where energy is well above the log
+    # floor (bins at the floor stay clamped, so compare at the peak)
+    np.testing.assert_allclose(
+        fb_loud.mean(0)[peak_bin], mean_spec[peak_bin] + np.log(16),
+        atol=0.05,
+    )
+    # BEATs normalization wrapper
+    norm = beats_preprocess(tone)
+    assert norm.shape == fb.shape and np.isfinite(norm).all()
+
+
+def test_kaldi_fbank_feeds_beats_tower():
+    from internvideo_tpu.models.audio import beats_preprocess
+    from internvideo_tpu.models.beats import BEATsConfig, BEATsEncoder
+
+    wav = np.random.default_rng(0).normal(size=16000 * 2).astype(np.float64)
+    fb = beats_preprocess(wav)  # (198, 128)
+    # BEATs patches 16x16: crop frames to a multiple of 16
+    fb = fb[: (fb.shape[0] // 16) * 16][None]
+    cfg = BEATsConfig(encoder_layers=2)
+    model = BEATsEncoder(cfg)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(fb))
+    tokens, pooled = model.apply(params, jnp.asarray(fb))
+    assert tokens.shape == (1, (fb.shape[1] // 16) * 8, 768)
+    assert np.isfinite(np.asarray(pooled)).all()
