@@ -122,6 +122,38 @@ class VideoCLIPAV(nn.Module):
             return self.audio_encoder(audio)  # no dropout paths
         return self.audio_encoder(audio, deterministic=deterministic)
 
+    def fusion(
+        self,
+        text_embeds,
+        text_mask,
+        media_tokens,  # fusion-width tokens from encode_media
+        deterministic=True,
+        with_mlm_logits=False,
+    ):
+        return self.text_encoder(
+            encoder_embeds=text_embeds,
+            attention_mask=text_mask,
+            vision_embeds=media_tokens,
+            mode="fusion",
+            deterministic=deterministic,
+            with_mlm_logits=with_mlm_logits,
+        )
+
+    def text_multimodal(
+        self, input_ids, attention_mask, media_tokens,
+        deterministic=True, with_mlm_logits=True,
+    ):
+        return self.text_encoder(
+            input_ids, attention_mask,
+            vision_embeds=media_tokens,
+            mode="multimodal",
+            deterministic=deterministic,
+            with_mlm_logits=with_mlm_logits,
+        )
+
+    def itm_logits(self, fusion_cls):
+        return self.itm_head(fusion_cls)
+
     def encode_text(self, input_ids, attention_mask, deterministic=True):
         out = self.text_encoder(
             input_ids, attention_mask, mode="text",
@@ -150,6 +182,14 @@ class VideoCLIPAV(nn.Module):
         text_embeds, text_proj = self.encode_text(
             input_ids, attention_mask, deterministic
         )
+        if init_all_branches:
+            # touch the fusion / MLM / ITM branches too so model.init
+            # creates every parameter in one pass
+            mm = self.text_multimodal(
+                input_ids, attention_mask, media_tokens,
+                deterministic=deterministic, with_mlm_logits=True,
+            )
+            self.itm_logits(mm.pooled)
         return VideoCLIPOutput(
             vision_embeds=media_tokens,
             pooled_vision=media_proj,  # already projected for AV variants

@@ -306,3 +306,89 @@ def make_clip_train_step(
         return total, losses
 
     return make_accum_step(loss_fn, grad_accum=grad_accum)
+
+
+def make_av_clip_train_step(
+    model, cfg: CLIPLossConfig, media_type: str = "audio_video",
+    *, grad_accum: int = 1,
+):
+    """Stage-2 audio-visual step for ONE media type.
+
+    The reference trains each batch as a single media type drawn by the
+    MetaLoader, with the same VTC/VTM/MLM criterion set applied to the
+    per-media forwards (internvideo2_stage2_audiovisual.py:157-571); jit
+    one step per media type and let the MetaLoader schedule decide which
+    to invoke. batch: {"input_ids", "attention_mask", "idx", and "video"
+    and/or "audio" per media_type}.
+    """
+
+    def loss_fn(params, batch, rng):
+        r_neg, r_mlm, r_drop = jax.random.split(rng, 3)
+        var = {"params": params}
+        out = model.apply(
+            var, batch["input_ids"], batch["attention_mask"],
+            video=batch.get("video"), audio=batch.get("audio"),
+            media_type=media_type, deterministic=False,
+            rngs={
+                "dropout": r_drop,
+                "droppath": jax.random.fold_in(r_drop, 1),
+            },
+        )
+        idx = batch.get("idx")
+        losses = {}
+        if cfg.vtc:
+            losses["loss_vtc"] = vtc_loss(
+                out.vision_proj, out.text_proj, idx, out.temp
+            )
+        if cfg.vtm:
+            vis_neg, txt_neg = jax.lax.stop_gradient(
+                mine_negatives(
+                    r_neg, out.vision_proj, out.text_proj, idx, out.temp,
+                    cfg.vtm_hard_neg,
+                )
+            )
+            b = out.vision_embeds.shape[0]
+            vis_all = jnp.concatenate(
+                [out.vision_embeds, out.vision_embeds[vis_neg],
+                 out.vision_embeds], axis=0,
+            )
+            txt_all = jnp.concatenate(
+                [out.text_embeds, out.text_embeds,
+                 out.text_embeds[txt_neg]], axis=0,
+            )
+            mask_all = jnp.concatenate(
+                [batch["attention_mask"], batch["attention_mask"],
+                 batch["attention_mask"][txt_neg]], axis=0,
+            )
+            fused = model.apply(
+                var, txt_all, mask_all, vis_all,
+                deterministic=False, method="fusion",
+                rngs={"dropout": jax.random.fold_in(r_drop, 2)},
+            )
+            logits = model.apply(
+                var, fused.pooled, method="itm_logits"
+            ).astype(jnp.float32)
+            labels = jnp.concatenate(
+                [jnp.ones((b,), jnp.int32), jnp.zeros((2 * b,), jnp.int32)]
+            )
+            losses["loss_vtm"] = jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(3 * b), labels]
+            )
+        if cfg.mlm:
+            corrupted, labels = mlm_corrupt(r_mlm, batch["input_ids"], cfg)
+            mlm_out = model.apply(
+                var, corrupted, batch["attention_mask"], out.vision_embeds,
+                deterministic=False, method="text_multimodal",
+                rngs={"dropout": jax.random.fold_in(r_drop, 3)},
+            )
+            losses["loss_mlm"] = mlm_loss_from_logits(
+                mlm_out.mlm_logits, labels
+            )
+        total = (
+            cfg.vtc * losses.get("loss_vtc", 0.0)
+            + cfg.vtm * losses.get("loss_vtm", 0.0)
+            + cfg.mlm * losses.get("loss_mlm", 0.0)
+        )
+        return total, losses
+
+    return make_accum_step(loss_fn, grad_accum=grad_accum)

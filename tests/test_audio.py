@@ -162,3 +162,63 @@ def test_kaldi_fbank_feeds_beats_tower():
     tokens, pooled = model.apply(params, jnp.asarray(fb))
     assert tokens.shape == (1, (fb.shape[1] // 16) * 8, 768)
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_av_clip_train_step_all_media():
+    """AV stage-2 step: loss decreases for each media type."""
+    import optax
+
+    from internvideo_tpu.train.engines.clip import (
+        CLIPLossConfig,
+        make_av_clip_train_step,
+    )
+    from internvideo_tpu.train.state import TrainState
+
+    cfg = VideoCLIPAVConfig(
+        vision=InternVideo2Config(
+            embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0,
+            patch_size=14, img_size=28, num_frames=2, tubelet_size=1,
+            clip_embed_dim=16, attn_impl="xla",
+        ),
+        audio=AUD,
+        text=BertConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, fusion_layer=1, dropout=0.0,
+            attn_impl="xla",
+        ),
+        embed_dim=24,
+    )
+    model = VideoCLIPAV(cfg)
+    b = 4
+    video = jax.random.normal(jax.random.key(0), (b, 2, 28, 28, 3))
+    audio = jax.random.normal(jax.random.key(1), (b, 64, 32))
+    ids = jax.random.randint(jax.random.key(2), (b, 8), 4, 60)
+    mask = jnp.ones((b, 8), jnp.int32)
+    params = model.init(
+        jax.random.key(3), ids, mask, video, audio,
+        media_type="audio_video", init_all_branches=True,
+    )["params"]
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+    )
+    loss_cfg = CLIPLossConfig(
+        vocab_size=64, mask_token_id=1, cls_token_id=2, mlm_probability=0.3
+    )
+    batch = {
+        "input_ids": ids, "attention_mask": mask, "video": video,
+        "audio": audio, "idx": jnp.arange(b),
+    }
+    for media in ("video", "audio", "audio_video"):
+        step = jax.jit(make_av_clip_train_step(model, loss_cfg, media))
+        s = state
+        first = last = None
+        for i in range(8):
+            s, m = step(s, batch, jax.random.key(i))
+            if first is None:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert np.isfinite(last)
+        assert last < first, (media, first, last)
+        assert {"loss_vtc", "loss_vtm", "loss_mlm"} <= set(m)

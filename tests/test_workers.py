@@ -64,8 +64,12 @@ class _SlowDataset(_Dataset):
 
 def test_worker_pool_parallel_speedup():
     t0 = time.perf_counter()
+    list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=0).iterate())
+    serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
     list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=4,
                     prefetch=4).iterate())
     parallel = time.perf_counter() - t0
-    # 20 items x 50 ms = 1 s serial; 4 workers should beat 700 ms easily
-    assert parallel < 0.8, parallel
+    # 20 items x 50 ms sleep; 4 workers must beat the in-process loop even
+    # on a loaded machine (sleeps overlap regardless of CPU contention)
+    assert parallel < 0.75 * serial, (parallel, serial)
