@@ -14,7 +14,6 @@ reference's paged prefill/decode (xtuner mha.py:195-303):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
