@@ -91,7 +91,7 @@ def _block_visible(iq, ik, *, causal, block_q, block_k, q_pos, window):
 def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None, q_pos: int = 0,
+    kv_pad: int = 0, window=None, q_pos: int = 0, unroll: int = 1,
 ):
     # Softmax runs entirely in the base-2 domain: log2(e) is folded into the
     # score scale, so the per-element work is just sub+exp2 (no multiply),
@@ -99,10 +99,14 @@ def _fwd_kernel(
     # (d+1 <= the same 128-lane tile), so acc[:, d] accumulates sum(p) as a
     # by-product of the p@V dot instead of a VPU row-reduction.
     #
-    # (A one-step software pipeline — lagging the p@V dot one grid step to
-    # overlap it with the next block's softmax — was tried and measured
-    # SLOWER on v5e: spilling p through a VMEM scratch adds a write+read
-    # pass per element and the p-buffer WAR hazard serializes anyway.)
+    # With `unroll > 1` (non-causal/non-windowed paths) each grid step
+    # processes `unroll` k sub-blocks with the running max / accumulator
+    # threaded through SSA values: the sub-block bodies are independent
+    # except for cheap (bq,)-vector couplings, so Mosaic co-issues one
+    # sub-block's softmax (VPU) with the next's score dot (MXU) — measured
+    # 9.4 -> 7.9 ms at 4096x4096 with unroll=4. (A cross-grid-step pipeline
+    # via a lagged-V scratch was tried first and measured SLOWER: spilling
+    # p through VMEM adds a write+read pass per element.)
     if has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref = refs
     else:
@@ -116,46 +120,81 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    block_visible = _block_visible(
-        iq, ik, causal=causal, block_q=block_q, block_k=block_k,
-        q_pos=q_pos, window=window,
-    )
-
-    @pl.when(block_visible)
-    def _compute():
-        # operands stay in their storage dtype (bf16 on the hot path) with
-        # f32 accumulation — upcasting inputs would push the MXU onto the
-        # multi-pass f32 path
-        q = q_ref[0, 0]  # (bq, d)
-        k = k_ref[0, 0]  # (bk, d)
-        v = v_ref[0, 0]  # (bk, d+1): last column is ones (denominator lane)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # (bq, bk) f32, base-2 domain
-        q_seg = k_seg = None
-        if qseg_ref is not None:
-            q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
-            k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
-        s = _mask_block(
-            s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
-            window=window,
+    if unroll > 1:
+        assert not causal and window is None
+        q = q_ref[0, 0]
+        m_run = m_ref[:, 0]
+        acc = acc_ref[:]
+        for u in range(unroll):
+            k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
+            v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)
+            if qseg_ref is not None:
+                s = _mask_block(
+                    s, causal=False,
+                    q_seg=qseg_ref[0, :, 0].reshape(block_q, 1),
+                    k_seg=kseg_ref[
+                        0, 0, u * block_k:(u + 1) * block_k
+                    ].reshape(1, block_k),
+                    q_offset=0, k_offset=0,
+                )
+            m_cur = jnp.maximum(m_run, jnp.max(s, axis=1))
+            p = jnp.exp2(s - m_cur[:, None])
+            if has_segs:
+                p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
+            alpha = jnp.exp2(m_run - m_cur)
+            alpha = jnp.where(jnp.isfinite(m_run), alpha, 0.0)
+            acc = acc * alpha[:, None] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            m_run = m_cur
+        m_ref[:, 0] = m_run
+        acc_ref[:] = acc
+    else:
+        block_visible = _block_visible(
+            iq, ik, causal=causal, block_q=block_q, block_k=block_k,
+            q_pos=q_pos, window=window,
         )
 
-        m_prev = m_ref[:, 0]  # (bq,) running max of base-2 scores
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        p = jnp.exp2(s - m_cur[:, None])
-        if has_segs or causal or window is not None:
-            # Rows where every key so far is masked: keep everything at 0
-            # (with a plain kv-length bound every row has >=1 real key, but
-            # segment/causal/window masking can fully mask a row's block).
-            p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
-        alpha = jnp.exp2(m_prev - m_cur)
-        alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
-        m_ref[:, 0] = m_cur
-        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        @pl.when(block_visible)
+        def _compute():
+            # operands stay in their storage dtype (bf16 on the hot path)
+            # with f32 accumulation — upcasting inputs would push the MXU
+            # onto the multi-pass f32 path
+            q = q_ref[0, 0]  # (bq, d)
+            k = k_ref[0, 0]  # (bk, d)
+            v = v_ref[0, 0]  # (bk, d+1): last column = denominator lane
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)  # (bq, bk) f32, base-2 domain
+            q_seg = k_seg = None
+            if qseg_ref is not None:
+                q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+                k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
+            s = _mask_block(
+                s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+                q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+                window=window,
+            )
+
+            m_prev = m_ref[:, 0]  # (bq,) running max of base-2 scores
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            p = jnp.exp2(s - m_cur[:, None])
+            if has_segs or causal or window is not None:
+                # Rows where every key so far is masked: keep everything
+                # at 0 (segment/causal/window masking can fully mask a
+                # row's block).
+                p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
+            alpha = jnp.exp2(m_prev - m_cur)
+            alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
+            m_ref[:, 0] = m_cur
+            acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -184,7 +223,16 @@ def _fwd(
     sk = k.shape[2]
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
-    grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
+    # sub-block unroll (see _fwd_kernel): largest of 4/2/1 dividing the
+    # k-block count on the unrollable (non-causal, unwindowed) paths
+    unroll = 1
+    if not causal and window is None and sk % block_k == 0:
+        nk_total = sk // block_k
+        for u in (4, 2):
+            if nk_total % u == 0:
+                unroll = u
+                break
+    grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, unroll * block_k))
 
     # Ones column appended to V: the p @ V dot then accumulates the softmax
     # denominator in acc[:, d] on the MXU (d+1 stays inside the same 128-lane
@@ -195,27 +243,28 @@ def _fwd(
     v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=1)
 
     has_segs = q_seg is not None
+    kb = unroll * block_k
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, kb, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
         pl.BlockSpec(
-            (1, 1, block_k, d + 1), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, kb, d + 1), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
     ]
     args = [q, k, v]
     if has_segs:
         in_specs += [
             pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, 8, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((1, 8, kb), lambda b, h, iq, ik: (b, 0, ik)),
         ]
         args += [q_seg, kv_seg]
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, has_segs=has_segs,
-        kv_pad=kv_pad, window=window, q_pos=q_pos,
+        kv_pad=kv_pad, window=window, q_pos=q_pos, unroll=unroll,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -247,7 +296,7 @@ def _fwd(
 def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
-    kv_pad: int = 0, window=None, q_pos: int = 0,
+    kv_pad: int = 0, window=None, q_pos: int = 0, unroll: int = 1,
 ):
     if has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
@@ -261,6 +310,49 @@ def _bwd_dq_kernel(
     @pl.when(ik == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    if unroll > 1:
+        # SSA sub-block loop (see _fwd_kernel): overlaps one sub-block's
+        # VPU p/ds math with the next's MXU dots. Fully-masked rows need no
+        # guard here: their saved LSE is huge, so p underflows to 0.
+        assert not causal and window is None
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
+        delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
+        dq = dq_acc[:]
+        for u in range(unroll):
+            k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
+            v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)
+            if qseg_ref is not None:
+                s = _mask_block(
+                    s, causal=False,
+                    q_seg=qseg_ref[0, :, 0].reshape(block_q, 1),
+                    k_seg=kseg_ref[
+                        0, 0, u * block_k:(u + 1) * block_k
+                    ].reshape(1, block_k),
+                    q_offset=0, k_offset=0,
+                )
+            p = jnp.exp2(s - lse)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta)).astype(k.dtype)
+            dq = dq + scale * jax.lax.dot(
+                ds, k, preferred_element_type=jnp.float32
+            )
+        dq_acc[:] = dq
+
+        @pl.when(ik == nk - 1)
+        def _finalize_unrolled():
+            dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+        return
 
     block_visible = True
     if causal:
@@ -313,6 +405,7 @@ def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
     kv_pad: int = 0, window=None, q_pos: int = 0, nq_blocks: int = 1,
+    unroll: int = 1,
 ):
     # Innermost grid dim enumerates (q_head_in_group, q_block) pairs so a
     # single (kv_head, k_block) accumulator sums over the whole GQA group.
@@ -331,6 +424,60 @@ def _bwd_dkv_kernel(
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    if unroll > 1:
+        # SSA loop over q sub-blocks (group == 1 enforced by the caller so
+        # j == iq); LSE of fully-masked rows is huge -> p = 0, no guard.
+        assert not causal and window is None
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        dk = dk_acc[:]
+        dv = dv_acc[:]
+        for u in range(unroll):
+            q = q_ref[0, 0, u * block_q:(u + 1) * block_q]
+            do = do_ref[0, 0, u * block_q:(u + 1) * block_q]
+            lse = lse_ref[
+                0, 0, 0, u * block_q:(u + 1) * block_q
+            ].reshape(block_q, 1)
+            delta = delta_ref[
+                0, 0, 0, u * block_q:(u + 1) * block_q
+            ].reshape(block_q, 1)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)
+            if qseg_ref is not None:
+                s = _mask_block(
+                    s, causal=False,
+                    q_seg=qseg_ref[
+                        0, u * block_q:(u + 1) * block_q, 0
+                    ].reshape(block_q, 1),
+                    k_seg=kseg_ref[0, 0, :].reshape(1, block_k),
+                    q_offset=0, k_offset=0,
+                )
+            p = jnp.exp2(s - lse)
+            dv = dv + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta)).astype(q.dtype)
+            dk = dk + scale * jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dk_acc[:] = dk
+        dv_acc[:] = dv
+
+        @pl.when(j == nq - 1)
+        def _finalize_unrolled():
+            dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+        return
 
     block_visible = True
     if causal:
@@ -397,13 +544,24 @@ def _bwd(
     delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, sq))
 
     has_segs = q_seg is not None
+
+    def _pick_unroll(total_blocks, enabled=True):
+        if causal or window is not None or not enabled:
+            return 1
+        for u in (4, 2):
+            if total_blocks % u == 0:
+                return u
+        return 1
+
+    u_dq = _pick_unroll(sk // block_k if sk % block_k == 0 else 1)
+    kbq = u_dq * block_k
     common_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # q
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, kbq, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),  # k
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, kbq, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),  # v
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
         pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # lse
@@ -411,7 +569,7 @@ def _bwd(
     ]
     seg_specs = [
         pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
-        pl.BlockSpec((1, 8, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+        pl.BlockSpec((1, 8, kbq), lambda b, h, iq, ik: (b, 0, ik)),
     ] if has_segs else []
     args = [q, k, v, do, lse, delta]
     if has_segs:
@@ -421,9 +579,9 @@ def _bwd(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window, q_pos=q_pos,
+            window=window, q_pos=q_pos, unroll=u_dq,
         ),
-        grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
+        grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, u_dq * block_k)),
         in_specs=common_specs + seg_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -434,34 +592,41 @@ def _bwd(
     # For the dk/dv pass the grid walks the kv heads on dim 1 and
     # (q_head_in_group, q_block) pairs innermost; the index maps receive
     # (b, hk, ik, j) with q_head = hk*group + j // nq_blocks, iq = j % nq.
-    nq_blocks = pl.cdiv(sq, block_q)
+    nq_total = pl.cdiv(sq, block_q)
+    # q-sub-block unroll only without GQA grouping (the innermost grid dim
+    # then enumerates q blocks alone, which stay memory-contiguous)
+    u_kv = _pick_unroll(
+        nq_total if sq % block_q == 0 else 1, enabled=(group == 1)
+    )
+    nq_blocks = nq_total // u_kv
+    qb = u_kv * block_q
 
     def _qh(hk, j):
         return hk * group + j // nq_blocks
 
     dkv_specs = [
         pl.BlockSpec(
-            (1, 1, block_q, d),
+            (1, 1, qb, d),
             lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
         ),
         pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
         pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
         pl.BlockSpec(
-            (1, 1, block_q, d),
+            (1, 1, qb, d),
             lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
         ),
         pl.BlockSpec(
-            (1, 1, 8, block_q),
+            (1, 1, 8, qb),
             lambda b, hk, ik, j: (b, _qh(hk, j), 0, j % nq_blocks),
         ),
         pl.BlockSpec(
-            (1, 1, 8, block_q),
+            (1, 1, 8, qb),
             lambda b, hk, ik, j: (b, _qh(hk, j), 0, j % nq_blocks),
         ),
     ]
     dkv_seg_specs = [
         pl.BlockSpec(
-            (1, block_q, 128), lambda b, hk, ik, j: (b, j % nq_blocks, 0)
+            (1, qb, 128), lambda b, hk, ik, j: (b, j % nq_blocks, 0)
         ),
         pl.BlockSpec((1, 8, block_k), lambda b, hk, ik, j: (b, 0, ik)),
     ] if has_segs else []
@@ -471,6 +636,7 @@ def _bwd(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, has_segs=has_segs,
             window=window, q_pos=q_pos, nq_blocks=nq_blocks,
+            unroll=u_kv,
         ),
         grid=(b, h // group, pl.cdiv(sk, block_k), group * nq_blocks),
         in_specs=dkv_specs + dkv_seg_specs,
