@@ -121,38 +121,53 @@ def _fwd_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     if unroll > 1:
-        assert not causal and window is None
-        q = q_ref[0, 0]
-        m_run = m_ref[:, 0]
-        acc = acc_ref[:]
-        for u in range(unroll):
-            k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
-            v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (scale * LOG2E)
-            if qseg_ref is not None:
-                s = _mask_block(
-                    s, causal=False,
-                    q_seg=qseg_ref[0, :, 0].reshape(block_q, 1),
-                    k_seg=kseg_ref[
-                        0, 0, u * block_k:(u + 1) * block_k
-                    ].reshape(1, block_k),
-                    q_offset=0, k_offset=0,
-                )
-            m_cur = jnp.maximum(m_run, jnp.max(s, axis=1))
-            p = jnp.exp2(s - m_cur[:, None])
-            if has_segs:
-                p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
-            alpha = jnp.exp2(m_run - m_cur)
-            alpha = jnp.where(jnp.isfinite(m_run), alpha, 0.0)
-            acc = acc * alpha[:, None] + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        # Causal whole-step skip: sub-block visibility decreases with ik,
+        # so if the first sub-block is above the diagonal the step is dead;
+        # partially-visible (diagonal) steps mask per sub-block.
+        assert window is None
+        step_visible = True
+        if causal:
+            step_visible = _block_visible(
+                iq, ik * unroll, causal=True, block_q=block_q,
+                block_k=block_k, q_pos=q_pos, window=None,
             )
-            m_run = m_cur
-        m_ref[:, 0] = m_run
-        acc_ref[:] = acc
+
+        @pl.when(step_visible)
+        def _compute_unrolled():
+            q = q_ref[0, 0]
+            m_run = m_ref[:, 0]
+            acc = acc_ref[:]
+            for u in range(unroll):
+                k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
+                v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E)
+                q_seg = k_seg = None
+                if qseg_ref is not None:
+                    q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+                    k_seg = kseg_ref[
+                        0, 0, u * block_k:(u + 1) * block_k
+                    ].reshape(1, block_k)
+                if causal or q_seg is not None:
+                    s = _mask_block(
+                        s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+                        q_offset=q_pos + iq * block_q,
+                        k_offset=(ik * unroll + u) * block_k,
+                    )
+                m_cur = jnp.maximum(m_run, jnp.max(s, axis=1))
+                p = jnp.exp2(s - m_cur[:, None])
+                if has_segs or causal:
+                    p = jnp.where((s <= DEFAULT_MASK_VALUE)[:, :], 0.0, p)
+                alpha = jnp.exp2(m_run - m_cur)
+                alpha = jnp.where(jnp.isfinite(m_run), alpha, 0.0)
+                acc = acc * alpha[:, None] + jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
+                m_run = m_cur
+            m_ref[:, 0] = m_run
+            acc_ref[:] = acc
     else:
         block_visible = _block_visible(
             iq, ik, causal=causal, block_q=block_q, block_k=block_k,
@@ -224,12 +239,14 @@ def _fwd(
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     # sub-block unroll (see _fwd_kernel): largest of 4/2/1 dividing the
-    # k-block count on the unrollable (non-causal, unwindowed) paths
+    # k-block count; windowed paths keep per-block skipping. Wide heads
+    # cap at 2 — u=4 at head_dim 128 blows the 16M scoped-vmem stack.
     unroll = 1
-    if not causal and window is None and sk % block_k == 0:
+    if window is None and sk % block_k == 0:
         nk_total = sk // block_k
+        u_cap = 4 if d <= 96 else 2
         for u in (4, 2):
-            if nk_total % u == 0:
+            if u <= u_cap and nk_total % u == 0:
                 unroll = u
                 break
     grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, unroll * block_k))
@@ -315,38 +332,50 @@ def _bwd_dq_kernel(
         # SSA sub-block loop (see _fwd_kernel): overlaps one sub-block's
         # VPU p/ds math with the next's MXU dots. Fully-masked rows need no
         # guard here: their saved LSE is huge, so p underflows to 0.
-        assert not causal and window is None
-        q = q_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
-        delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
-        dq = dq_acc[:]
-        for u in range(unroll):
-            k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
-            v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (scale * LOG2E)
-            if qseg_ref is not None:
-                s = _mask_block(
-                    s, causal=False,
-                    q_seg=qseg_ref[0, :, 0].reshape(block_q, 1),
-                    k_seg=kseg_ref[
+        assert window is None
+        step_visible = True
+        if causal:
+            step_visible = _block_visible(
+                iq, ik * unroll, causal=True, block_q=block_q,
+                block_k=block_k, q_pos=q_pos, window=None,
+            )
+
+        @pl.when(step_visible)
+        def _compute_unrolled():
+            q = q_ref[0, 0]
+            do = do_ref[0, 0]
+            lse = lse_ref[0, 0, 0, :].reshape(block_q, 1)
+            delta = delta_ref[0, 0, 0, :].reshape(block_q, 1)
+            dq = dq_acc[:]
+            for u in range(unroll):
+                k = k_ref[0, 0, u * block_k:(u + 1) * block_k]
+                v = v_ref[0, 0, u * block_k:(u + 1) * block_k]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E)
+                q_seg = k_seg = None
+                if qseg_ref is not None:
+                    q_seg = qseg_ref[0, :, 0].reshape(block_q, 1)
+                    k_seg = kseg_ref[
                         0, 0, u * block_k:(u + 1) * block_k
-                    ].reshape(1, block_k),
-                    q_offset=0, k_offset=0,
+                    ].reshape(1, block_k)
+                if causal or q_seg is not None:
+                    s = _mask_block(
+                        s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+                        q_offset=q_pos + iq * block_q,
+                        k_offset=(ik * unroll + u) * block_k,
+                    )
+                p = jnp.exp2(s - lse)
+                dp = jax.lax.dot_general(
+                    do, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            p = jnp.exp2(s - lse)
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = (p * (dp - delta)).astype(k.dtype)
-            dq = dq + scale * jax.lax.dot(
-                ds, k, preferred_element_type=jnp.float32
-            )
-        dq_acc[:] = dq
+                ds = (p * (dp - delta)).astype(k.dtype)
+                dq = dq + scale * jax.lax.dot(
+                    ds, k, preferred_element_type=jnp.float32
+                )
+            dq_acc[:] = dq
 
         @pl.when(ik == nk - 1)
         def _finalize_unrolled():
@@ -428,49 +457,63 @@ def _bwd_dkv_kernel(
     if unroll > 1:
         # SSA loop over q sub-blocks (group == 1 enforced by the caller so
         # j == iq); LSE of fully-masked rows is huge -> p = 0, no guard.
-        assert not causal and window is None
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        dk = dk_acc[:]
-        dv = dv_acc[:]
-        for u in range(unroll):
-            q = q_ref[0, 0, u * block_q:(u + 1) * block_q]
-            do = do_ref[0, 0, u * block_q:(u + 1) * block_q]
-            lse = lse_ref[
-                0, 0, 0, u * block_q:(u + 1) * block_q
-            ].reshape(block_q, 1)
-            delta = delta_ref[
-                0, 0, 0, u * block_q:(u + 1) * block_q
-            ].reshape(block_q, 1)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (scale * LOG2E)
-            if qseg_ref is not None:
-                s = _mask_block(
-                    s, causal=False,
-                    q_seg=qseg_ref[
+        # Causal visibility GROWS with the q index, so the step is dead only
+        # if its LAST q sub-block is above the diagonal.
+        assert window is None
+        step_visible = True
+        if causal:
+            step_visible = _block_visible(
+                j * unroll + unroll - 1, ik, causal=True, block_q=block_q,
+                block_k=block_k, q_pos=q_pos, window=None,
+            )
+
+        @pl.when(step_visible)
+        def _compute_unrolled():
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+            dk = dk_acc[:]
+            dv = dv_acc[:]
+            for u in range(unroll):
+                q = q_ref[0, 0, u * block_q:(u + 1) * block_q]
+                do = do_ref[0, 0, u * block_q:(u + 1) * block_q]
+                lse = lse_ref[
+                    0, 0, 0, u * block_q:(u + 1) * block_q
+                ].reshape(block_q, 1)
+                delta = delta_ref[
+                    0, 0, 0, u * block_q:(u + 1) * block_q
+                ].reshape(block_q, 1)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E)
+                q_seg = k_seg = None
+                if qseg_ref is not None:
+                    q_seg = qseg_ref[
                         0, u * block_q:(u + 1) * block_q, 0
-                    ].reshape(block_q, 1),
-                    k_seg=kseg_ref[0, 0, :].reshape(1, block_k),
-                    q_offset=0, k_offset=0,
+                    ].reshape(block_q, 1)
+                    k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
+                if causal or q_seg is not None:
+                    s = _mask_block(
+                        s, causal=causal, q_seg=q_seg, k_seg=k_seg,
+                        q_offset=q_pos + (j * unroll + u) * block_q,
+                        k_offset=ik * block_k,
+                    )
+                p = jnp.exp2(s - lse)
+                dv = dv + jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-            p = jnp.exp2(s - lse)
-            dv = dv + jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = (p * (dp - delta)).astype(q.dtype)
-            dk = dk + scale * jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        dk_acc[:] = dk
-        dv_acc[:] = dv
+                dp = jax.lax.dot_general(
+                    do, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = (p * (dp - delta)).astype(q.dtype)
+                dk = dk + scale * jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dk_acc[:] = dk
+            dv_acc[:] = dv
 
         @pl.when(j == nq - 1)
         def _finalize_unrolled():
@@ -546,10 +589,11 @@ def _bwd(
     has_segs = q_seg is not None
 
     def _pick_unroll(total_blocks, enabled=True):
-        if causal or window is not None or not enabled:
+        if window is not None or not enabled:
             return 1
+        u_cap = 4 if d <= 96 else 2
         for u in (4, 2):
-            if total_blocks % u == 0:
+            if u <= u_cap and total_blocks % u == 0:
                 return u
         return 1
 
