@@ -520,3 +520,122 @@ def convert_beats(sd, num_layers: int = 12) -> dict:
             "final_layer_norm": _layernorm(sd, f"{b}.final_layer_norm"),
         }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# HF-layout MLA LLM (Qwen3-VL-MLA / DeepSeek-style naming) <-> MLATransformer
+# ---------------------------------------------------------------------------
+
+
+def _strip_llm_prefix(sd: dict) -> dict:
+    for pref in ("language_model.model.", "model.", ""):
+        if any(k.startswith(pref + "layers.0.") for k in sd):
+            out = {
+                k[len(pref):]: v for k, v in sd.items() if k.startswith(pref)
+            }
+            # lm_head sits outside the model.* scope in HF layouts
+            for k in ("lm_head.weight",):
+                if k in sd:
+                    out[k] = sd[k]
+            return out
+    raise KeyError("no '<prefix>layers.0.' keys found in state dict")
+
+
+def convert_hf_mla_llm(sd, cfg) -> dict:
+    """HF/xtuner MLA checkpoint (xtuner v1 module/attention/mla.py naming:
+    q_proj | q_a/q_b+q_a_layernorm, kv_a_proj_with_mqa, kv_b_proj, o_proj;
+    SwiGLU gate/up/down) -> models/llm.MLATransformer params."""
+    sd = _strip_llm_prefix({k: np.asarray(v) for k, v in sd.items()})
+    mla = cfg.mla
+    p = {
+        "embed_tokens": {"embedding": sd["embed_tokens.weight"]},
+        "norm": _rmsnorm(sd, "norm"),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"kernel": np.ascontiguousarray(sd["lm_head.weight"].T)}
+    if cfg.moe is not None:
+        raise NotImplementedError(
+            "MoE HF import: map experts via nn/moe layout (dense only here)"
+        )
+    for i in range(cfg.num_layers):
+        b = f"layers.{i}"
+        a = f"{b}.self_attn"
+        attn = {
+            "kv_a_proj_with_mqa": _linear(sd, f"{a}.kv_a_proj_with_mqa"),
+            "o_proj": _linear(sd, f"{a}.o_proj"),
+            # HF kv_b_proj.weight (H*(nope+v), R) -> (R, H, nope+v)
+            "kv_b_proj_kernel": np.ascontiguousarray(
+                sd[f"{a}.kv_b_proj.weight"].T
+            ).reshape(
+                mla.kv_lora_rank, mla.num_heads,
+                mla.qk_nope_head_dim + mla.v_head_dim,
+            ),
+        }
+        if f"{a}.q_proj.weight" in sd:
+            attn["q_proj"] = _linear(sd, f"{a}.q_proj")
+        else:
+            attn["q_a_proj"] = _linear(sd, f"{a}.q_a_proj")
+            attn["q_a_layernorm"] = _rmsnorm(sd, f"{a}.q_a_layernorm")
+            attn["q_b_proj"] = _linear(sd, f"{a}.q_b_proj")
+        p[f"layers_{i}"] = {
+            "input_layernorm": _rmsnorm(sd, f"{b}.input_layernorm"),
+            "post_attention_layernorm": _rmsnorm(
+                sd, f"{b}.post_attention_layernorm"
+            ),
+            "self_attn": attn,
+            "mlp": {
+                "gate_proj": _linear(sd, f"{b}.mlp.gate_proj"),
+                "up_proj": _linear(sd, f"{b}.mlp.up_proj"),
+                "down_proj": _linear(sd, f"{b}.mlp.down_proj"),
+            },
+        }
+    return {"params": p}
+
+
+def export_mla_llm_hf(params, cfg) -> dict:
+    """MLATransformer params -> HF-layout numpy state dict (inverse of
+    convert_hf_mla_llm; the X2 HF-safetensors-export surface for the LLM)."""
+    p = params.get("params", params)
+    unbox = lambda t: np.asarray(getattr(t, "value", t))
+    sd = {"model.embed_tokens.weight": unbox(p["embed_tokens"]["embedding"]),
+          "model.norm.weight": unbox(p["norm"]["weight"])}
+    if "lm_head" in p:
+        sd["lm_head.weight"] = np.ascontiguousarray(
+            unbox(p["lm_head"]["kernel"]).T
+        )
+
+    def put_linear(dst, node):
+        sd[f"{dst}.weight"] = np.ascontiguousarray(unbox(node["kernel"]).T)
+        if "bias" in node:
+            sd[f"{dst}.bias"] = unbox(node["bias"])
+
+    mla = cfg.mla
+    for i in range(cfg.num_layers):
+        lp = p[f"layers_{i}"]
+        b = f"model.layers.{i}"
+        sd[f"{b}.input_layernorm.weight"] = unbox(
+            lp["input_layernorm"]["weight"]
+        )
+        sd[f"{b}.post_attention_layernorm.weight"] = unbox(
+            lp["post_attention_layernorm"]["weight"]
+        )
+        attn = lp["self_attn"]
+        put_linear(f"{b}.self_attn.kv_a_proj_with_mqa",
+                   attn["kv_a_proj_with_mqa"])
+        put_linear(f"{b}.self_attn.o_proj", attn["o_proj"])
+        kvb = unbox(attn["kv_b_proj_kernel"]).reshape(
+            mla.kv_lora_rank,
+            mla.num_heads * (mla.qk_nope_head_dim + mla.v_head_dim),
+        )
+        sd[f"{b}.self_attn.kv_b_proj.weight"] = np.ascontiguousarray(kvb.T)
+        if "q_proj" in attn:
+            put_linear(f"{b}.self_attn.q_proj", attn["q_proj"])
+        else:
+            put_linear(f"{b}.self_attn.q_a_proj", attn["q_a_proj"])
+            sd[f"{b}.self_attn.q_a_layernorm.weight"] = unbox(
+                attn["q_a_layernorm"]["weight"]
+            )
+            put_linear(f"{b}.self_attn.q_b_proj", attn["q_b_proj"])
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
+    return sd

@@ -323,3 +323,41 @@ def test_generate_topk_topp_sampling():
                     rng=jax.random.key(9))
     assert np.asarray(samp).shape == (2, 5)
     assert (np.asarray(samp) >= 0).all() and (np.asarray(samp) < 97).all()
+
+
+def test_hf_mla_llm_roundtrip():
+    """params -> HF-layout state dict -> params roundtrip preserves the
+    tree and the forward logits (the Qwen3-VL-MLA checkpoint bridge)."""
+    from internvideo_tpu.models.convert import (
+        convert_hf_mla_llm,
+        export_mla_llm_hf,
+    )
+
+    model = MLATransformer(LLM_TINY)
+    ids = jax.random.randint(jax.random.key(0), (2, 6), 1, 90)
+    params = model.init(jax.random.key(1), ids)
+
+    sd = export_mla_llm_hf(params, LLM_TINY)
+    assert "model.layers.0.self_attn.kv_b_proj.weight" in sd
+    assert "model.layers.1.mlp.gate_proj.weight" in sd
+    back = convert_hf_mla_llm(sd, LLM_TINY)
+
+    ref = model.apply(params, ids).logits
+    out = model.apply(back, ids).logits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+    # q-LoRA flavor exercises the q_a/q_b path
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        LLM_TINY, mla=dataclasses.replace(MLA_TINY, q_lora_rank=12)
+    )
+    model2 = MLATransformer(cfg2)
+    params2 = model2.init(jax.random.key(2), ids)
+    back2 = convert_hf_mla_llm(export_mla_llm_hf(params2, cfg2), cfg2)
+    np.testing.assert_allclose(
+        np.asarray(model2.apply(back2, ids).logits),
+        np.asarray(model2.apply(params2, ids).logits),
+        atol=1e-6, rtol=1e-6,
+    )
