@@ -1,0 +1,227 @@
+"""Evaluation CLI: one typed entry for the benchmark suites.
+
+    python -m internvideo_tpu.cli.eval --config configs/eval_retrieval_tiny.py \
+        options.k_test=8
+
+The config file defines `config = EvalRunConfig(...)`; dotlist overrides
+follow. Replaces the reference's per-benchmark eval scripts
+(tasks_clip/retrieval.py, engine_for_finetuning final_test + merge,
+retrieval_mc.py, InternVideo3_eval shell suite).
+
+Tasks:
+  retrieval       VideoCLIP ITC + cross-encoder rerank -> R@K/mdR/mnR
+  classification  encoder multi-view softmax-ensemble -> top-1/top-5
+  mcqa            multiple-choice retrieval accuracy
+  videoqa         generation-based QA accuracy (eval/videoqa.py scorers)
+
+`data` is a zero-arg callable returning the task's inputs (plug real
+dataset loaders; tiny configs ship synthetic ones for smoke/CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Callable, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalRunConfig:
+    task: str = "retrieval"  # retrieval | classification | mcqa | videoqa
+    model: object = None  # task-appropriate model config
+    # orbax checkpoint dir, safetensors file (converted via the stage-2 /
+    # encoder bridges), or None for random init (smoke)
+    checkpoint: Optional[str] = None
+    data: Optional[Callable] = None  # () -> task inputs
+    options: dict = dataclasses.field(default_factory=dict)
+
+
+def _load_params(model, init_params, checkpoint, convert):
+    if checkpoint is None:
+        return init_params
+    import os
+
+    if os.path.isdir(checkpoint) and not os.path.exists(
+        os.path.join(checkpoint, "model.safetensors.index.json")
+    ):
+        from internvideo_tpu.core.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint)
+        restored = mgr.restore(init_params)
+        return restored if restored is not None else init_params
+    from internvideo_tpu.core.checkpoint import (
+        load_hf_checkpoint,
+        read_safetensors,
+    )
+
+    sd = (
+        load_hf_checkpoint(checkpoint) if os.path.isdir(checkpoint)
+        else read_safetensors(checkpoint)
+    )
+    return convert(sd)
+
+
+def run_retrieval(run: EvalRunConfig) -> dict:
+    import jax
+
+    from internvideo_tpu.eval.retrieval import itm_eval, retrieval_evaluation
+    from internvideo_tpu.models.convert import convert_internvideo2_stage2
+    from internvideo_tpu.models.videoclip import VideoCLIP
+
+    model = VideoCLIP(run.model)
+    videos, texts, gt_v, gt_t = run.data()
+    params = jax.jit(
+        lambda v, i, m: model.init(
+            jax.random.key(0), v, i, m, init_all_branches=True
+        )
+    )(videos["video"][:1], texts["input_ids"][:1],
+      texts["attention_mask"][:1])
+    params = _load_params(
+        model, params, run.checkpoint,
+        lambda sd: convert_internvideo2_stage2(
+            sd, depth=run.model.vision.depth,
+            clip_return_layers=(
+                run.model.pretrain.clip_return_layers
+                if run.model.pretrain is not None else 0
+            ),
+            text_layers=run.model.text.num_layers,
+        ),
+    )
+
+    @jax.jit
+    def encode_video(batch):
+        out = model.apply(params, batch["video"], method="encode_vision")
+        return out[0], model.apply(
+            params, out[1], method=lambda m, x: m.vision_proj(x)
+        )
+
+    @jax.jit
+    def encode_text(batch):
+        tokens, pooled = model.apply(
+            params, batch["input_ids"], batch["attention_mask"],
+            method="encode_text",
+        )
+        return tokens, model.apply(
+            params, pooled, method=lambda m, x: m.text_proj(x)
+        )
+
+    @jax.jit
+    def rerank(vis_embeds, txt_embeds, txt_mask):
+        fused = model.apply(
+            params, txt_embeds, txt_mask, vis_embeds, method="fusion"
+        )
+        logits = model.apply(params, fused.pooled, method="itm_logits")
+        return logits[:, 1] - logits[:, 0]
+
+    opts = dict(run.options)
+    s_v2t, s_t2v = retrieval_evaluation(
+        encode_video=encode_video, encode_text=encode_text,
+        rerank_score=None if opts.pop("no_rerank", False) else rerank,
+        videos=videos, texts=texts, **opts,
+    )
+    return itm_eval(s_v2t, s_t2v, gt_v, gt_t)
+
+
+def run_classification(run: EvalRunConfig) -> dict:
+    import jax
+
+    from internvideo_tpu.eval.classification import final_test
+    from internvideo_tpu.models.convert import convert_internvideo2_encoder
+    from internvideo_tpu.models.internvideo2 import InternVideo2
+
+    model = InternVideo2(run.model)
+    data = run.data()  # iterable of {"video", "label", "clip_id"}
+    first = next(iter(data))
+    params = jax.jit(model.init)(jax.random.key(0), first["video"])
+    params = _load_params(
+        model, params, run.checkpoint,
+        lambda sd: convert_internvideo2_encoder(sd, depth=run.model.depth),
+    )
+
+    @jax.jit
+    def forward(video):
+        return model.apply(params, video).logits
+
+    return final_test(lambda v: forward(v), data, **run.options)
+
+
+def run_mcqa(run: EvalRunConfig) -> dict:
+    import jax
+
+    from internvideo_tpu.eval.mcqa import mcqa_accuracy
+    from internvideo_tpu.models.videoclip import VideoCLIP
+
+    model = VideoCLIP(run.model)
+    data = run.data()
+    first = next(iter(data))
+    b, k, length = first["choice_ids"].shape
+    import jax.numpy as jnp
+
+    mask1 = jnp.ones((1, length), jnp.int32)
+    params = model.init(
+        jax.random.key(0), first["video"][:1], first["choice_ids"][:1, 0],
+        mask1, init_all_branches=True,
+    )
+    params = _load_params(model, params, run.checkpoint, lambda sd: sd)
+
+    @jax.jit
+    def encode_video(video):
+        out = model.apply(params, video, method="encode_vision")
+        return model.apply(
+            params, out[1], method=lambda m, x: m.vision_proj(x)
+        )
+
+    @jax.jit
+    def encode_choices(ids):
+        import jax.numpy as jnp
+
+        _, pooled = model.apply(
+            params, ids, jnp.ones_like(ids), method="encode_text"
+        )
+        return model.apply(
+            params, pooled, method=lambda m, x: m.text_proj(x)
+        )
+
+    return mcqa_accuracy(encode_video, encode_choices, data, **run.options)
+
+
+def run_videoqa(run: EvalRunConfig) -> dict:
+    from internvideo_tpu.eval.videoqa import evaluate_videoqa
+
+    generate_answer, data = run.data()
+    return evaluate_videoqa(generate_answer, data, **run.options)
+
+
+TASKS = {
+    "retrieval": run_retrieval,
+    "classification": run_classification,
+    "mcqa": run_mcqa,
+    "videoqa": run_videoqa,
+}
+
+
+def main(argv=None):
+    from internvideo_tpu.core.config import apply_overrides, load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    run = load_config(args.config)
+    if args.overrides:
+        run = apply_overrides(run, args.overrides)
+    if run.task not in TASKS:
+        raise SystemExit(f"unknown task {run.task!r}; one of {list(TASKS)}")
+    metrics = TASKS[run.task](run)
+    print(json.dumps({"task": run.task, **{
+        k: (round(float(v), 4) if hasattr(v, "__float__") else v)
+        for k, v in metrics.items()
+    }}))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,31 @@
+"""Eval CLI smoke: retrieval + classification tiny configs end-to-end."""
+
+import contextlib
+import io
+import json
+import os
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _run(config, *overrides):
+    from internvideo_tpu.cli.eval import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--config", os.path.join(CFG_DIR, config), *overrides])
+    assert rc == 0
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def test_eval_cli_retrieval():
+    out = _run("eval_retrieval_tiny.py")
+    assert out["task"] == "retrieval"
+    for k in ("v2t_r1", "t2v_r1", "r_mean"):
+        assert k in out and 0 <= out[k] <= 100 or k == "r_mean"
+
+
+def test_eval_cli_classification():
+    out = _run("eval_classification_tiny.py")
+    assert out["task"] == "classification"
+    assert 0 <= out["top1"] <= 100 and 0 <= out["top5"] <= 100

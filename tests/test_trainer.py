@@ -172,13 +172,21 @@ def test_all_shipped_configs_load():
     import glob
     import os
 
+    from internvideo_tpu.cli.eval import EvalRunConfig
     from internvideo_tpu.cli.train import RunConfig
     from internvideo_tpu.core.config import load_config
 
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     paths = sorted(glob.glob(os.path.join(root, "*.py")))
-    assert len(paths) >= 9, paths
+    assert len(paths) >= 11, paths
     for p in paths:
         cfg = load_config(p)
-        assert isinstance(cfg, RunConfig), p
-        assert cfg.task in ("finetune", "pretrain", "distill", "clip", "sft")
+        assert isinstance(cfg, (RunConfig, EvalRunConfig)), p
+        if isinstance(cfg, RunConfig):
+            assert cfg.task in (
+                "finetune", "pretrain", "distill", "clip", "sft"
+            )
+        else:
+            assert cfg.task in (
+                "retrieval", "classification", "mcqa", "videoqa"
+            )
