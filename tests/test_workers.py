@@ -73,3 +73,60 @@ def test_worker_pool_parallel_speedup():
     # 20 items x 50 ms sleep; 4 workers must beat the in-process loop even
     # on a loaded machine (sleeps overlap regardless of CPU contention)
     assert parallel < 0.75 * serial, (parallel, serial)
+
+
+def test_worker_pool_to_trainer_pipeline():
+    """Full host pipeline: WorkerPool decode -> prefetch_to_device ->
+    Trainer.fit on the finetune engine (the reference's DataLoader ->
+    H2D -> engine loop, end to end)."""
+    import jax
+    import jax.numpy as jnp
+
+    from internvideo_tpu.core.mesh import MeshConfig
+    from internvideo_tpu.data.loader import prefetch_to_device
+    from internvideo_tpu.models.internvideo2 import InternVideo2Config
+    from internvideo_tpu.train.engines.finetune import (
+        FinetuneConfig,
+        make_finetune_step,
+    )
+    from internvideo_tpu.train.optim import OptimizerConfig
+    from internvideo_tpu.train.trainer import Trainer, TrainerConfig
+    from internvideo_tpu.models.internvideo2 import InternVideo2
+
+    class _VideoDs:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {
+                "video": rng.normal(size=(2, 28, 28, 3)).astype(np.float32),
+                "label": np.int32(i % 5),
+            }
+
+    cfg = InternVideo2Config(
+        embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0, patch_size=14,
+        img_size=28, num_frames=2, tubelet_size=1, clip_embed_dim=16,
+        num_classes=5, attn_impl="xla",
+    )
+    model = InternVideo2(cfg)
+    video = jnp.zeros((8, 2, 28, 28, 3))
+    batch = {"video": video, "label": jnp.zeros((8,), jnp.int32)}
+    trainer = Trainer(
+        TrainerConfig(
+            total_steps=4, log_every=2,
+            mesh=MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1),
+            optimizer=OptimizerConfig(lr=1e-3, total_steps=4),
+        ),
+        model,
+        lambda m, mesh, grad_accum=1: make_finetune_step(
+            m, FinetuneConfig(mixup=None, num_classes=5), mesh,
+            grad_accum=grad_accum,
+        ),
+        example_batch=batch,
+        example_inputs=(video,),
+    )
+    pool = WorkerPool(_VideoDs(), batch_size=8, num_workers=2, prefetch=2)
+    stream = prefetch_to_device(pool.iterate())
+    trainer.fit(stream, steps=4)
+    assert int(trainer.state.step) == 4
