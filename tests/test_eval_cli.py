@@ -29,3 +29,9 @@ def test_eval_cli_classification():
     out = _run("eval_classification_tiny.py")
     assert out["task"] == "classification"
     assert 0 <= out["top1"] <= 100 and 0 <= out["top5"] <= 100
+
+
+def test_eval_cli_mcqa():
+    out = _run("eval_mcqa_tiny.py")
+    assert out["task"] == "mcqa"
+    assert 0.0 <= out["accuracy"] <= 100.0 and out["num"] == 6
