@@ -553,10 +553,6 @@ def convert_hf_mla_llm(sd, cfg) -> dict:
     }
     if not cfg.tie_word_embeddings:
         p["lm_head"] = {"kernel": np.ascontiguousarray(sd["lm_head.weight"].T)}
-    if cfg.moe is not None:
-        raise NotImplementedError(
-            "MoE HF import: map experts via nn/moe layout (dense only here)"
-        )
     for i in range(cfg.num_layers):
         b = f"layers.{i}"
         a = f"{b}.self_attn"
@@ -577,17 +573,43 @@ def convert_hf_mla_llm(sd, cfg) -> dict:
             attn["q_a_proj"] = _linear(sd, f"{a}.q_a_proj")
             attn["q_a_layernorm"] = _rmsnorm(sd, f"{a}.q_a_layernorm")
             attn["q_b_proj"] = _linear(sd, f"{a}.q_b_proj")
+        if cfg.moe is not None:
+            # Qwen3-MoE expert layout: mlp.gate (router, (E, D)) +
+            # mlp.experts.{j}.{gate,up,down}_proj -> stacked (E, D, I) /
+            # (E, I, D) grouped-GEMM weights (nn/moe.MoEMlp)
+            e = cfg.moe.num_experts
+            mlp = {
+                "router": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{b}.mlp.gate.weight"].T
+                    )
+                },
+                "w_gate": np.stack([
+                    sd[f"{b}.mlp.experts.{j}.gate_proj.weight"].T
+                    for j in range(e)
+                ]),
+                "w_up": np.stack([
+                    sd[f"{b}.mlp.experts.{j}.up_proj.weight"].T
+                    for j in range(e)
+                ]),
+                "w_down": np.stack([
+                    sd[f"{b}.mlp.experts.{j}.down_proj.weight"].T
+                    for j in range(e)
+                ]),
+            }
+        else:
+            mlp = {
+                "gate_proj": _linear(sd, f"{b}.mlp.gate_proj"),
+                "up_proj": _linear(sd, f"{b}.mlp.up_proj"),
+                "down_proj": _linear(sd, f"{b}.mlp.down_proj"),
+            }
         p[f"layers_{i}"] = {
             "input_layernorm": _rmsnorm(sd, f"{b}.input_layernorm"),
             "post_attention_layernorm": _rmsnorm(
                 sd, f"{b}.post_attention_layernorm"
             ),
             "self_attn": attn,
-            "mlp": {
-                "gate_proj": _linear(sd, f"{b}.mlp.gate_proj"),
-                "up_proj": _linear(sd, f"{b}.mlp.up_proj"),
-                "down_proj": _linear(sd, f"{b}.mlp.down_proj"),
-            },
+            "mlp": mlp,
         }
     return {"params": p}
 
@@ -636,6 +658,17 @@ def export_mla_llm_hf(params, cfg) -> dict:
                 attn["q_a_layernorm"]["weight"]
             )
             put_linear(f"{b}.self_attn.q_b_proj", attn["q_b_proj"])
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
+        if cfg.moe is not None:
+            sd[f"{b}.mlp.gate.weight"] = np.ascontiguousarray(
+                unbox(lp["mlp"]["router"]["kernel"]).T
+            )
+            for j in range(cfg.moe.num_experts):
+                for hf, ours in (("gate_proj", "w_gate"), ("up_proj", "w_up"),
+                                 ("down_proj", "w_down")):
+                    sd[f"{b}.mlp.experts.{j}.{hf}.weight"] = (
+                        np.ascontiguousarray(unbox(lp["mlp"][ours])[j].T)
+                    )
+        else:
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
     return sd

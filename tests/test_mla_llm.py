@@ -361,3 +361,33 @@ def test_hf_mla_llm_roundtrip():
         np.asarray(model2.apply(params2, ids).logits),
         atol=1e-6, rtol=1e-6,
     )
+
+
+def test_hf_mla_moe_llm_roundtrip():
+    """MoE flavor (Intern-S1/Qwen3-MoE class): expert stacking roundtrips."""
+    import dataclasses
+
+    from internvideo_tpu.models.convert import (
+        convert_hf_mla_llm,
+        export_mla_llm_hf,
+    )
+    from internvideo_tpu.nn.moe import MoEConfig
+
+    cfg = dataclasses.replace(
+        LLM_TINY,
+        moe=MoEConfig(num_experts=4, top_k=2, intermediate_size=32,
+                      dispatch="dense"),
+    )
+    model = MLATransformer(cfg)
+    ids = jax.random.randint(jax.random.key(0), (2, 6), 1, 90)
+    params = model.init(jax.random.key(1), ids)
+
+    sd = export_mla_llm_hf(params, cfg)
+    assert "model.layers.0.mlp.experts.3.down_proj.weight" in sd
+    assert "model.layers.0.mlp.gate.weight" in sd
+    back = convert_hf_mla_llm(sd, cfg)
+
+    ref = model.apply(params, ids).logits
+    out = model.apply(back, ids).logits
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
