@@ -278,3 +278,64 @@ def test_ragged_tail_at_threshold(monkeypatch):
         _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
     )
     assert len(calls) == 1, "over-threshold tail must use the padded path"
+
+
+def test_fuzz_random_configs_vs_xla():
+    """Seeded sweep across the kernel's config space: shapes (aligned,
+    ragged-eligible, padded), causal, segments, GQA, windows — every
+    combination must match the XLA reference for outputs AND gradients.
+    Guards the interaction surface of block padding x ragged decomposition
+    x sub-block unroll x masking."""
+    rng = np.random.default_rng(0)
+    cases = []
+    for trial in range(14):
+        sq = int(rng.choice([64, 127, 128, 200, 256, 257, 384]))
+        mode = rng.choice(["plain", "causal", "segs", "gqa", "qpos"])
+        h = 4
+        hkv = h
+        kw = {}
+        if mode == "causal":
+            kw["causal"] = True
+            sk = sq
+        elif mode == "gqa":
+            hkv = 2
+            sk = sq
+        elif mode == "qpos":
+            # chunked-prefill causal: queries sit offset tokens into K
+            kw["causal"] = True
+            sk = sq + int(rng.integers(1, 64))
+            kw["q_position_offset"] = sk - sq
+        else:
+            sk = int(rng.choice([sq, 192, 256]))
+        cases.append((trial, sq, sk, h, hkv, mode, kw))
+
+    for trial, sq, sk, h, hkv, mode, kw in cases:
+        q, k, v = _rand_qkv(jax.random.key(100 + trial), 1, sq, sk, h, 32,
+                            hkv=hkv)
+        segs = {}
+        if mode == "segs":
+            cut = sq // 2
+            seg = jnp.concatenate([
+                jnp.zeros((1, cut), jnp.int32),
+                jnp.ones((1, sq - cut), jnp.int32),
+            ], axis=1)
+            kseg = jnp.concatenate([
+                jnp.zeros((1, min(cut, sk)), jnp.int32),
+                jnp.ones((1, max(sk - cut, 0)), jnp.int32),
+            ], axis=1)
+            segs = {"q_segment_ids": seg, "kv_segment_ids": kseg}
+        ref = xla_attention(q, k, v, **kw, **segs)
+        out = _flash(q, k, v, **kw, **segs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5,
+            err_msg=f"fwd trial={trial} {mode} sq={sq} sk={sk}",
+        )
+        if trial % 3 == 0:  # grads on a subset (interpret mode is slow)
+            g_ref = jax.grad(lambda q: jnp.sum(jnp.square(
+                xla_attention(q, k, v, **kw, **segs))))(q)
+            g_out = jax.grad(lambda q: jnp.sum(jnp.square(
+                _flash(q, k, v, **kw, **segs))))(q)
+            np.testing.assert_allclose(
+                np.asarray(g_out), np.asarray(g_ref), atol=1e-3, rtol=1e-3,
+                err_msg=f"grad trial={trial} {mode} sq={sq} sk={sk}",
+            )
