@@ -27,12 +27,24 @@ class TrainState:
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # model EMA (reference: timm ModelEma in run_finetuning.py:74,520):
+    # ema_params tracks decay*ema + (1-decay)*params each step when set
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema, new_params,
+            )
         return self.replace(
-            step=self.step + 1, params=new_params, opt_state=new_opt
+            step=self.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=new_ema,
         )
 
 
@@ -51,6 +63,7 @@ def create_sharded_state(
     rng: jax.Array,
     rules=None,
     init_kwargs: Optional[dict] = None,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     """Initialize a TrainState with every leaf born on its mesh shards."""
     init_kwargs = init_kwargs or {}
@@ -65,6 +78,10 @@ def create_sharded_state(
             opt_state=opt_state,
             tx=tx,
             apply_fn=model.apply,
+            ema_params=(
+                jax.tree.map(lambda p: p, params) if ema_decay > 0 else None
+            ),
+            ema_decay=ema_decay,
         )
 
     abstract = jax.eval_shape(
@@ -98,6 +115,8 @@ def create_sharded_state(
         opt_state=opt_shardings,
         tx=tx,
         apply_fn=model.apply,
+        ema_params=(nn.unbox(p_shardings) if ema_decay > 0 else None),
+        ema_decay=ema_decay,
     )
     with mesh:
         state = jax.jit(_init, out_shardings=state_shardings)(rng)

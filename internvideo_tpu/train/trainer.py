@@ -62,6 +62,10 @@ class TrainerConfig:
     # model FLOPs per global batch (fwd+bwd); > 0 enables tflops_per_sec
     # and, when the chip's peak is known, MFU in the step log
     flops_per_batch: float = 0.0
+    # model EMA (reference timm ModelEma, run_finetuning.py:74): > 0 keeps
+    # an exponential average of params in state.ema_params (eval with it
+    # via trainer.state.ema_params)
+    ema_decay: float = 0.0
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig
@@ -103,6 +107,7 @@ class Trainer:
             self.state = create_sharded_state(
                 model, tx, example_inputs, self.mesh, self.rng,
                 rules=self.rules, init_kwargs=init_kwargs,
+                ema_decay=config.ema_decay,
             )
 
         import inspect

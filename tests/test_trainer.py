@@ -190,3 +190,61 @@ def test_all_shipped_configs_load():
             assert cfg.task in (
                 "retrieval", "classification", "mcqa", "videoqa"
             )
+
+
+def test_model_ema_tracks_params():
+    """ema_decay keeps an exponential average: after steps, ema lags params
+    (timm ModelEma equivalent, run_finetuning.py:74,520)."""
+    import jax
+    import jax.numpy as jnp
+
+    from internvideo_tpu.core.mesh import MeshConfig
+    from internvideo_tpu.models.internvideo2 import (
+        InternVideo2,
+        InternVideo2Config,
+    )
+    from internvideo_tpu.train.engines.finetune import (
+        FinetuneConfig,
+        make_finetune_step,
+    )
+    from internvideo_tpu.train.optim import OptimizerConfig
+    from internvideo_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = InternVideo2Config(
+        embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0, patch_size=14,
+        img_size=28, num_frames=2, tubelet_size=1, clip_embed_dim=16,
+        num_classes=5, attn_impl="xla",
+    )
+    model = InternVideo2(cfg)
+    video = jnp.zeros((8, 2, 28, 28, 3))
+    batch = {"video": video, "label": jnp.zeros((8,), jnp.int32)}
+    trainer = Trainer(
+        TrainerConfig(
+            total_steps=3, log_every=3, ema_decay=0.9,
+            mesh=MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1),
+            optimizer=OptimizerConfig(lr=1e-2, total_steps=3),
+        ),
+        model,
+        lambda m, mesh, grad_accum=1: make_finetune_step(
+            m, FinetuneConfig(mixup=None, num_classes=5), mesh,
+            grad_accum=grad_accum,
+        ),
+        example_batch=batch,
+        example_inputs=(video,),
+    )
+    init_params = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.fit(iter([batch] * 3), steps=3)
+    s = trainer.state
+    assert s.ema_params is not None
+
+    def leaf(tree):
+        return jax.tree_util.tree_leaves(tree)[0]
+
+    p0, p3 = np.asarray(leaf(init_params)), np.asarray(leaf(s.params))
+    ema = np.asarray(leaf(s.ema_params))
+    # ema moved away from init but lags the live params
+    assert not np.allclose(ema, p0)
+    assert not np.allclose(ema, p3)
+    d_ema = np.abs(ema - p0).mean()
+    d_par = np.abs(p3 - p0).mean()
+    assert d_ema < d_par
