@@ -58,21 +58,31 @@ def test_worker_pool_custom_indices_resume():
 
 class _SlowDataset(_Dataset):
     def __getitem__(self, i):
-        time.sleep(0.05)
-        return super().__getitem__(i)
+        t0 = time.time()
+        time.sleep(0.2)
+        out = super().__getitem__(i)
+        out["t0"] = np.float64(t0)
+        out["t1"] = np.float64(time.time())
+        return out
 
 
-def test_worker_pool_parallel_speedup():
-    t0 = time.perf_counter()
-    list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=0).iterate())
-    serial = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=4,
-                    prefetch=4).iterate())
-    parallel = time.perf_counter() - t0
-    # 20 items x 50 ms sleep; 4 workers must beat the in-process loop even
-    # on a loaded machine (sleeps overlap regardless of CPU contention)
-    assert parallel < 0.75 * serial, (parallel, serial)
+def test_worker_pool_runs_in_parallel():
+    """Items decoded by different workers overlap in time (wall-clock
+    ratios flake under CI load; interval overlap does not — the 0.2 s
+    sleeps must interleave across the 4 worker processes)."""
+    batches = list(WorkerPool(_SlowDataset(), batch_size=5, num_workers=4,
+                              prefetch=4).iterate())
+    spans = [
+        (float(b["t0"][j]), float(b["t1"][j]), int(b["pid"][j]))
+        for b in batches for j in range(len(b["pid"]))
+    ]
+    overlaps = sum(
+        1
+        for i, (s1, e1, p1) in enumerate(spans)
+        for (s2, e2, p2) in spans[i + 1:]
+        if p1 != p2 and s1 < e2 and s2 < e1
+    )
+    assert overlaps >= 5, (overlaps, spans[:4])
 
 
 def test_worker_pool_to_trainer_pipeline():
