@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import numpy as np
 
 from internvideo_tpu.eval.mllm_benchmark import (
@@ -72,3 +74,42 @@ def test_run_sharded_single_process():
     }] * 4
     out = run_mcq_benchmark(items, lambda p, v: "A", shard_hosts=True)
     assert out["overall"] == 100.0 and out["n"] == 4
+
+
+def test_grounding_eval(tmp_path):
+    from internvideo_tpu.eval.grounding import (
+        grounding_metrics,
+        parse_time_span,
+        run_grounding_eval,
+        span_iou,
+    )
+
+    assert parse_time_span("from 3.5 to 10 seconds") == (3.5, 10.0)
+    assert parse_time_span("no numbers here") == (None, None)
+    assert span_iou((0, 10), (0, 10)) == 1.0
+    assert span_iou((0, 5), (5, 10)) == 0.0
+    assert abs(span_iou((0, 6), (4, 10)) - 0.2) < 1e-9
+    assert span_iou((None, None), (0, 10)) == 0.0
+    # swapped order is normalized
+    assert span_iou((10, 0), (0, 10)) == 1.0
+
+    queries = [
+        {"video": "a.mp4", "query": "x", "span": (2.0, 8.0)},
+        {"video": "b.mp4", "query": "y", "span": (0.0, 4.0)},
+        {"video": "c.mp4", "query": "z", "span": (5.0, 9.0)},
+    ]
+
+    def gen(prompt, video):
+        return {"a.mp4": "2.0 to 8.0", "b.mp4": "0 4.4",
+                "c.mp4": "maybe never"}[video]
+
+    out = run_grounding_eval(
+        queries, gen, results_path=str(tmp_path / "res.jsonl")
+    )
+    assert out["n"] == 3
+    assert out["R@0.7"] == pytest.approx(100 * 2 / 3, abs=1e-6)
+    assert 0 < out["mIoU"] < 1
+    import json as _json
+
+    recs = [_json.loads(l) for l in open(tmp_path / "res.jsonl")]
+    assert recs[2]["iou"] == 0.0
