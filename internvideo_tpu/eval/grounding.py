@@ -63,6 +63,7 @@ def run_grounding_eval(
     Results optionally stream to jsonl (the reference's per-rank files)."""
     ious = []
     records = []
+    by_cat: dict = {}
     for i, q in enumerate(queries):
         response = generate_fn(
             prompt_template.format(query=q["query"]), q.get("video")
@@ -70,6 +71,8 @@ def run_grounding_eval(
         pred = parse_time_span(response)
         iou = span_iou(pred, tuple(q["span"]))
         ious.append(iou)
+        if "category" in q:  # calc_timelens_metrics.py per-source splits
+            by_cat.setdefault(str(q["category"]), []).append(iou)
         records.append({
             "video_id": q.get("video", ""), "query_idx": i,
             "pred": pred, "gt": list(q["span"]), "iou": round(iou, 4),
@@ -78,4 +81,9 @@ def run_grounding_eval(
         with open(results_path, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")
-    return grounding_metrics(ious)
+    out = grounding_metrics(ious)
+    if by_cat:
+        out["per_category"] = {
+            c: grounding_metrics(v) for c, v in sorted(by_cat.items())
+        }
+    return out
