@@ -13,6 +13,8 @@ Tasks:
   classification  encoder multi-view softmax-ensemble -> top-1/top-5
   mcqa            multiple-choice retrieval accuracy
   videoqa         generation-based QA accuracy (eval/videoqa.py scorers)
+  mcq_benchmark   VideoMME/MVBench-class generation MCQ suites
+  grounding       temporal grounding mIoU / R@{0.3,0.5,0.7}
 
 `data` is a zero-arg callable returning the task's inputs (plug real
 dataset loaders; tiny configs ship synthetic ones for smoke/CI).
@@ -193,11 +195,29 @@ def run_videoqa(run: EvalRunConfig) -> dict:
     return evaluate_videoqa(generate_answer, data, **run.options)
 
 
+def run_mcq_benchmark(run: EvalRunConfig) -> dict:
+    """VideoMME/MVBench-class MCQ suites: data() -> (items, generate_fn)."""
+    from internvideo_tpu.eval.mllm_benchmark import run_mcq_benchmark as _run
+
+    items, generate_fn = run.data()
+    return _run(items, generate_fn, **run.options)
+
+
+def run_grounding(run: EvalRunConfig) -> dict:
+    """Temporal grounding: data() -> (queries, generate_fn)."""
+    from internvideo_tpu.eval.grounding import run_grounding_eval
+
+    queries, generate_fn = run.data()
+    return run_grounding_eval(queries, generate_fn, **run.options)
+
+
 TASKS = {
     "retrieval": run_retrieval,
     "classification": run_classification,
     "mcqa": run_mcqa,
     "videoqa": run_videoqa,
+    "mcq_benchmark": run_mcq_benchmark,
+    "grounding": run_grounding,
 }
 
 

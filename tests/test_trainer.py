@@ -188,7 +188,8 @@ def test_all_shipped_configs_load():
             )
         else:
             assert cfg.task in (
-                "retrieval", "classification", "mcqa", "videoqa"
+                "retrieval", "classification", "mcqa", "videoqa",
+                "mcq_benchmark", "grounding",
             )
 
 
