@@ -38,6 +38,7 @@ def ulysses_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
+    interpret: bool = False,  # pallas interpret mode (CPU tests)
     batch_axes: tuple[str, ...] = ("replica", "fsdp"),
     head_axis: Optional[str] = "tensor",
 ) -> jax.Array:
@@ -52,13 +53,14 @@ def ulysses_attention(
     # call concrete impls directly — re-entering the dispatcher under an
     # active ulysses_context would recurse
     attn = flash_attention if impl == "pallas" else xla_attention
+    extra = {"interpret": interpret} if impl == "pallas" else {}
 
     sp = mesh.shape[axis]
     if sp == 1:
         return attn(
             q, k, v,
             q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-            causal=causal, softmax_scale=softmax_scale,
+            causal=causal, softmax_scale=softmax_scale, **extra,
         )
     batch_axes = tuple(a for a in batch_axes if a in mesh.axis_names)
     if head_axis is not None and head_axis not in mesh.axis_names:
@@ -86,7 +88,7 @@ def ulysses_attention(
         out = attn(
             qh, kh, vh,
             q_segment_ids=full_qseg, kv_segment_ids=full_kvseg,
-            causal=causal, softmax_scale=softmax_scale,
+            causal=causal, softmax_scale=softmax_scale, **extra,
         )
         # head-shard -> seq-shard
         return jax.lax.all_to_all(
@@ -101,5 +103,8 @@ def ulysses_attention(
         args += (q_segment_ids, kv_segment_ids)
         in_specs += (seg_spec, seg_spec)
     return jax.shard_map(
-        local, mesh=mesh, in_specs=in_specs, out_specs=spec
+        local, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axes metadata yet;
+        # without this the vma check rejects the kernel inside shard_map
+        check_vma=False,
     )(*args)

@@ -196,3 +196,21 @@ def test_ring_attention_grads():
     np.testing.assert_allclose(
         np.asarray(g_ring), np.asarray(g_ref), atol=1e-4, rtol=1e-4
     )
+
+
+def test_ulysses_with_pallas_ragged_kernel():
+    """The Pallas kernel (interpret) inside the Ulysses shard_map, at a
+    CLS-style global length that triggers the ragged-tail decomposition
+    (1028 = 1024 + 4 after the head-swap reassembles the full sequence)."""
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 1028, 4, 32
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    ref = xla_attention(q, k, v)
+    sh = NamedSharding(mesh, P("fsdp", "seq", None, None))
+    out = jax.jit(lambda q, k, v: ulysses_attention(
+        q, k, v, mesh=mesh, axis="seq", impl="pallas", interpret=True,
+    ))(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
