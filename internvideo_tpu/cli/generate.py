@@ -30,6 +30,10 @@ def build_model(args):
     cfg = getattr(presets, args.preset)()
     if hasattr(cfg, "mla"):  # a bare LLMConfig
         return MLATransformer(cfg)
+    if hasattr(cfg, "num_kv_heads"):  # dense-GQA flavor
+        from internvideo_tpu.models.llm_gqa import GQATransformer
+
+        return GQATransformer(cfg)
     raise SystemExit(
         f"preset {args.preset!r} is not a text-LLM config; generate currently "
         "serves the LLM flavors (use eval/demo.py for retrieval serving)"
@@ -54,6 +58,10 @@ def load_params(model, args, ids):
             if os.path.isdir(args.checkpoint)
             else read_safetensors(args.checkpoint)
         )
+        if hasattr(model.cfg, "num_kv_heads"):
+            from internvideo_tpu.models.convert import convert_hf_gqa_llm
+
+            return convert_hf_gqa_llm(sd, model.cfg)
         return convert_hf_mla_llm(sd, model.cfg)
     # no checkpoint: random init (smoke/serving-bringup mode)
     return jax.jit(model.init)(jax.random.key(0), jnp.asarray(ids))

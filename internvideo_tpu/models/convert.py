@@ -672,3 +672,78 @@ def export_mla_llm_hf(params, cfg) -> dict:
             for name in ("gate_proj", "up_proj", "down_proj"):
                 put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
     return sd
+
+
+def convert_hf_gqa_llm(sd, cfg) -> dict:
+    """Stock HF GQA checkpoint (Qwen3/LLaMA naming) ->
+    models/llm_gqa.GQATransformer params."""
+    sd = _strip_llm_prefix({k: np.asarray(v) for k, v in sd.items()})
+    p = {
+        "embed_tokens": {"embedding": sd["embed_tokens.weight"]},
+        "norm": _rmsnorm(sd, "norm"),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"kernel": np.ascontiguousarray(sd["lm_head.weight"].T)}
+    for i in range(cfg.num_layers):
+        b = f"layers.{i}"
+        a = f"{b}.self_attn"
+        attn = {
+            "q_proj": _linear(sd, f"{a}.q_proj"),
+            "k_proj": _linear(sd, f"{a}.k_proj"),
+            "v_proj": _linear(sd, f"{a}.v_proj"),
+            "o_proj": _linear(sd, f"{a}.o_proj"),
+        }
+        if f"{a}.q_norm.weight" in sd:  # Qwen3 per-head qk-norm
+            attn["q_norm"] = _rmsnorm(sd, f"{a}.q_norm")
+            attn["k_norm"] = _rmsnorm(sd, f"{a}.k_norm")
+        p[f"layers_{i}"] = {
+            "input_layernorm": _rmsnorm(sd, f"{b}.input_layernorm"),
+            "post_attention_layernorm": _rmsnorm(
+                sd, f"{b}.post_attention_layernorm"
+            ),
+            "self_attn": attn,
+            "mlp": {
+                "gate_proj": _linear(sd, f"{b}.mlp.gate_proj"),
+                "up_proj": _linear(sd, f"{b}.mlp.up_proj"),
+                "down_proj": _linear(sd, f"{b}.mlp.down_proj"),
+            },
+        }
+    return {"params": p}
+
+
+def export_gqa_llm_hf(params, cfg) -> dict:
+    """GQATransformer params -> HF-layout state dict (inverse bridge)."""
+    p = params.get("params", params)
+    unbox = lambda t: np.asarray(getattr(t, "value", t))
+    sd = {"model.embed_tokens.weight": unbox(p["embed_tokens"]["embedding"]),
+          "model.norm.weight": unbox(p["norm"]["weight"])}
+    if "lm_head" in p:
+        sd["lm_head.weight"] = np.ascontiguousarray(
+            unbox(p["lm_head"]["kernel"]).T
+        )
+
+    def put_linear(dst, node):
+        sd[f"{dst}.weight"] = np.ascontiguousarray(unbox(node["kernel"]).T)
+        if "bias" in node:
+            sd[f"{dst}.bias"] = unbox(node["bias"])
+
+    for i in range(cfg.num_layers):
+        lp = p[f"layers_{i}"]
+        b = f"model.layers.{i}"
+        sd[f"{b}.input_layernorm.weight"] = unbox(
+            lp["input_layernorm"]["weight"]
+        )
+        sd[f"{b}.post_attention_layernorm.weight"] = unbox(
+            lp["post_attention_layernorm"]["weight"]
+        )
+        attn = lp["self_attn"]
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_linear(f"{b}.self_attn.{name}", attn[name])
+        for name in ("q_norm", "k_norm"):
+            if name in attn:
+                sd[f"{b}.self_attn.{name}.weight"] = unbox(
+                    attn[name]["weight"]
+                )
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
+    return sd

@@ -139,3 +139,18 @@ def intern_s1(**overrides):
         image_token_id=152957,
     )
     return dataclasses.replace(cfg, **overrides)
+
+
+def qwen3_8b_dense(**overrides):
+    """Stock dense-GQA Qwen3-8B (HF config: 36 layers, hidden 4096,
+    32 q / 8 kv heads, head_dim 128, SwiGLU 12288, qk-norm, rope 1e6) —
+    loads raw HF checkpoints via convert_hf_gqa_llm (no MLA conversion)."""
+    from internvideo_tpu.models.llm_gqa import GQAConfig
+
+    cfg = GQAConfig(
+        vocab_size=151936, hidden_size=4096, num_layers=36,
+        num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=12288, rope_theta=1_000_000.0, qk_norm=True,
+        dtype="bfloat16", param_dtype="bfloat16", remat=True,
+    )
+    return dataclasses.replace(cfg, **overrides)

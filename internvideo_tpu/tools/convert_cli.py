@@ -104,13 +104,18 @@ def convert(kind: str, sd: dict, args) -> dict:
 
         cfg = getattr(presets, args.preset)()
         return C.convert_hf_mla_llm(sd, cfg)
+    if kind == "hf_gqa_llm":
+        from internvideo_tpu.models import presets
+
+        cfg = getattr(presets, args.preset)()
+        return C.convert_hf_gqa_llm(sd, cfg)
     raise SystemExit(f"unknown --kind {kind!r}")
 
 
 KINDS = (
     "internvideo2_encoder", "internvideo2_pretrain", "internvideo2_stage2",
     "internvl_clip_teacher", "videomae_teacher", "hf_bert",
-    "mobileclip_text", "beats", "hf_mla_llm",
+    "mobileclip_text", "beats", "hf_mla_llm", "hf_gqa_llm",
 )
 
 
