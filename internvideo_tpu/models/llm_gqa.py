@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from internvideo_tpu.models.llm import LLMOutput, SwiGLU
 from internvideo_tpu.nn.norms import RMSNorm
-from internvideo_tpu.nn.rope import apply_rope, rope_cos_sin
+from internvideo_tpu.nn.rope import apply_rope, mrope_cos_sin, rope_cos_sin
 from internvideo_tpu.ops import dot_product_attention
 
 
@@ -39,6 +39,8 @@ class GQAConfig:
     intermediate_size: int = 12288
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
+    # 3D mRoPE sections for the Qwen3-VL-dense compose (None = plain 1D)
+    mrope_section: Optional[tuple[int, int, int]] = None
     qk_norm: bool = True  # Qwen3 per-head q/k RMSNorm
     qkv_bias: bool = False
     tie_word_embeddings: bool = False
@@ -106,8 +108,11 @@ class GQAAttention(nn.Module):
         b, s, _, _ = out.shape
         return self.o_proj(out.reshape(b, s, -1))
 
-    def prefill(self, x, cos, sin, cache):
-        """cache: (k (B,L,Hkv,D), v (B,L,Hkv,D)); prompt fills [0, S)."""
+    def prefill(self, x, cos, sin, cache, cache_len: int = 0):
+        """cache: (k (B,L,Hkv,D), v (B,L,Hkv,D)); prompt fills [0, S).
+        `cache_len` exists for MLAttention call-compat; only 0 (fresh
+        prompt) is supported here."""
+        del cache_len  # prompt always starts the cache
         q, k, v = self._qkv(x, cos, sin)
         ck, cv = cache
         s = x.shape[1]
@@ -208,7 +213,14 @@ class GQATransformer(nn.Module):
             )
 
     def _rope(self, position_ids):
-        return rope_cos_sin(position_ids, self.cfg.hd, self.cfg.rope_theta)
+        cfg = self.cfg
+        if position_ids.ndim == 3 and cfg.mrope_section:
+            return mrope_cos_sin(
+                position_ids, cfg.hd, cfg.mrope_section, cfg.rope_theta
+            )
+        if position_ids.ndim == 3:
+            position_ids = position_ids[0]
+        return rope_cos_sin(position_ids, cfg.hd, cfg.rope_theta)
 
     def _head(self, h):
         if self.cfg.tie_word_embeddings:

@@ -41,7 +41,8 @@ class MLLMConfig:
     vision: VisionTowerConfig = dataclasses.field(
         default_factory=VisionTowerConfig
     )
-    text: LLMConfig = dataclasses.field(default_factory=LLMConfig)
+    # LLMConfig (M²LA) or llm_gqa.GQAConfig (dense Qwen3-VL compose)
+    text: object = dataclasses.field(default_factory=LLMConfig)
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
@@ -76,7 +77,14 @@ class VideoMLLM(nn.Module):
             PatchMerger(cfg.vision, name=f"deepstack_merger_{i}")
             for i in range(len(cfg.vision.deepstack_indexes))
         ]
-        self.language_model = MLATransformer(cfg.text)
+        # text flavor by config class: LLMConfig -> M²LA; GQAConfig ->
+        # dense GQA (the Qwen3-VL-dense compose) — same method surface
+        if hasattr(cfg.text, "num_kv_heads"):
+            from internvideo_tpu.models.llm_gqa import GQATransformer
+
+            self.language_model = GQATransformer(cfg.text)
+        else:
+            self.language_model = MLATransformer(cfg.text)
 
     def encode_video(self, video):
         """(B, T, H, W, 3) -> (visual (B, Nv, Dt), deepstack list)."""

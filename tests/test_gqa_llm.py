@@ -90,3 +90,34 @@ def test_gqa_hf_roundtrip_and_generate():
         np.asarray(m2.apply(p2, ids).logits),
         atol=1e-6, rtol=1e-6,
     )
+
+
+def test_mllm_with_gqa_text():
+    """Qwen3-VL-dense compose: vision tower + dense-GQA text with mRoPE."""
+    from internvideo_tpu.models.generation import generate
+    from internvideo_tpu.models.mllm import MLLMConfig, VideoMLLM
+    from internvideo_tpu.models.vision_tower import VisionTowerConfig
+
+    cfg = MLLMConfig(
+        vision=VisionTowerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
+            pos_embed_grid=6, deepstack_indexes=(1, 2), text_hidden_size=64,
+            attn_impl="xla",
+        ),
+        text=dataclasses.replace(
+            CFG, hidden_size=64, mrope_section=(4, 2, 2), head_dim=16,
+        ),
+        image_token_id=94, video_token_id=95,
+    )
+    model = VideoMLLM(cfg)
+    video = jnp.zeros((2, 2, 16, 16, 3))
+    ids = jnp.full((2, 12), 7, jnp.int32)
+    ids = ids.at[:, 1:5].set(95)
+    params = model.init(jax.random.key(0), ids, video)
+    out = model.apply(params, ids, video)
+    assert out.logits.shape == (2, 12, CFG.vocab_size)
+    assert np.isfinite(np.asarray(out.logits)).all()
+
+    gen = generate(model, params, ids, video=video, max_new_tokens=3)
+    assert np.asarray(gen).shape == (2, 3)
