@@ -136,3 +136,46 @@ def test_dsl_rescoring():
     e = np.exp(itc - itc.max(0, keepdims=True))
     np.testing.assert_allclose(v2t, itc * e / e.sum(0, keepdims=True),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_zero_shot_classification():
+    """Prompt-ensemble zero-shot: a toy embedding space where class k's
+    name maps near axis k must classify perfectly."""
+    from internvideo_tpu.eval.zeroshot import (
+        KINETICS_TEMPLATES,
+        KINETICS_TEMPLATES_ACTION_CLIP,
+        build_zero_shot_classifier,
+        zero_shot_eval,
+    )
+
+    assert len(KINETICS_TEMPLATES) == 28
+    assert len(KINETICS_TEMPLATES_ACTION_CLIP) == 16
+    assert all("{}" in t for t in KINETICS_TEMPLATES)
+
+    classes = ["running", "swimming", "climbing"]
+    rng = np.random.RandomState(0)
+
+    def encode_texts(texts):
+        # embedding = one-hot of whichever class name the prompt contains,
+        # plus template-dependent noise (the ensemble averages it out)
+        out = []
+        for t in texts:
+            k = next(i for i, c in enumerate(classes) if c in t)
+            e = np.eye(3)[k] * 4 + rng.randn(3) * 0.5
+            out.append(e)
+        return np.stack(out)
+
+    clf = build_zero_shot_classifier(encode_texts, classes)
+    assert clf.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(clf, axis=-1), 1.0, atol=1e-6)
+
+    def encode_video(v):
+        return v  # videos already live in the class space
+
+    data = [{
+        "video": jnp.asarray(np.eye(3)[[0, 1, 2, 1]] * 3
+                             + rng.randn(4, 3) * 0.1),
+        "label": np.asarray([0, 1, 2, 1]),
+    }]
+    m = zero_shot_eval(encode_video, clf, data)
+    assert m["top1"] == 100.0 and m["n"] == 4
