@@ -170,7 +170,10 @@ class VideoMLLM(nn.Module):
                 layer.input_layernorm(x), cos, sin, cache, 0
             )
             x = x + h
-            x = x + layer.mlp(layer.post_attention_layernorm(x))
+            # _mlp routes MoE layers through their router (MLA flavor);
+            # plain layers expose .mlp directly
+            mlp_fn = getattr(layer, "_mlp", None) or layer.mlp
+            x = x + mlp_fn(layer.post_attention_layernorm(x))
             if deepstack_scattered is not None and i < len(deepstack_scattered):
                 x = x + deepstack_scattered[i]
             new_caches.append(cache)
