@@ -44,6 +44,13 @@ def generate(
 
     if paged:
         assert video is None, "paged generate is the text/serving path"
+        if not hasattr(model.cfg, "mla"):
+            raise ValueError(
+                "paged generate drives the latent (M²LA) page pools; the "
+                "dense-GQA flavor uses its (B, L, Hkv, D) cache - run "
+                "paged=False (GQA kv-heads are small, the dense cache IS "
+                "the memory-honest layout)"
+            )
         from internvideo_tpu.models.llm import init_paged_cache
 
         pages, tables = init_paged_cache(

@@ -121,3 +121,15 @@ def test_mllm_with_gqa_text():
 
     gen = generate(model, params, ids, video=video, max_new_tokens=3)
     assert np.asarray(gen).shape == (2, 3)
+
+
+def test_gqa_paged_generate_rejected_clearly():
+    import pytest
+
+    from internvideo_tpu.models.generation import generate
+
+    model = GQATransformer(CFG)
+    ids = jnp.ones((1, 3), jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    with pytest.raises(ValueError, match="dense-GQA"):
+        generate(model, params, ids, max_new_tokens=2, paged=True)
