@@ -40,6 +40,10 @@ class OptimizerConfig:
     # Probing (run_linear_probing.py / internvideo2_ap.py): only params whose
     # path matches one of these regexes get updates; everything else frozen.
     trainable_patterns: Optional[tuple[str, ...]] = None
+    # Per-name LR groups (utils/optimizer.py:31-112 different_lr: e.g. new
+    # heads at a larger lr than the pretrained backbone): (regex, mult)
+    # pairs, first match wins, default multiplier 1.0.
+    lr_mult_patterns: Optional[tuple[tuple[str, float], ...]] = None
 
 
 def cosine_schedule(
@@ -139,6 +143,19 @@ def build_optimizer(
                 )
             )
         )
+    if config.lr_mult_patterns:
+        pats = [(re.compile(p), float(m)) for p, m in config.lr_mult_patterns]
+
+        def _mult(path, _):
+            s = _path_str(path)
+            for pat, m in pats:
+                if pat.search(s):
+                    return m
+            return 1.0
+
+        chain.append(_scale_by_tree(
+            jax.tree_util.tree_map_with_path(_mult, params_example)
+        ))
     chain.append(optax.scale_by_learning_rate(lr_sched))
     tx = optax.chain(*chain)
     if config.trainable_patterns:

@@ -249,3 +249,29 @@ def test_model_ema_tracks_params():
     d_ema = np.abs(ema - p0).mean()
     d_par = np.abs(p3 - p0).mean()
     assert d_ema < d_par
+
+
+def test_lr_mult_patterns():
+    """Per-name LR groups (the reference's different_lr): matched params
+    move `mult`x further under one SGD-like step."""
+    import jax
+    import jax.numpy as jnp
+
+    from internvideo_tpu.train.optim import OptimizerConfig, build_optimizer
+
+    params = {
+        "backbone": {"w": jnp.ones((4,))},
+        "new_head": {"w": jnp.ones((4,))},
+    }
+    cfg = OptimizerConfig(
+        lr=1.0, min_lr=1.0, warmup_steps=0, total_steps=10,
+        weight_decay=0.0, clip_grad_norm=None,
+        lr_mult_patterns=(("new_head", 10.0),),
+    )
+    tx, _ = build_optimizer(cfg, params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    u_back = float(updates["backbone"]["w"][0])
+    u_head = float(updates["new_head"]["w"][0])
+    assert abs(u_head / u_back - 10.0) < 1e-5, (u_back, u_head)
