@@ -41,6 +41,9 @@ class GQAConfig:
     rope_theta: float = 1_000_000.0
     # 3D mRoPE sections for the Qwen3-VL-dense compose (None = plain 1D)
     mrope_section: Optional[tuple[int, int, int]] = None
+    # sliding-window attention (xtuner mha.py window_size; gpt-oss-class
+    # models): each token attends to the last `sliding_window` positions
+    sliding_window: Optional[int] = None
     qk_norm: bool = True  # Qwen3 per-head q/k RMSNorm
     qkv_bias: bool = False
     tie_word_embeddings: bool = False
@@ -103,6 +106,7 @@ class GQAAttention(nn.Module):
         out = dot_product_attention(
             q, k, v, causal=True,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            window=self.cfg.sliding_window,
             impl=self.cfg.attn_impl,
         )
         b, s, _, _ = out.shape
@@ -121,7 +125,8 @@ class GQAAttention(nn.Module):
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
                                           (0, 0, 0, 0))
         out = dot_product_attention(
-            q, k, v, causal=True, impl=self.cfg.attn_impl
+            q, k, v, causal=True, window=self.cfg.sliding_window,
+            impl=self.cfg.attn_impl,
         )
         b = x.shape[0]
         return self.o_proj(out.reshape(b, s, -1)), (ck, cv)
@@ -137,10 +142,14 @@ class GQAAttention(nn.Module):
         cv = jax.lax.dynamic_update_slice(
             cv, v.astype(cv.dtype), (0, cache_len, 0, 0)
         )
-        # mask out not-yet-written tail positions with segment ids
+        # mask out not-yet-written tail positions with segment ids (and,
+        # with a sliding window, positions older than the window)
         max_len = ck.shape[1]
         pos = jnp.arange(max_len)[None]
-        kv_seg = jnp.where(pos <= cache_len, 0, -2).astype(jnp.int32)
+        visible = pos <= cache_len
+        if self.cfg.sliding_window is not None:
+            visible &= pos > cache_len - self.cfg.sliding_window
+        kv_seg = jnp.where(visible, 0, -2).astype(jnp.int32)
         kv_seg = jnp.broadcast_to(kv_seg, (b, max_len))
         q_seg = jnp.zeros((b, 1), jnp.int32)
         out = dot_product_attention(

@@ -133,3 +133,39 @@ def test_gqa_paged_generate_rejected_clearly():
     params = model.init(jax.random.key(0), ids)
     with pytest.raises(ValueError, match="dense-GQA"):
         generate(model, params, ids, max_new_tokens=2, paged=True)
+
+
+def test_gqa_sliding_window():
+    """Model-level sliding window: train fwd matches an explicit banded
+    mask, and cached decode matches the windowed full forward."""
+    # banded-mask check needs ONE layer (with depth the window's receptive
+    # field compounds, so a suffix run is not equivalent)
+    cfg1 = dataclasses.replace(CFG, sliding_window=3, num_layers=1)
+    model1 = GQATransformer(cfg1)
+    ids = jax.random.randint(jax.random.key(7), (1, 7), 1, 90)
+    params1 = model1.init(jax.random.key(8), ids)
+    out1 = model1.apply(params1, ids)
+    ref1 = GQATransformer(dataclasses.replace(cfg1, sliding_window=None))
+    for t in (4, 6):
+        lo = max(0, t - 2)  # window=3: positions {t-2, t-1, t}
+        pos = jnp.arange(lo, t + 1)[None]
+        sub = ref1.apply(params1, ids[:, lo:t + 1], position_ids=pos)
+        np.testing.assert_allclose(
+            np.asarray(out1.logits[:, t]), np.asarray(sub.logits[:, -1]),
+            atol=2e-4, rtol=1e-3, err_msg=f"t={t}",
+        )
+
+    # decode parity under the window (2-layer model)
+    cfg = dataclasses.replace(CFG, sliding_window=3)
+    model = GQATransformer(cfg)
+    params = model.init(jax.random.key(8), ids)
+    out = model.apply(params, ids)
+    caches = model.apply(params, 1, 8, jnp.float32, method="init_cache")
+    embeds = model.apply(params, method=lambda m: m.embed_tokens)(ids[:, :6])
+    pre = model.apply(params, embeds, caches, method="prefill")
+    step = model.apply(params, ids[:, 6:7], pre.caches, jnp.int32(6),
+                       method="decode_step")
+    np.testing.assert_allclose(
+        np.asarray(step.logits[:, 0]), np.asarray(out.logits[:, 6]),
+        atol=2e-4, rtol=1e-3,
+    )
