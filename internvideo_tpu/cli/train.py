@@ -23,7 +23,7 @@ from internvideo_tpu.train.trainer import Trainer, TrainerConfig
 
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
-    task: str = "finetune"  # finetune | pretrain | clip | sft | distill
+    task: str = "finetune"  # finetune | pretrain | clip | clip_av | sft | distill
     # multi-host bootstrap: "auto" honors JAX_COORDINATOR_ADDRESS/env and
     # no-ops single-process; "off" skips entirely (core/distributed.py)
     distributed: str = "auto"
@@ -99,6 +99,10 @@ def main(argv: Optional[list[str]] = None):
         trainer, batch = build_clip(run)
         data = run.data.get("stream") or _synthetic_clip_stream(batch)
         trainer.fit(data)
+    elif run.task == "clip_av":
+        trainer, batch = build_clip_av(run)
+        data = run.data.get("stream") or _synthetic_av_stream(batch)
+        trainer.fit(data)
     elif run.task == "sft":
         trainer, batch = build_sft(run)
         if run.data.get("jsonl"):
@@ -160,6 +164,61 @@ def build_clip(run: RunConfig):
         # reference stage-2 checkpoint (torch naming) -> converted params
         trainer.load_params(_load_stage2_state_dict(ckpt, run))
     return trainer, batch
+
+
+def build_clip_av(run: RunConfig):
+    """Audio-visual stage-2 (M4): per-media VTC/VTM/MLM. The step is built
+    for run.data["media_type"] ("video" | "audio" | "audio_video"); a
+    MetaLoader schedule can alternate media types by running one task per
+    media stream (the reference jits one step per media the same way)."""
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.videoclip_av import VideoCLIPAV
+    from internvideo_tpu.train.engines.clip import make_av_clip_train_step
+
+    model = VideoCLIPAV(run.model)
+    v = run.model.vision
+    a = run.model.audio
+    b, l = run.data["batch_size"], run.data.get("text_len", 32)
+    media_type = run.data.get("media_type", "audio_video")
+    batch = {
+        "video": jnp.zeros((b, v.num_frames, v.img_size, v.img_size, 3)),
+        "audio": jnp.zeros((b, a.max_frames, a.n_mels)),
+        "input_ids": jnp.zeros((b, l), jnp.int32),
+        "attention_mask": jnp.ones((b, l), jnp.int32),
+        "idx": jnp.arange(b, dtype=jnp.int32),
+    }
+    trainer = Trainer(
+        run.trainer, model,
+        lambda m, mesh, grad_accum=1: make_av_clip_train_step(
+            m, run.engine, media_type, grad_accum=grad_accum,
+        ),
+        example_batch=batch,
+        example_inputs=(batch["input_ids"], batch["attention_mask"]),
+        init_kwargs={
+            "video": batch["video"], "audio": batch["audio"],
+            "media_type": media_type, "init_all_branches": True,
+        },
+    )
+    return trainer, batch
+
+
+def _synthetic_av_stream(batch, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    while True:
+        yield {
+            "video": rng.normal(size=batch["video"].shape).astype(np.float32),
+            "audio": rng.normal(size=batch["audio"].shape).astype(np.float32),
+            "input_ids": rng.integers(
+                4, 40, batch["input_ids"].shape
+            ).astype(np.int32),
+            "attention_mask": np.ones(
+                batch["attention_mask"].shape, np.int32
+            ),
+            "idx": np.arange(batch["idx"].shape[0], dtype=np.int32),
+        }
 
 
 def _load_stage2_state_dict(path: str, run: RunConfig):

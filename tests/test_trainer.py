@@ -184,7 +184,7 @@ def test_all_shipped_configs_load():
         assert isinstance(cfg, (RunConfig, EvalRunConfig)), p
         if isinstance(cfg, RunConfig):
             assert cfg.task in (
-                "finetune", "pretrain", "distill", "clip", "sft"
+                "finetune", "pretrain", "distill", "clip", "clip_av", "sft"
             )
         else:
             assert cfg.task in (
