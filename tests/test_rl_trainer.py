@@ -80,3 +80,29 @@ def test_rl_eos_mask():
         expect = np.zeros(batch["mask"].shape[1], np.float32)
         expect[lp - 1 : lp - 1 + end] = 1.0
         np.testing.assert_array_equal(batch["mask"][row], expect)
+
+
+def test_rl_trainer_with_gqa_model():
+    """The rollout<->train loop drives the dense-GQA flavor unchanged
+    (same init_cache/prefill/decode_step surface)."""
+    import jax
+
+    from internvideo_tpu.models.llm_gqa import GQAConfig, GQATransformer
+
+    cfg = GQAConfig(
+        vocab_size=32, hidden_size=32, num_layers=1, num_heads=2,
+        num_kv_heads=1, intermediate_size=64, qk_norm=True, attn_impl="xla",
+    )
+    model = GQATransformer(cfg)
+    ids = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+
+    rl_cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=2, kl_beta=0.01),
+        max_new_tokens=4, rollout_temperature=1.0, ppo_epochs=1, lr=1e-2,
+    )
+    trainer = RLTrainer(model, params, rl_cfg, lambda p, r: 1.0)
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (2, 1))
+    history = trainer.fit(lambda i: prompts, iterations=2, seed=0)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
