@@ -23,6 +23,7 @@ def mcqa_accuracy(
     rerank: Optional[Callable] = None,  # (video_batch, ids (B,K,L)) -> (B,K)
 ) -> dict:
     correct, total = 0, 0
+    all_scores, all_answers = [], []
     for batch in data:
         v = np.asarray(jax.device_get(encode_video(batch["video"])))
         b, k, l = batch["choice_ids"].shape
@@ -39,4 +40,35 @@ def mcqa_accuracy(
         pred = scores.argmax(-1)
         correct += int((pred == np.asarray(batch["answer"])).sum())
         total += b
-    return {"accuracy": 100.0 * correct / max(total, 1), "num": total}
+        all_scores.append(scores)
+        all_answers.append(np.asarray(batch["answer"]))
+    out = {"accuracy": 100.0 * correct / max(total, 1), "num": total}
+    if all_scores and all(
+        s.shape[1] == all_scores[0].shape[1] for s in all_scores
+    ):
+        out["mAP"] = float(multiple_choice_map(
+            np.concatenate(all_scores), np.concatenate(all_answers)
+        ))
+    return out
+
+
+def multiple_choice_map(scores: np.ndarray, answers: np.ndarray) -> float:
+    """Mean average precision over option slots — the reference's
+    torchnet mAPMeter in retrieval_mc2.py: per option position k, rank
+    all questions by score[:, k] and average precision-at-positive over
+    questions whose answer is k; mean over positions (skipping positions
+    that are never the answer)."""
+    n, k = scores.shape
+    onehot = np.zeros((n, k), bool)
+    onehot[np.arange(n), answers] = True
+    aps = []
+    for j in range(k):
+        pos = onehot[:, j]
+        if not pos.any():
+            continue
+        order = np.argsort(-scores[:, j], kind="stable")
+        hits = pos[order]
+        cum = np.cumsum(hits)
+        ranks = np.arange(1, n + 1)
+        aps.append(float((cum[hits] / ranks[hits]).mean()))
+    return 100.0 * float(np.mean(aps)) if aps else 0.0

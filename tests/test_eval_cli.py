@@ -35,3 +35,17 @@ def test_eval_cli_mcqa():
     out = _run("eval_mcqa_tiny.py")
     assert out["task"] == "mcqa"
     assert 0.0 <= out["accuracy"] <= 100.0 and out["num"] == 6
+
+
+def test_mcqa_map_metric():
+    import numpy as np
+
+    from internvideo_tpu.eval.mcqa import multiple_choice_map
+
+    # perfect scores: answer option always ranked first -> mAP 100
+    scores = np.eye(4) * 5 + np.random.RandomState(0).randn(4, 4) * 0.01
+    answers = np.arange(4)
+    assert multiple_choice_map(scores, answers) > 99.0
+    # anti-correlated scores -> low mAP
+    bad = -np.eye(4) * 5
+    assert multiple_choice_map(bad, answers) < 60.0
