@@ -43,8 +43,10 @@ def generate(
     max_len = prompt_len + max_new_tokens
 
     if paged:
-        assert video is None, "paged generate is the text/serving path"
-        if not hasattr(model.cfg, "mla"):
+        llm_cfg = getattr(model, "cfg", None)
+        if llm_cfg is None:  # MLLM compose: text model's config
+            llm_cfg = model.config.text
+        if not hasattr(llm_cfg, "mla"):
             raise ValueError(
                 "paged generate drives the latent (M²LA) page pools; the "
                 "dense-GQA flavor uses its (B, L, Hkv, D) cache - run "
@@ -54,12 +56,21 @@ def generate(
         from internvideo_tpu.models.llm import init_paged_cache
 
         pages, tables = init_paged_cache(
-            model.cfg, b, max_len, page_size, cache_dtype
+            llm_cfg, b, max_len, page_size, cache_dtype
         )
-        out = model.apply(
-            params, input_ids, pages, tables, page_size,
-            method="prefill_paged",
-        )
+        import inspect
+
+        if "video" in inspect.signature(model.prefill_paged).parameters:
+            out = model.apply(
+                params, input_ids, video, pages, tables, page_size,
+                method="prefill_paged",
+            )
+        else:
+            assert video is None, "this model's paged path is text-only"
+            out = model.apply(
+                params, input_ids, pages, tables, page_size,
+                method="prefill_paged",
+            )
         caches = out.caches
     else:
         caches = model.apply(

@@ -187,6 +187,70 @@ class VideoMLLM(nn.Module):
             token_ids, caches, cache_len, position_ids=position_ids
         )
 
+    # --- paged generation (video serving path) ---------------------------
+    # Page pools are the language model's latent pools (llm.py paged
+    # machinery); the prompt pass scatters visual tokens into the embeds
+    # and applies the same deepstack residuals as the dense `prefill`,
+    # writing latent page entries per layer instead of dense cache rows.
+
+    def prefill_paged(
+        self, input_ids, video, pages, block_tables, page_size,
+        *, position_ids=None,
+    ) -> LLMOutput:
+        import jax.numpy as jnp
+
+        from internvideo_tpu.models.llm import _write_positions
+
+        cfg = self.config
+        lm = self.language_model
+        embeds = lm.embed_tokens(input_ids)
+        deepstack_scattered = None
+        if video is not None:
+            visual, deepstack = self.encode_video(video)
+            vmask = (input_ids == cfg.video_token_id) | (
+                input_ids == cfg.image_token_id
+            )
+            embeds = scatter_visual(embeds, visual, vmask)
+            zeros = jnp.zeros_like(embeds)
+            deepstack_scattered = [
+                scatter_visual(zeros, d, vmask) for d in deepstack
+            ]
+        b, s, _ = embeds.shape
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = lm._rope(position_ids)
+        x = embeds
+        write_pos = jnp.broadcast_to(
+            jnp.arange(s)[None], (b, s)
+        ).astype(jnp.int32)
+        new_pages = []
+        for i, (layer, pool) in enumerate(zip(lm.layers, pages)):
+            xn = layer.input_layernorm(x)
+            entries = layer.self_attn.compute_cache_entry(xn, cos, sin)
+            new_pages.append(_write_positions(
+                pool, entries, block_tables, write_pos, page_size
+            ))
+            x = x + layer.self_attn(xn, cos, sin, causal=True)
+            mlp_fn = getattr(layer, "_mlp", None) or layer.mlp
+            x = x + mlp_fn(layer.post_attention_layernorm(x))
+            if deepstack_scattered is not None and i < len(
+                deepstack_scattered
+            ):
+                x = x + deepstack_scattered[i]
+        x = lm.norm(x)
+        return LLMOutput(
+            logits=lm._head(x[:, -1:]), hidden=x, caches=new_pages
+        )
+
+    def decode_step_paged(
+        self, token_ids, pages, block_tables, seq_lens, page_size,
+        *, impl=None, interpret=False,
+    ) -> LLMOutput:
+        return self.language_model.decode_step_paged(
+            token_ids, pages, block_tables, seq_lens, page_size,
+            impl=impl, interpret=interpret,
+        )
+
 
 def hico_compress(
     frame_tokens: jax.Array,  # (B, T, N, D) per-frame visual tokens

@@ -155,3 +155,24 @@ def test_hico_compress():
     same = jnp.ones((1, 1, 64, 16))
     out = hico_compress(same, 8)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-4)
+
+
+def test_mllm_paged_generate_matches_dense():
+    """Video MLLM serving: paged generate (pools + paged decode) produces
+    token-identical output to the dense-cache generate, including the
+    deepstack prompt residuals."""
+    model = VideoMLLM(CFG)
+    video = jax.random.normal(jax.random.key(2), (1, 2, 32, 32, 3))
+    ids = jnp.array([[5, 251, 251, 251, 251, 7, 9]])
+    params = model.init(jax.random.key(3), ids, video)
+    dense = generate(model, params, ids, video=video, max_new_tokens=5)
+    paged = generate(
+        model, params, ids, video=video, max_new_tokens=5,
+        paged=True, page_size=4, decode_impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged))
+    paged_k = generate(
+        model, params, ids, video=video, max_new_tokens=5,
+        paged=True, page_size=4, decode_impl="pallas", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged_k))
