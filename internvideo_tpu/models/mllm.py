@@ -43,6 +43,9 @@ class MLLMConfig:
     )
     # LLMConfig (M²LA) or llm_gqa.GQAConfig (dense Qwen3-VL compose)
     text: object = dataclasses.field(default_factory=LLMConfig)
+    # HiCo token budget per merged frame (InternVideo2.5 HiCo-R16/R64;
+    # None = no compression). Placeholder counts must match frames x R.
+    hico_tokens_per_frame: "int | None" = None
     image_token_id: int = 151655
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
@@ -87,9 +90,25 @@ class VideoMLLM(nn.Module):
             self.language_model = MLATransformer(cfg.text)
 
     def encode_video(self, video):
-        """(B, T, H, W, 3) -> (visual (B, Nv, Dt), deepstack list)."""
+        """(B, T, H, W, 3) -> (visual (B, Nv, Dt), deepstack list).
+
+        With `hico_tokens_per_frame` set (the InternVideo2.5 recipe:
+        HiCo-R16 keeps 16 tokens per merged frame), the merged tokens are
+        compressed per temporal frame before entering the LLM; the
+        placeholder count in input_ids must equal frames x R. Deepstack
+        taps are disabled under HiCo (2.5 composes InternVL without
+        deepstack; the taps' positions would not survive compression)."""
+        cfg = self.config
         tokens, taps = self.vision_tower(video)
         visual = self.merger(tokens)
+        if cfg.hico_tokens_per_frame:
+            t_frames = video.shape[1] // cfg.vision.temporal_patch_size
+            b, nv, d = visual.shape
+            per_frame = visual.reshape(b, t_frames, nv // t_frames, d)
+            visual = hico_compress(
+                per_frame, cfg.hico_tokens_per_frame
+            ).reshape(b, t_frames * cfg.hico_tokens_per_frame, d)
+            return visual, []
         deepstack = [
             m(t) for m, t in zip(self.deepstack_mergers, taps)
         ]

@@ -176,3 +176,25 @@ def test_mllm_paged_generate_matches_dense():
         paged=True, page_size=4, decode_impl="pallas", interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(paged_k))
+
+
+def test_mllm_hico_video_path():
+    """InternVideo2.5 recipe: HiCo compresses merged tokens per frame
+    before the LLM; placeholder count = frames x R; deepstack disabled."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, hico_tokens_per_frame=2)
+    model = VideoMLLM(cfg)
+    video = jax.random.normal(jax.random.key(4), (1, 2, 32, 32, 3))
+    # 1 temporal frame x R=2 tokens -> 2 placeholders
+    ids = jnp.array([[5, 251, 251, 7, 9]])
+    params = model.init(jax.random.key(5), ids, video)
+    out = model.apply(params, ids, video)
+    assert out.logits.shape == (1, 5, 260)
+    assert np.isfinite(np.asarray(out.logits)).all()
+    # video still influences logits through the compressed tokens
+    out2 = model.apply(params, ids, video + 1.0)
+    assert not np.allclose(out.logits, out2.logits, atol=1e-5)
+    # generation works on the compressed path too
+    gen = generate(model, params, ids, video=video, max_new_tokens=3)
+    assert np.asarray(gen).shape == (1, 3)
