@@ -747,3 +747,86 @@ def export_gqa_llm_hf(params, cfg) -> dict:
         for name in ("gate_proj", "up_proj", "down_proj"):
             put_linear(f"{b}.mlp.{name}", lp["mlp"][name])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# UniFormerV2 (InternVideo1) -> models/uniformerv2.UniFormerV2
+# ---------------------------------------------------------------------------
+
+
+def _conv3d(sd, key):
+    # torch (O, I, T, H, W) -> flax (T, H, W, I, O)
+    out = {"kernel": np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 4, 1, 0)}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"])
+    return out
+
+
+def _mha(sd, prefix):
+    """torch nn.MultiheadAttention -> _CLIPAttention params."""
+    return {
+        "in_proj": {
+            "kernel": np.ascontiguousarray(
+                np.asarray(sd[f"{prefix}.in_proj_weight"]).T
+            ),
+            "bias": np.asarray(sd[f"{prefix}.in_proj_bias"]),
+        },
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_uniformerv2(sd, *, layers: int, n_global: int) -> dict:
+    """UniFormerV2 torch state dict (uniformerv2_model.py VisionTransformer;
+    keys under `transformer.`) -> flax params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    p = {
+        "conv1": {"kernel": sd["conv1.weight"].transpose(2, 3, 4, 1, 0)},
+        "class_embedding": sd["class_embedding"],
+        "positional_embedding": sd["positional_embedding"],
+        "ln_pre": _layernorm(sd, "ln_pre"),
+        "temporal_cls_token": sd["transformer.temporal_cls_token"],
+        "proj_norm": _layernorm(sd, "transformer.proj.0"),
+        "proj": _linear(sd, "transformer.proj.2"),
+    }
+    if "transformer.balance" in sd:
+        p["balance"] = sd["transformer.balance"]
+
+    def lmhra(prefix):
+        return {
+            "bn": {
+                "scale": sd[f"{prefix}.pos_embed.0.weight"],
+                "bias": sd[f"{prefix}.pos_embed.0.bias"],
+                "mean": sd[f"{prefix}.pos_embed.0.running_mean"],
+                "var": sd[f"{prefix}.pos_embed.0.running_var"],
+            },
+            "reduce": _conv3d(sd, f"{prefix}.pos_embed.1"),
+            "dw": _conv3d(sd, f"{prefix}.pos_embed.2"),
+            "expand": _conv3d(sd, f"{prefix}.pos_embed.3"),
+        }
+
+    for i in range(layers):
+        b = f"transformer.resblocks.{i}"
+        blk = {
+            "attn": _mha(sd, f"{b}.attn"),
+            "ln_1": _layernorm(sd, f"{b}.ln_1"),
+            "ln_2": _layernorm(sd, f"{b}.ln_2"),
+            "c_fc": _linear(sd, f"{b}.mlp.c_fc"),
+            "c_proj": _linear(sd, f"{b}.mlp.c_proj"),
+        }
+        if f"{b}.lmhra1.pos_embed.0.weight" in sd:
+            blk["lmhra1"] = lmhra(f"{b}.lmhra1")
+        if f"{b}.lmhra2.pos_embed.0.weight" in sd:
+            blk["lmhra2"] = lmhra(f"{b}.lmhra2")
+        p[f"resblocks_{i}"] = blk
+    for j in range(n_global):
+        p[f"dpe_{j}"] = _conv3d(sd, f"transformer.dpe.{j}")
+        d = f"transformer.dec.{j}"
+        p[f"dec_{j}"] = {
+            "attn": _mha(sd, f"{d}.attn"),
+            "ln_1": _layernorm(sd, f"{d}.ln_1"),
+            "ln_2": _layernorm(sd, f"{d}.ln_2"),
+            "ln_3": _layernorm(sd, f"{d}.ln_3"),
+            "c_fc": _linear(sd, f"{d}.mlp.c_fc"),
+            "c_proj": _linear(sd, f"{d}.mlp.c_proj"),
+        }
+    return {"params": p}

@@ -131,9 +131,22 @@ def _install_stubs():
 _pkg_counter = itertools.count()
 
 
-def load_reference_module(relpath: str, extra_siblings: tuple[str, ...] = ()):
-    """Import a reference python file, satisfying its relative imports."""
+def load_reference_module(
+    relpath: str,
+    extra_siblings: tuple[str, ...] = (),
+    stub_modules: dict | None = None,
+):
+    """Import a reference python file, satisfying its relative imports.
+
+    `stub_modules`: {dotted_name: {attr: value}} registered in sys.modules
+    before the import (e.g. slowfast.utils.logging for UniFormerV2)."""
     _install_stubs()
+    for name, attrs in (stub_modules or {}).items():
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for a, v in attrs.items():
+                setattr(mod, a, v)
+            sys.modules[name] = mod
     import os
 
     pkg_name = f"_refpkg{next(_pkg_counter)}"

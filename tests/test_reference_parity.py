@@ -392,3 +392,71 @@ def test_training_loss_curve_vs_torch_reference(ref_module):
     )
     # the curves actually move (training is happening, not a frozen model)
     assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+
+
+def test_uniformerv2_parity():
+    """Faithful UniFormerV2 vs the reference torch module (random init):
+    Local MHRA convs + BN stats, CLIP blocks, dpe, Extractor head,
+    sigmoid-balance blend."""
+    import torch
+
+    ref_mod = load_reference_module(
+        "InternVideo1/Pretrain/UniFormerV2/slowfast/models/"
+        "uniformerv2_model.py",
+        extra_siblings=(),
+        stub_modules={
+            "slowfast": {}, "slowfast.utils": {},
+            "slowfast.utils.logging": {
+                "get_logger": lambda name: __import__("logging").getLogger(
+                    name
+                )
+            },
+        },
+    )
+    from internvideo_tpu.models.convert import convert_uniformerv2
+    from internvideo_tpu.models.uniformerv2 import (
+        UniFormerV2,
+        UniFormerV2Config,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_mod.VisionTransformer(
+        input_resolution=32, patch_size=8, width=32, layers=2, heads=2,
+        output_dim=16, t_size=4, kernel_size=3, dw_reduction=2.0,
+        temporal_downsample=True, no_lmhra=False, double_lmhra=True,
+        return_list=[0, 1], n_layers=2, n_dim=32, n_head=2,
+        mlp_factor=4.0, drop_path_rate=0.0, mlp_dropout=[0.0, 0.0],
+        cls_dropout=0.0, num_classes=5, frozen=False,
+    ).eval()
+    # randomize BN stats + zero-init convs so the test is non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm3d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+            if isinstance(m, torch.nn.Conv3d) and m.weight.abs().sum() == 0:
+                m.weight.normal_(0, 0.05)
+        ref.transformer.balance.normal_(0, 0.5)
+        for dec in ref.transformer.dec:
+            dec.attn.out_proj.weight.normal_(0, 0.05)
+            for layer in (dec.mlp[-1],):
+                layer.weight.normal_(0, 0.05)
+
+    cfg = UniFormerV2Config(
+        input_resolution=32, patch_size=8, width=32, layers=2, heads=2,
+        t_size=4, kernel_size=3, dw_reduction=2.0, temporal_downsample=True,
+        return_list=(0, 1), n_dim=32, n_head=2, num_classes=5,
+    )
+    model = UniFormerV2(cfg)
+    params = convert_uniformerv2(
+        torch_state_dict_to_numpy(ref.state_dict()), layers=2, n_global=2
+    )
+    rng = np.random.RandomState(3)
+    video = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        # reference takes (B, C, T, H, W)
+        r = ref(torch.from_numpy(video).permute(0, 4, 1, 2, 3))
+    out = model.apply(params, video)
+    np.testing.assert_allclose(
+        np.asarray(out), r.numpy(), atol=1e-4, rtol=1e-3
+    )
