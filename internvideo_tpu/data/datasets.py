@@ -42,6 +42,7 @@ class CsvVideoDataset:
         use_rand_augment: bool = False,
         use_erasing: bool = False,
         seed: int = 0,
+        media_root: str = "",
     ):
         self.samples = []
         with open(csv_path) as f:
@@ -50,6 +51,8 @@ class CsvVideoDataset:
                 if not line:
                     continue
                 path, label = line.rsplit(sep, 1)
+                if media_root and not os.path.isabs(path):
+                    path = os.path.join(media_root, path)
                 self.samples.append((path, int(label)))
         self.num_frames = num_frames
         self.img_size = img_size
@@ -133,13 +136,18 @@ class JsonlVideoTextDataset:
         max_length: int = 32,
         cache_dir: Optional[str] = None,
         seed: int = 0,
+        media_root: str = "",
     ):
         self.items = []
         with open(jsonl_path) as f:
             for line in f:
                 line = line.strip()
                 if line:
-                    self.items.append(json.loads(line))
+                    it = json.loads(line)
+                    p = it.get("video", "")
+                    if media_root and p and not os.path.isabs(p):
+                        it["video"] = os.path.join(media_root, p)
+                    self.items.append(it)
         self.tokenizer = tokenizer
         self.num_frames = num_frames
         self.img_size = img_size

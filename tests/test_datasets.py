@@ -77,3 +77,47 @@ def test_jsonl_dataset_with_cache(tmp_path):
     np.testing.assert_array_equal(
         ds.tokens([0, 2])["input_ids"], ds2.tokens([0, 2])["input_ids"]
     )
+
+
+def test_corpus_registry(tmp_path, monkeypatch):
+    from internvideo_tpu.data import corpus
+
+    # reference-named corpora present (configs/data.py:8)
+    assert "webvid" in corpus.available_corpora()
+    assert "msrvtt_ret_test1k" in corpus.available_corpora()
+    spec = corpus.get_corpus("didemo_ret_train")
+    assert spec.is_paragraph_retrieval and spec.max_txt_l == 64
+    # compositions resolve to member specs
+    comp = corpus.get_composition("pretrain_example_data_1B")
+    assert [s.name for s in comp] == ["cc3m", "webvid"]
+    # env-var data root resolution
+    monkeypatch.setenv("IVT_DATA_PATH", "/data")
+    assert corpus.get_corpus("webvid").anno() == "/data/anno/webvid.jsonl"
+    # unknown name errors helpfully
+    try:
+        corpus.get_corpus("nope")
+        raise AssertionError("should raise")
+    except KeyError:
+        pass
+
+
+def test_corpus_build_datasets(tmp_path, monkeypatch):
+    from internvideo_tpu.data import corpus
+
+    # lay out a fake data root with relative media paths
+    root = tmp_path / "dataroot"
+    (root / "anno").mkdir(parents=True)
+    media = root / "media" / "toy"
+    media.mkdir(parents=True)
+    vid = (np.random.rand(8, 36, 36, 3) * 255).astype(np.uint8)
+    np.save(str(media / "c0.npy"), vid)
+    (root / "anno" / "toy.jsonl").write_text(
+        json.dumps({"video": "c0.npy", "caption": "hello"}) + "\n")
+    monkeypatch.setenv("IVT_DATA_PATH", str(root))
+    corpus.register_corpus(corpus.CorpusSpec(
+        name="toy", anno_path="anno/toy.jsonl", media_root="media/toy",
+    ), overwrite=True)
+    ds = corpus.build_datasets("toy", ToyTokenizer(), num_frames=4,
+                              img_size=28)["toy"]
+    batch = next(ds.batches(1))
+    assert batch["video"].shape == (1, 4, 28, 28, 3)
