@@ -541,6 +541,90 @@ def _strip_llm_prefix(sd: dict) -> dict:
     raise KeyError("no '<prefix>layers.0.' keys found in state dict")
 
 
+def _mla_rope_input_permutation(p_dim: int) -> np.ndarray:
+    """Interleaved -> half-split rope-row permutation.
+
+    The reference applies rope after permuting pairs to halves inside the
+    forward (mla.py:136-168: q.view(b,h,s,d/2,2).transpose(4,3)); our
+    kernels are half-split native, so the bridge permutes the projection
+    rows that produce rope dims instead — free at convert time, removes a
+    per-layer gather from the forward. out[t] = raw[2*(t%h) + t//h].
+    """
+    half = p_dim // 2
+    t = np.arange(p_dim)
+    return 2 * (t % half) + (t // half)
+
+
+def _mla_permute_q_rows_with(w: np.ndarray, num_heads: int, nope: int,
+                             rope: int, perm: np.ndarray) -> np.ndarray:
+    qd = nope + rope
+    w = w.reshape(num_heads, qd, *w.shape[1:]).copy()
+    w[:, nope:] = w[:, nope:][:, perm]
+    return w.reshape(num_heads * qd, *w.shape[2:])
+
+
+def _mla_permute_q_rows(w: np.ndarray, num_heads: int, nope: int,
+                        rope: int) -> np.ndarray:
+    """Permute each head's rope rows of a (H*(nope+rope), ...) q weight."""
+    return _mla_permute_q_rows_with(
+        w, num_heads, nope, rope, _mla_rope_input_permutation(rope)
+    )
+
+
+def _mla_permute_kva_rows(w: np.ndarray, kv_lora_rank: int,
+                          rope: int) -> np.ndarray:
+    """Permute the trailing rope rows of kv_a_proj_with_mqa's weight."""
+    perm = _mla_rope_input_permutation(rope)
+    w = w.copy()
+    w[kv_lora_rank:] = w[kv_lora_rank:][perm]
+    return w
+
+
+def convert_xtuner_mla_attention(sd, cfg, prefix: str = "") -> dict:
+    """xtuner MLA module state dict -> nn/mla.MLAttention flax params.
+
+    Handles both variants: mla_raw.py (kv_a_layernorm present, DeepSeek
+    style) and mla.py M²LA (no kv norm), q-LoRA or full q. Rope rows are
+    permuted to our half-split convention (_mla_rope_input_permutation).
+    """
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    H, NOPE, ROPE = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+
+    def lin(key, row_perm=None):
+        w = g(f"{key}.weight")
+        out = {}
+        if row_perm is not None:
+            w = row_perm(w)
+        out["kernel"] = np.ascontiguousarray(w.T)
+        if has(f"{key}.bias"):
+            b = g(f"{key}.bias")
+            if row_perm is not None:
+                b = row_perm(b)
+            out["bias"] = b
+        return out
+
+    qperm = lambda w: _mla_permute_q_rows(w, H, NOPE, ROPE)
+    kperm = lambda w: _mla_permute_kva_rows(w, cfg.kv_lora_rank, ROPE)
+
+    p = {
+        "kv_a_proj_with_mqa": lin("kv_a_proj_with_mqa", kperm),
+        "o_proj": lin("o_proj"),
+        "kv_b_proj_kernel": np.ascontiguousarray(
+            g("kv_b_proj.weight").T
+        ).reshape(cfg.kv_lora_rank, H, NOPE + cfg.v_head_dim),
+    }
+    if has("q_proj.weight"):
+        p["q_proj"] = lin("q_proj", qperm)
+    else:
+        p["q_a_proj"] = lin("q_a_proj")
+        p["q_a_layernorm"] = {"weight": g("q_a_layernorm.weight")}
+        p["q_b_proj"] = lin("q_b_proj", qperm)
+    if has("kv_a_layernorm.weight"):
+        p["kv_a_layernorm"] = {"weight": g("kv_a_layernorm.weight")}
+    return {"params": p}
+
+
 def convert_hf_mla_llm(sd, cfg) -> dict:
     """HF/xtuner MLA checkpoint (xtuner v1 module/attention/mla.py naming:
     q_proj | q_a/q_b+q_a_layernorm, kv_a_proj_with_mqa, kv_b_proj, o_proj;
@@ -556,23 +640,9 @@ def convert_hf_mla_llm(sd, cfg) -> dict:
     for i in range(cfg.num_layers):
         b = f"layers.{i}"
         a = f"{b}.self_attn"
-        attn = {
-            "kv_a_proj_with_mqa": _linear(sd, f"{a}.kv_a_proj_with_mqa"),
-            "o_proj": _linear(sd, f"{a}.o_proj"),
-            # HF kv_b_proj.weight (H*(nope+v), R) -> (R, H, nope+v)
-            "kv_b_proj_kernel": np.ascontiguousarray(
-                sd[f"{a}.kv_b_proj.weight"].T
-            ).reshape(
-                mla.kv_lora_rank, mla.num_heads,
-                mla.qk_nope_head_dim + mla.v_head_dim,
-            ),
-        }
-        if f"{a}.q_proj.weight" in sd:
-            attn["q_proj"] = _linear(sd, f"{a}.q_proj")
-        else:
-            attn["q_a_proj"] = _linear(sd, f"{a}.q_a_proj")
-            attn["q_a_layernorm"] = _rmsnorm(sd, f"{a}.q_a_layernorm")
-            attn["q_b_proj"] = _linear(sd, f"{a}.q_b_proj")
+        # shared attention bridge (incl. interleaved->half-split rope-row
+        # permutation, torch-parity-tested in tests/test_mla_parity.py)
+        attn = convert_xtuner_mla_attention(sd, mla, prefix=a + ".")["params"]
         if cfg.moe is not None:
             # Qwen3-MoE expert layout: mlp.gate (router, (E, D)) +
             # mlp.experts.{j}.{gate,up,down}_proj -> stacked (E, D, I) /
@@ -642,22 +712,47 @@ def export_mla_llm_hf(params, cfg) -> dict:
             lp["post_attention_layernorm"]["weight"]
         )
         attn = lp["self_attn"]
-        put_linear(f"{b}.self_attn.kv_a_proj_with_mqa",
-                   attn["kv_a_proj_with_mqa"])
+        inv = np.argsort(_mla_rope_input_permutation(mla.qk_rope_head_dim))
+
+        def put_rows(dst, node, row_perm):
+            w = np.ascontiguousarray(unbox(node["kernel"]).T)
+            sd[f"{dst}.weight"] = np.ascontiguousarray(row_perm(w))
+            if "bias" in node:
+                sd[f"{dst}.bias"] = np.ascontiguousarray(
+                    row_perm(unbox(node["bias"]))
+                )
+
+        def q_inv(w):
+            return _mla_permute_q_rows_with(
+                w, mla.num_heads, mla.qk_nope_head_dim,
+                mla.qk_rope_head_dim, inv,
+            )
+
+        def kva_inv(w):
+            w = w.copy()
+            w[mla.kv_lora_rank:] = w[mla.kv_lora_rank:][inv]
+            return w
+
+        put_rows(f"{b}.self_attn.kv_a_proj_with_mqa",
+                 attn["kv_a_proj_with_mqa"], kva_inv)
         put_linear(f"{b}.self_attn.o_proj", attn["o_proj"])
         kvb = unbox(attn["kv_b_proj_kernel"]).reshape(
             mla.kv_lora_rank,
             mla.num_heads * (mla.qk_nope_head_dim + mla.v_head_dim),
         )
         sd[f"{b}.self_attn.kv_b_proj.weight"] = np.ascontiguousarray(kvb.T)
+        if "kv_a_layernorm" in attn:
+            sd[f"{b}.self_attn.kv_a_layernorm.weight"] = unbox(
+                attn["kv_a_layernorm"]["weight"]
+            )
         if "q_proj" in attn:
-            put_linear(f"{b}.self_attn.q_proj", attn["q_proj"])
+            put_rows(f"{b}.self_attn.q_proj", attn["q_proj"], q_inv)
         else:
             put_linear(f"{b}.self_attn.q_a_proj", attn["q_a_proj"])
             sd[f"{b}.self_attn.q_a_layernorm.weight"] = unbox(
                 attn["q_a_layernorm"]["weight"]
             )
-            put_linear(f"{b}.self_attn.q_b_proj", attn["q_b_proj"])
+            put_rows(f"{b}.self_attn.q_b_proj", attn["q_b_proj"], q_inv)
         if cfg.moe is not None:
             sd[f"{b}.mlp.gate.weight"] = np.ascontiguousarray(
                 unbox(lp["mlp"]["router"]["kernel"]).T

@@ -48,9 +48,17 @@ class MLAConfig:
     v_head_dim: int = 128
     qkv_bias: bool = True
     o_bias: bool = False
+    # full-q projection bias: mla.py:232 builds q_proj with bias=True,
+    # mla_raw.py:225 with bias=False — both variants exist in the reference
+    q_bias: bool = True
     # sliding-window size for "sliding_attention" layer types
     # (xtuner mla.py:278 window_size); None = full attention
     window: Optional[int] = None
+    # RMSNorm on the compressed-KV latent. The M²LA variant the reference
+    # trains (mla.py:377 comments it out) runs WITHOUT it — default False;
+    # True matches classic DeepSeek MLA (mla_raw.py:249,299 kv_a_layernorm),
+    # needed to load DeepSeek-style checkpoints.
+    kv_norm: bool = False
 
     @property
     def q_head_dim(self) -> int:
@@ -82,7 +90,7 @@ class MLAttention(nn.Module):
 
         if cfg.q_lora_rank is None:
             self.q_proj = dense(
-                cfg.num_heads * cfg.q_head_dim, "q_proj", True,
+                cfg.num_heads * cfg.q_head_dim, "q_proj", cfg.q_bias,
                 ("embed", "heads"),
             )
         else:
@@ -97,6 +105,10 @@ class MLAttention(nn.Module):
         self.kv_a_proj_with_mqa = dense(
             cfg.cache_dim, "kv_a_proj_with_mqa", cfg.qkv_bias, ("embed", None)
         )
+        if cfg.kv_norm:
+            self.kv_a_layernorm = RMSNorm(
+                dtype=self.dtype, name="kv_a_layernorm"
+            )
         self.kv_b_kernel = self.param(
             "kv_b_proj_kernel",
             nn.with_logical_partitioning(
@@ -126,10 +138,12 @@ class MLAttention(nn.Module):
     def _compress_kv(self, x):
         cfg = self.cfg
         ckv = self.kv_a_proj_with_mqa(x)
-        return (
-            ckv[..., : cfg.kv_lora_rank],  # (B,S,R) latent
-            ckv[..., cfg.kv_lora_rank:],  # (B,S,P) shared rope key
-        )
+        lat = ckv[..., : cfg.kv_lora_rank]  # (B,S,R) latent
+        if cfg.kv_norm:
+            # mla_raw.py:371,484: the cache stores the NORMED latent, so
+            # norming here keeps train/prefill/decode consistent.
+            lat = self.kv_a_layernorm(lat)
+        return lat, ckv[..., cfg.kv_lora_rank:]  # latent, shared rope key
 
     def __call__(
         self,

@@ -6,6 +6,7 @@ both are stubbed here since the tests only exercise the non-fused eval paths
 against the reference implementation* — no reference code is vendored.
 """
 
+import importlib.machinery
 import importlib.util
 import itertools
 import sys
@@ -14,12 +15,34 @@ import types
 REFERENCE_ROOT = "/root/reference"
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module with a real __spec__ (transformers' import_utils calls
+    importlib.util.find_spec on e.g. "timm", which raises if a module is in
+    sys.modules with __spec__ = None)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
+def _patch_transformers_compat():
+    """Old-HF symbols the reference imports that transformers>=4.50 moved."""
+    try:
+        from transformers import modeling_utils as mu
+        from transformers import pytorch_utils as pu
+    except ImportError:
+        return
+    for sym in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+                "prune_linear_layer"):
+        if not hasattr(mu, sym) and hasattr(pu, sym):
+            setattr(mu, sym, getattr(pu, sym))
+
+
 def _install_stubs():
     import torch
     from torch import nn
 
     if "flash_attn" not in sys.modules:
-        fa = types.ModuleType("flash_attn")
+        fa = _stub_module("flash_attn")
 
         def flash_attn_func(
             q, k, v, dropout_p=0.0, softmax_scale=None, causal=False,
@@ -42,15 +65,15 @@ def _install_stubs():
             return o.permute(0, 2, 1, 3).to(q.dtype)
 
         fa.flash_attn_func = flash_attn_func
-        fa_mlp = types.ModuleType("flash_attn.modules.mlp")
+        fa_mlp = _stub_module("flash_attn.modules.mlp")
         fa_mlp.FusedMLP = object
-        fa_modules = types.ModuleType("flash_attn.modules")
-        fa_rms = types.ModuleType("flash_attn.ops.rms_norm")
+        fa_modules = _stub_module("flash_attn.modules")
+        fa_rms = _stub_module("flash_attn.ops.rms_norm")
         fa_rms.DropoutAddRMSNorm = object
-        fa_ops = types.ModuleType("flash_attn.ops")
-        fa_iface = types.ModuleType("flash_attn.flash_attn_interface")
+        fa_ops = _stub_module("flash_attn.ops")
+        fa_iface = _stub_module("flash_attn.flash_attn_interface")
         fa_iface.flash_attn_varlen_qkvpacked_func = None
-        fa_pad = types.ModuleType("flash_attn.bert_padding")
+        fa_pad = _stub_module("flash_attn.bert_padding")
         fa_pad.unpad_input = None
         fa_pad.pad_input = None
         sys.modules.update({
@@ -66,9 +89,9 @@ def _install_stubs():
     if "torchaudio" not in sys.modules:
         # BEATs.py imports torchaudio.compliance.kaldi for its fbank
         # preprocessing only; parity tests feed fbanks directly.
-        ta = types.ModuleType("torchaudio")
-        ta_comp = types.ModuleType("torchaudio.compliance")
-        ta_kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        ta = _stub_module("torchaudio")
+        ta_comp = _stub_module("torchaudio.compliance")
+        ta_kaldi = _stub_module("torchaudio.compliance.kaldi")
         ta_kaldi.fbank = None
         ta.compliance = ta_comp
         ta_comp.kaldi = ta_kaldi
@@ -79,8 +102,8 @@ def _install_stubs():
         })
 
     if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv_ops = types.ModuleType("torchvision.ops")
+        tv = _stub_module("torchvision")
+        tv_ops = _stub_module("torchvision.ops")
 
         class StochasticDepth(nn.Module):  # eval-path identity
             def __init__(self, p=0.0, mode="row"):
@@ -94,9 +117,9 @@ def _install_stubs():
         sys.modules.update({"torchvision": tv, "torchvision.ops": tv_ops})
 
     if "timm" not in sys.modules:
-        timm = types.ModuleType("timm")
-        models = types.ModuleType("timm.models")
-        layers = types.ModuleType("timm.models.layers")
+        timm = _stub_module("timm")
+        models = _stub_module("timm.models")
+        layers = _stub_module("timm.models.layers")
 
         class DropPath(nn.Module):
             def __init__(self, drop_prob=0.0):
@@ -118,7 +141,7 @@ def _install_stubs():
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
         layers.drop_path = lambda x, drop_prob=0.0, training=False: x
-        registry = types.ModuleType("timm.models.registry")
+        registry = _stub_module("timm.models.registry")
         registry.register_model = lambda fn: fn
         sys.modules.update({
             "timm": timm,
@@ -126,6 +149,8 @@ def _install_stubs():
             "timm.models.layers": layers,
             "timm.models.registry": registry,
         })
+
+    _patch_transformers_compat()
 
 
 _pkg_counter = itertools.count()
@@ -143,7 +168,7 @@ def load_reference_module(
     _install_stubs()
     for name, attrs in (stub_modules or {}).items():
         if name not in sys.modules:
-            mod = types.ModuleType(name)
+            mod = _stub_module(name)
             for a, v in attrs.items():
                 setattr(mod, a, v)
             sys.modules[name] = mod
@@ -151,7 +176,7 @@ def load_reference_module(
 
     pkg_name = f"_refpkg{next(_pkg_counter)}"
     dirpath = os.path.join(REFERENCE_ROOT, os.path.dirname(relpath))
-    pkg = types.ModuleType(pkg_name)
+    pkg = _stub_module(pkg_name)
     pkg.__path__ = [dirpath]
     sys.modules[pkg_name] = pkg
 
@@ -186,10 +211,10 @@ def load_reference_module_nested(
     pkg_name = f"_refpkg{next(_pkg_counter)}"
     dirpath = os.path.join(REFERENCE_ROOT, os.path.dirname(relpath))
     subname = os.path.basename(dirpath)
-    parent = types.ModuleType(pkg_name)
+    parent = _stub_module(pkg_name)
     parent.__path__ = [os.path.dirname(dirpath)]
     sys.modules[pkg_name] = parent
-    sub = types.ModuleType(f"{pkg_name}.{subname}")
+    sub = _stub_module(f"{pkg_name}.{subname}")
     sub.__path__ = [dirpath]
     sys.modules[f"{pkg_name}.{subname}"] = sub
 
@@ -198,10 +223,10 @@ def load_reference_module_nested(
         for i in range(1, len(parts)):
             name = f"{pkg_name}." + ".".join(parts[:i])
             if name not in sys.modules:
-                m = types.ModuleType(name)
+                m = _stub_module(name)
                 m.__path__ = []
                 sys.modules[name] = m
-        mod = types.ModuleType(f"{pkg_name}.{dotted}")
+        mod = _stub_module(f"{pkg_name}.{dotted}")
         exec(src, mod.__dict__)
         sys.modules[f"{pkg_name}.{dotted}"] = mod
 
