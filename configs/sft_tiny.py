@@ -24,7 +24,7 @@ config = RunConfig(
         vision=VisionTowerConfig(
             hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
             patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
-            pos_embed_grid=6, deepstack_indexes=(1, 2), text_hidden_size=48,
+            pos_embed_grid=6, deepstack_indexes=(0, 1), text_hidden_size=48,
             attn_impl="auto",
         ),
         text=LLMConfig(

@@ -528,7 +528,10 @@ def convert_beats(sd, num_layers: int = 12) -> dict:
 
 
 def _strip_llm_prefix(sd: dict) -> dict:
-    for pref in ("language_model.model.", "model.", ""):
+    # model.language_model. is the Qwen3-VL-style composed-MLLM layout
+    # (visual under model.visual., text under model.language_model.)
+    for pref in ("language_model.model.", "model.language_model.",
+                 "model.", ""):
         if any(k.startswith(pref + "layers.0.") for k in sd):
             out = {
                 k[len(pref):]: v for k, v in sd.items() if k.startswith(pref)
@@ -925,3 +928,114 @@ def convert_uniformerv2(sd, *, layers: int, n_global: int) -> dict:
             "c_proj": _linear(sd, f"{d}.mlp.c_proj"),
         }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# InternVideo3 MLLM compose: vision tower + projector + LLM (HF layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_internvideo3_vision(sd, cfg, prefix: str = "") -> dict:
+    """xtuner InternVideo3VisionModel state dict -> VisionTower params.
+
+    Naming per modeling_vision.py (patch_embed.proj Conv3d, pos_embed
+    Embedding, blocks.i.{norm1,attn.qkv,attn.proj,norm2,mlp.linear_fc1,
+    mlp.linear_fc2}); the Conv3d kernel (D, C, tp, p, p) becomes our
+    patchify GEMM kernel with input dims ordered (tp, p, p, C) — the order
+    VisionTower flattens video patches in.
+    """
+    g = lambda k: np.asarray(sd[prefix + k])
+    w = g("patch_embed.proj.weight")  # (D, C, tp, p, p)
+    d = w.shape[0]
+    p: dict = {
+        "patch_embed": {
+            "kernel": np.ascontiguousarray(
+                w.transpose(2, 3, 4, 1, 0).reshape(-1, d)
+            ),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "pos_embed": g("pos_embed.weight"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd_prefixed(sd, prefix), f"{b}.norm1"),
+            "norm2": _layernorm(sd_prefixed(sd, prefix), f"{b}.norm2"),
+            "qkv": _linear(sd_prefixed(sd, prefix), f"{b}.attn.qkv"),
+            "proj": _linear(sd_prefixed(sd, prefix), f"{b}.attn.proj"),
+            "fc1": _linear(sd_prefixed(sd, prefix), f"{b}.mlp.linear_fc1"),
+            "fc2": _linear(sd_prefixed(sd, prefix), f"{b}.mlp.linear_fc2"),
+        }
+    return {"params": p}
+
+
+class sd_prefixed(dict):
+    """Read-through view adding a key prefix (keeps _linear/_layernorm
+    helpers usable against prefixed reference state dicts)."""
+
+    def __init__(self, sd, prefix):
+        self._sd, self._prefix = sd, prefix
+
+    def __getitem__(self, k):
+        return np.asarray(self._sd[self._prefix + k])
+
+    def __contains__(self, k):
+        return (self._prefix + k) in self._sd
+
+
+def _patch_merger(sdp, prefix: str) -> dict:
+    return {
+        "norm": _layernorm(sdp, f"{prefix}.norm"),
+        "linear_fc1": _linear(sdp, f"{prefix}.linear_fc1"),
+        "linear_fc2": _linear(sdp, f"{prefix}.linear_fc2"),
+    }
+
+
+def convert_internvideo3_projector(sd, num_deepstack: int,
+                                   prefix: str = "") -> dict:
+    """InternVideo3Projector (modeling_projector.py: merger +
+    deepstack_merger_list) -> {merger, deepstack_merger_i} param subtrees."""
+    sdp = sd_prefixed(sd, prefix)
+    out = {"merger": _patch_merger(sdp, "merger")}
+    for i in range(num_deepstack):
+        out[f"deepstack_merger_{i}"] = _patch_merger(
+            sdp, f"deepstack_merger_list.{i}"
+        )
+    return out
+
+
+def convert_internvideo3(sd, cfg) -> dict:
+    """Full InternVideo3ForConditionalGeneration HF checkpoint ->
+    models/mllm.VideoMLLM params.
+
+    Key layout (modeling_vision.py:255 _hf_prefix / internvideo3_config.py
+    :88 language_model_hf_prefix): vision tower AND projector under
+    `model.visual.`, the text model under `model.language_model.` (or
+    `model.` directly). cfg is MLLMConfig; the text flavor picks
+    convert_hf_mla_llm vs convert_hf_gqa_llm.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vis_prefix = None
+    for cand in ("model.visual.", "visual."):
+        if any(k.startswith(cand + "blocks.0.") for k in sd):
+            vis_prefix = cand
+            break
+    if vis_prefix is None:
+        raise KeyError("no '<prefix>visual.blocks.0.' keys found")
+    n_ds = len(cfg.vision.deepstack_indexes)
+    params = {
+        "vision_tower": convert_internvideo3_vision(
+            sd, cfg.vision, prefix=vis_prefix
+        )["params"],
+        **convert_internvideo3_projector(sd, n_ds, prefix=vis_prefix),
+    }
+    lm_sd = {
+        k: v for k, v in sd.items()
+        if not k.startswith(vis_prefix)
+    }
+    if hasattr(cfg.text, "num_kv_heads"):
+        lm = convert_hf_gqa_llm(lm_sd, cfg.text)
+    else:
+        lm = convert_hf_mla_llm(lm_sd, cfg.text)
+    params["language_model"] = lm["params"]
+    return {"params": params}

@@ -76,8 +76,13 @@ class VideoMLLM(nn.Module):
         cfg = self.config
         self.vision_tower = VisionTower(cfg.vision)
         self.merger = PatchMerger(cfg.vision, name="merger")
+        # deepstack mergers norm AFTER the 2x2 shuffle (modeling_projector.py
+        # :67-71 use_postshuffle_norm=True); the main merger norms before
         self.deepstack_mergers = [
-            PatchMerger(cfg.vision, name=f"deepstack_merger_{i}")
+            PatchMerger(
+                cfg.vision, use_postshuffle_norm=True,
+                name=f"deepstack_merger_{i}",
+            )
             for i in range(len(cfg.vision.deepstack_indexes))
         ]
         # text flavor by config class: LLMConfig -> M²LA; GQAConfig ->

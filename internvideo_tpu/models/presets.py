@@ -62,10 +62,11 @@ def qwen3_8b_mla(**overrides) -> LLMConfig:
 
 def internvideo3_8b(**overrides) -> MLLMConfig:
     """InternVideo3-8B (internvideo3_config.py:19-120): SigLIP-style tower
-    1152d/24L + deepstack [8,16,24] + Qwen3-8B-MLA text."""
+    1152d/27L (depth=27) + deepstack after blocks [8,16,24] + Qwen3-8B-MLA
+    text."""
     cfg = MLLMConfig(
         vision=VisionTowerConfig(
-            hidden_size=1152, num_layers=24, num_heads=16,
+            hidden_size=1152, num_layers=27, num_heads=16,
             intermediate_size=4304, patch_size=16, temporal_patch_size=2,
             spatial_merge_size=2, pos_embed_grid=48,
             deepstack_indexes=(8, 16, 24), text_hidden_size=4096,

@@ -33,14 +33,16 @@ from internvideo_tpu.ops import dot_product_attention
 @dataclasses.dataclass(frozen=True)
 class VisionTowerConfig:
     hidden_size: int = 1152
-    num_layers: int = 24
+    num_layers: int = 27  # internvideo3_config.py:25 depth=27
     num_heads: int = 16
     intermediate_size: int = 4304
     patch_size: int = 16
     temporal_patch_size: int = 2
     spatial_merge_size: int = 2
     pos_embed_grid: int = 48  # sqrt(num_position_embeddings=2304)
-    deepstack_indexes: tuple[int, ...] = (8, 16, 24)  # taps after block i
+    # taps AFTER 0-indexed block i (modeling_vision.py:525 `layer_num in
+    # deepstack_visual_indexes` fires after blk() ran)
+    deepstack_indexes: tuple[int, ...] = (8, 16, 24)
     text_hidden_size: int = 4096
     dtype: str = "float32"
     param_dtype: str = "float32"
@@ -83,11 +85,46 @@ def _vision_rope_tables(gt: int, gh: int, gw: int, head_dim: int):
     )
 
 
+def _interpolate_pos_embed(table: jax.Array, n: int, gh: int, gw: int):
+    """Bilinear resample of the (n*n, D) pos table to (gh*gw, D).
+
+    Exact replica of fast_pos_embed_interpolate (modeling_vision.py:372-417):
+    linspace(0, n-1, g) sample points with floor/ceil gathers — i.e.
+    align-corners bilinear, NOT the half-pixel-centers convention of
+    jax.image.resize (which differs at every non-corner cell).
+    """
+    def axis(g):
+        idx = np.linspace(0, n - 1, g)
+        lo = idx.astype(np.int32)
+        hi = np.clip(lo + 1, None, n - 1)
+        frac = (idx - lo).astype(np.float32)
+        return lo, hi, frac
+
+    h_lo, h_hi, dh = axis(gh)
+    w_lo, w_hi, dw = axis(gw)
+    idx = np.stack([
+        (h_lo[:, None] * n + w_lo[None]).reshape(-1),
+        (h_lo[:, None] * n + w_hi[None]).reshape(-1),
+        (h_hi[:, None] * n + w_lo[None]).reshape(-1),
+        (h_hi[:, None] * n + w_hi[None]).reshape(-1),
+    ])  # (4, gh*gw)
+    wgt = np.stack([
+        ((1 - dh)[:, None] * (1 - dw)[None]).reshape(-1),
+        ((1 - dh)[:, None] * dw[None]).reshape(-1),
+        (dh[:, None] * (1 - dw)[None]).reshape(-1),
+        (dh[:, None] * dw[None]).reshape(-1),
+    ])  # (4, gh*gw)
+    gathered = table[jnp.asarray(idx)]  # (4, gh*gw, D)
+    return jnp.einsum(
+        "kgd,kg->gd", gathered, jnp.asarray(wgt, jnp.float32)
+    )
+
+
 class _VisionBlock(nn.Module):
     cfg: VisionTowerConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin):
+    def __call__(self, x, cos, sin, segment_ids=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
@@ -107,7 +144,10 @@ class _VisionBlock(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = dot_product_attention(q, k, v, impl=cfg.attn_impl)
+        attn = dot_product_attention(
+            q, k, v, impl=cfg.attn_impl,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        )
         attn = dense(d, "proj", ("heads", "embed"))(
             attn.reshape(b, s, d)
         )
@@ -194,11 +234,8 @@ class VisionTower(nn.Module):
             (cfg.pos_embed_grid * cfg.pos_embed_grid, cfg.hidden_size),
             pdtype,
         )
-        grid2d = table.reshape(
-            cfg.pos_embed_grid, cfg.pos_embed_grid, cfg.hidden_size
-        )
-        pos = jax.image.resize(
-            grid2d.astype(jnp.float32), (gh, gw, cfg.hidden_size), "bilinear"
+        pos = _interpolate_pos_embed(
+            table.astype(jnp.float32), cfg.pos_embed_grid, gh, gw
         )
         order = (
             np.arange(gh * gw)
@@ -212,9 +249,17 @@ class VisionTower(nn.Module):
 
         cos, sin = _vision_rope_tables(gt, gh, gw, cfg.head_dim)
 
+        # attention is PER TEMPORAL FRAME: the reference's cu_seqlens are
+        # repeat_interleave(h*w, t) (modeling_vision.py:498-502) — each of
+        # the gt segments of gh*gw tokens attends only within itself
+        seg = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(gt, dtype=jnp.int32) + 1, gh * gw)[None],
+            (b, gt * gh * gw),
+        )
+
         deepstack = []
         for i in range(cfg.num_layers):
-            x = _VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin)
-            if (i + 1) in cfg.deepstack_indexes:
+            x = _VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
+            if i in cfg.deepstack_indexes:
                 deepstack.append(x)
         return x, deepstack

@@ -160,11 +160,15 @@ def load_reference_module(
     relpath: str,
     extra_siblings: tuple[str, ...] = (),
     stub_modules: dict | None = None,
+    sibling_mods: dict | None = None,
 ):
     """Import a reference python file, satisfying its relative imports.
 
     `stub_modules`: {dotted_name: {attr: value}} registered in sys.modules
-    before the import (e.g. slowfast.utils.logging for UniFormerV2)."""
+    before the import (e.g. slowfast.utils.logging for UniFormerV2).
+    `sibling_mods`: {basename: module | sys.modules key} pre-registered as
+    package siblings, so `from .basename import X` resolves to a stand-in
+    instead of executing the real (heavy-dependency) reference sibling."""
     _install_stubs()
     for name, attrs in (stub_modules or {}).items():
         if name not in sys.modules:
@@ -179,6 +183,10 @@ def load_reference_module(
     pkg = _stub_module(pkg_name)
     pkg.__path__ = [dirpath]
     sys.modules[pkg_name] = pkg
+    for base, mod in (sibling_mods or {}).items():
+        if isinstance(mod, str):
+            mod = sys.modules[mod]
+        sys.modules[f"{pkg_name}.{base}"] = mod
 
     def _load(modfile):
         name = pkg_name + "." + os.path.splitext(os.path.basename(modfile))[0]

@@ -102,7 +102,7 @@ def test_mllm_with_gqa_text():
         vision=VisionTowerConfig(
             hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
             patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
-            pos_embed_grid=6, deepstack_indexes=(1, 2), text_hidden_size=64,
+            pos_embed_grid=6, deepstack_indexes=(0, 1), text_hidden_size=64,
             attn_impl="xla",
         ),
         text=dataclasses.replace(
