@@ -896,6 +896,236 @@ def _ragged_bwd_rule(scale, bq, bk, interpret, res, g):
 _flash_attention_ragged.defvjp(_ragged_fwd_rule, _ragged_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Small-S zero-copy path
+# ---------------------------------------------------------------------------
+#
+# At short sequence lengths (the masked-pretrain encoder runs S=820: 20% of
+# 4096 visible + CLS) the general path's cost is not the kernel — a single
+# 896x896 block already covers S — but the HOST-SIDE data movement around
+# it: pad to the block multiple (3 copies), transpose (B,S,H,D)->(B,H,S,D)
+# (3 copies), the V ones-column pad, the output transpose + slice. Measured
+# in-context (xplane, tools_r3/masked_ablate.py) that overhead is
+# ~0.5-0.8 ms/layer against a ~0.25 ms kernel.
+#
+# This path is zero-copy: (B,S,H,D) is reshaped FREE to the projection
+# layout (B,S,H*D) (contiguous bitcast) and the kernel consumes it
+# directly — full-width (chunk, H*D) blocks whose lane dim equals the
+# array dim (always legal in Mosaic regardless of alignment), with each
+# head's (S, D) matrix carved out by a STATIC lane slice inside the
+# kernel (an in-register relayout, ~10 us/layer — measured; dynamic or
+# DMA-level unaligned slicing is rejected by Mosaic, static is fine). S is
+# exact, so there is no sequence padding and no masking anywhere. The
+# whole score row-block fits VMEM, so softmax is one exact pass — no
+# running max, no rescale, no ones-column denominator trick. Queries go
+# in CQ-row chunks (VMEM bound + MXU-friendly M); K/V ride full-width
+# blocks whose index is constant across chunks, so they are DMA'd once
+# per batch row.
+#
+# Measured at the masked shape (B=8, S=820, H=16, D=88, bf16, v5e), scan
+# of 40 layers: this kernel 0.411 ms/layer in-context-equivalent vs the
+# general path's 1.13 ms/layer in-context (0.5 standalone). Rejected with
+# measurements: lane-padding D 88->128 + per-head (S,128) slab blocks
+# (0.499 standalone but XLA materializes the pads in a transposed layout
+# in-context: pad.94/copy.769 in the HLO, ~0.5 ms/layer of data
+# formatting); manual-DMA per-head slabs (Mosaic: DMA slices must be
+# 8-aligned in sublanes, 820 is not); CQ=104 (1.40 ms/layer — M too small
+# for the MXU); CQ>=416 (scoped-vmem OOM, 18.8M > 16M).
+#
+# The backward is two kernels in the same layout (no host transposes):
+# dq (chunked q, full K/V; also emits per-head base-2 LSE + delta), then
+# dk/dv (chunked both ways, accumulating into revisited output blocks).
+
+_SMALL_S_MAX = 1024
+_SMALL_S_VMEM_BUDGET = 15 * 1024 * 1024  # scoped-vmem limit is 16M
+
+
+def _ss_cq(s: int) -> int:
+    return min(_round_up(s, 8), 208)
+
+
+def _ss_fits(sq: int, sk: int, w: int, itemsize: int) -> bool:
+    cq = _ss_cq(sq)
+    est = 2 * 2 * sk * w * itemsize      # k, v (double-buffered)
+    est += 2 * 2 * cq * w * itemsize     # q, out
+    est += 3 * cq * sk * 4               # scores/probs f32
+    return est <= _SMALL_S_VMEM_BUDGET
+
+
+def _small_s_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, h, d):
+    qb = q_ref[0]  # (cq, h*d)
+    kb = k_ref[0]  # (sk, h*d)
+    vb = v_ref[0]
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        m = jnp.max(s, axis=1)
+        p = jnp.exp2(s - m[:, None])
+        l = jnp.sum(p, axis=1)
+        o = jax.lax.dot(
+            p.astype(vb.dtype), vb[:, sl], preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (o / l[:, None]).astype(o_ref.dtype)
+
+
+def _small_s_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, delta_ref, dq_ref, lse_ref, *, scale, h, d,
+):
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    dob = do_ref[0]
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        m = jnp.max(s, axis=1)
+        p = jnp.exp2(s - m[:, None])
+        l = jnp.sum(p, axis=1)
+        pn = p / l[:, None]
+        delta = delta_ref[0, :, i]
+        dp = jax.lax.dot_general(
+            dob[:, sl], vb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (pn * (dp - delta[:, None])).astype(kb.dtype)
+        dq_ref[0, :, sl] = (scale * jax.lax.dot(
+            ds, kb[:, sl], preferred_element_type=jnp.float32
+        )).astype(dq_ref.dtype)
+        lse_ref[0, :, i] = m + jnp.log2(l)
+
+
+def _small_s_dkdv_kernel(
+    q_ref, k_ref, v_ref, do_ref, delta_ref, lse_ref, dk_ref, dv_ref,
+    *, scale, h, d, sq: int,
+):
+    iq = pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    dob = do_ref[0]
+    cq = qb.shape[0]
+    # rows past sq are block-padding garbage; unlike fwd/dq (whose garbage
+    # rows land in dropped output rows) this kernel REDUCES over q rows,
+    # so they must be zeroed before the transposed dots
+    valid = (
+        iq * cq + jax.lax.broadcasted_iota(jnp.int32, (cq, 1), 0)
+    ) < sq
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        # the transposed dots below contract over q ROWS, so garbage rows
+        # must be zeroed in the q/do operands too (0 * NaN = NaN through a
+        # contraction even when ds/pn are masked)
+        qh = jnp.where(valid, qb[:, sl], 0)
+        doh = jnp.where(valid, dob[:, sl], 0)
+        s = jax.lax.dot_general(
+            qh, kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        pn = jnp.where(
+            valid, jnp.exp2(s - lse_ref[0, :, i][:, None]), 0.0
+        )
+        dp = jax.lax.dot_general(
+            doh, vb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = jnp.where(
+            valid, pn * (dp - delta_ref[0, :, i][:, None]), 0.0
+        ).astype(kb.dtype)
+        dk_ref[0, :, sl] += (scale * jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            pn.astype(dob.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _small_s_attention(q, k, v, h, d, scale, interpret):
+    """q/k/v: (B, S, H*D) — the free reshape of the projection layout."""
+    b, sq, w = q.shape
+    sk = k.shape[1]
+    cq = _ss_cq(sq)
+    return pl.pallas_call(
+        functools.partial(_small_s_fwd_kernel, scale=scale, h=h, d=d),
+        grid=(b, pl.cdiv(sq, cq)),
+        in_specs=[
+            pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, sk, w), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk, w), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, w), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _small_s_fwd_rule(q, k, v, h, d, scale, interpret):
+    out = _small_s_attention(q, k, v, h, d, scale, interpret)
+    return out, (q, k, v, out)
+
+
+def _small_s_bwd_rule(h, d, scale, interpret, res, g):
+    q, k, v, out = res
+    b, sq, w = q.shape
+    sk = k.shape[1]
+    cq = _ss_cq(sq)
+    ck = _ss_cq(sk)
+    f32 = jnp.float32
+    # per-head delta = rowsum(do * out): one fused elementwise+reduce in
+    # XLA — cheaper than carrying `out` into the dq kernel
+    delta = jnp.sum(
+        g.astype(f32).reshape(b, sq, h, d)
+        * out.astype(f32).reshape(b, sq, h, d),
+        axis=-1,
+    )  # (b, sq, h)
+    qs = pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0))
+    ks = pl.BlockSpec((1, sk, w), lambda bi, qi: (bi, 0, 0))
+    hs = pl.BlockSpec((1, cq, h), lambda bi, qi: (bi, qi, 0))
+    dq, lse = pl.pallas_call(
+        functools.partial(_small_s_dq_kernel, scale=scale, h=h, d=d),
+        grid=(b, pl.cdiv(sq, cq)),
+        in_specs=[qs, ks, ks, qs, hs],
+        out_specs=[qs, hs],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, w), q.dtype),
+            jax.ShapeDtypeStruct((b, sq, h), f32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, delta)
+    q3 = pl.BlockSpec((1, cq, w), lambda bi, ki, qi: (bi, qi, 0))
+    k3 = pl.BlockSpec((1, ck, w), lambda bi, ki, qi: (bi, ki, 0))
+    h3 = pl.BlockSpec((1, cq, h), lambda bi, ki, qi: (bi, qi, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_small_s_dkdv_kernel, scale=scale, h=h, d=d, sq=sq),
+        grid=(b, pl.cdiv(sk, ck), pl.cdiv(sq, cq)),
+        in_specs=[q3, k3, k3, q3, h3, h3],
+        out_specs=[k3, k3],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sk, w), k.dtype),
+            jax.ShapeDtypeStruct((b, sk, w), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, delta, lse)
+    return dq, dk, dv
+
+
+_small_s_attention.defvjp(_small_s_fwd_rule, _small_s_bwd_rule)
+
+
 def flash_attention(
     q: jax.Array,  # (B, Sq, Hq, D)
     k: jax.Array,  # (B, Sk, Hkv, D)
@@ -922,6 +1152,20 @@ def flash_attention(
     assert hq % hkv == 0, f"GQA heads {hq} not divisible by kv heads {hkv}"
     group = hq // hkv  # kernel index maps share each KV block across a group
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
+
+    # Short sequences take the zero-copy single-pass path (see the
+    # small-S section above): no pad, no transpose, exact softmax.
+    if (q_segment_ids is None and kv_segment_ids is None and not causal
+            and window is None and group == 1
+            and 0 < sq <= _SMALL_S_MAX and 0 < sk <= _SMALL_S_MAX
+            and _ss_fits(sq, sk, hq * d, jnp.dtype(q.dtype).itemsize)):
+        out = _small_s_attention(
+            q.reshape(b, sq, hq * d),
+            k.reshape(b, sk, hq * d),
+            v.reshape(b, sk, hq * d),
+            hq, d, scale, interpret,
+        )
+        return out.reshape(b, sq, hq, d)
 
     # Pad sequence dims to block multiples; padded tokens get segment id -1
     # (q pads) / -2 (kv pads) so they never attend to anything real.

@@ -208,9 +208,14 @@ def test_window_fully_masked_rows_zero():
 
 
 def _assert_ragged_taken(monkeypatch, taken=True):
-    """Wrap the ragged entry point with a call counter."""
+    """Wrap the ragged entry point with a call counter.
+
+    Also disables the small-S zero-copy route (which would otherwise
+    swallow every sub-1024 shape) so these tests keep exercising the
+    ragged decomposition used above _SMALL_S_MAX."""
     import internvideo_tpu.ops.flash_attention as fa
 
+    monkeypatch.setattr(fa, "_SMALL_S_MAX", 0)
     calls = []
     orig = fa._flash_attention_ragged
 
@@ -339,3 +344,52 @@ def test_fuzz_random_configs_vs_xla():
                 np.asarray(g_out), np.asarray(g_ref), atol=1e-3, rtol=1e-3,
                 err_msg=f"grad trial={trial} {mode} sq={sq} sk={sk}",
             )
+
+
+def _assert_small_s_taken(monkeypatch):
+    import internvideo_tpu.ops.flash_attention as fa
+
+    calls = []
+    orig = fa._small_s_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_small_s_attention", spy)
+    return calls
+
+
+def test_small_s_route_and_parity(monkeypatch):
+    """Eligible short shapes take the zero-copy small-S path; causal /
+    segmented / GQA / over-threshold shapes do not."""
+    import internvideo_tpu.ops.flash_attention as fa
+
+    calls = _assert_small_s_taken(monkeypatch)
+    # the masked-pretrain shape family (scaled down): fwd + grads
+    q, k, v = _rand_qkv(jax.random.key(40), 2, 205, 205, 4, 24)
+    g = jax.random.normal(jax.random.key(41), q.shape, q.dtype)
+
+    def loss(f):
+        return lambda q, k, v: jnp.sum(f(q, k, v) * g)
+
+    np.testing.assert_allclose(
+        _flash(q, k, v), xla_attention(q, k, v), atol=2e-5, rtol=2e-5
+    )
+    g_out = jax.grad(loss(_flash), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(xla_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, "qkv"):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-4, err_msg=name)
+    assert calls, "small-S path not taken for an eligible shape"
+
+    # ineligible flavors fall through to the general kernel
+    n0 = len(calls)
+    _flash(q, k, v, causal=True)
+    seg = jnp.zeros((2, 205), jnp.int32)
+    _flash(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
+    qg, kg_, vg = _rand_qkv(jax.random.key(42), 1, 64, 64, 4, 16, hkv=2)
+    _flash(qg, kg_, vg)
+    big = fa._SMALL_S_MAX + 1
+    qb, kb, vb = _rand_qkv(jax.random.key(43), 1, big, big, 1, 16)
+    _flash(qb, kb, vb)
+    assert len(calls) == n0, "ineligible shape routed to small-S path"
