@@ -16,13 +16,17 @@ class RMSNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, weight_only: bool = False):
         weight = self.param(
             "weight",
             nn.with_logical_partitioning(nn.initializers.ones, ("norm",)),
             (x.shape[-1],),
             jnp.float32,
         )
+        if weight_only:
+            # fused attention paths consume the raw weight (the norm math
+            # runs inside the kernel); x only supplies the param shape
+            return weight
         return rms_norm(x, weight, eps=self.eps).astype(self.dtype)
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from internvideo_tpu.nn.norms import LayerNorm, RMSNorm
-from internvideo_tpu.ops import dot_product_attention
+from internvideo_tpu.ops import dot_product_attention, fused_qkv_attention_or_none
 
 Initializer = Callable[..., jax.Array]
 
@@ -131,10 +131,30 @@ class Attention(nn.Module):
             ),
             name="qkv",
         )(x)
-        q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
-        if self.qk_normalization:
-            q = _make_norm(self.norm_type, self.dtype, "q_norm")(q)
-            k = _make_norm(self.norm_type, self.dtype, "k_norm")(k)
+        if self.qk_normalization and self.norm_type == "rmsnorm":
+            # Fused qkv-slice + whole-dim QK-RMSNorm + attention: the kernel
+            # reads the projection output directly (three block-aligned
+            # views), eliminating the normalized-q/k and v materializations
+            # XLA otherwise emits between the GEMM and the kernel. Falls
+            # back to the unfused path off-TPU / under Ulysses / at large S.
+            q_norm = _make_norm(self.norm_type, self.dtype, "q_norm")
+            k_norm = _make_norm(self.norm_type, self.dtype, "k_norm")
+            qw = q_norm(qkv[..., :d], weight_only=True)
+            kw = k_norm(qkv[..., d:2 * d], weight_only=True)
+            fused = fused_qkv_attention_or_none(
+                qkv, qw, kw, num_heads=self.num_heads, impl=self.attn_impl,
+            )
+            if fused is not None:
+                return _dense(d, "proj", self.dtype, self.param_dtype,
+                              logical=("heads", "embed"))(fused)
+            q = q_norm(qkv[..., :d])
+            k = k_norm(qkv[..., d:2 * d])
+            v = qkv[..., 2 * d:]
+        else:
+            q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+            if self.qk_normalization:
+                q = _make_norm(self.norm_type, self.dtype, "q_norm")(q)
+                k = _make_norm(self.norm_type, self.dtype, "k_norm")(k)
         q = q.reshape(b, s, self.num_heads, head_dim)
         k = k.reshape(b, s, self.num_heads, head_dim)
         v = v.reshape(b, s, self.num_heads, head_dim)

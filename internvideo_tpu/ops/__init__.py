@@ -1,5 +1,6 @@
 from internvideo_tpu.ops.attention import (
     dot_product_attention,
+    fused_qkv_attention_or_none,
     ulysses_context,
 )
 from internvideo_tpu.ops.rmsnorm import fused_add_rms_norm, rms_norm

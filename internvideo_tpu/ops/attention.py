@@ -18,9 +18,14 @@ import threading
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from internvideo_tpu.ops.attention_xla import xla_attention
-from internvideo_tpu.ops.flash_attention import flash_attention
+from internvideo_tpu.ops.flash_attention import (
+    flash_attention,
+    fused_qkv_eligible,
+    fused_qkv_rmsnorm_attention,
+)
 
 _TLS = threading.local()
 
@@ -34,6 +39,41 @@ def ulysses_context(mesh, axis: str = "seq"):
         yield
     finally:
         _TLS.ulysses = prev
+
+
+def fused_qkv_attention_or_none(
+    qkv: jax.Array,        # (B, S, 3*W) flat projection output
+    q_weight: jax.Array,   # (W,) whole-dim QK-RMSNorm weights
+    k_weight: jax.Array,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    softmax_scale: Optional[float] = None,
+    impl: str = "auto",
+) -> Optional[jax.Array]:
+    """Fused qkv+QK-RMSNorm+attention when the small-S Pallas path applies.
+
+    Returns (B, S, W) or None when the caller must run the unfused path
+    (non-TPU backend, Ulysses sequence sharding active, or shapes outside
+    the small-S envelope). Model code calls this first and falls back.
+    """
+    if getattr(_TLS, "ulysses", None) is not None:
+        return None
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl != "pallas":
+        return None
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    if w % num_heads != 0:
+        return None
+    d = w // num_heads
+    if not fused_qkv_eligible(s, num_heads, d, jnp.dtype(qkv.dtype).itemsize):
+        return None
+    return fused_qkv_rmsnorm_attention(
+        qkv, q_weight, k_weight,
+        num_heads=num_heads, eps=eps, softmax_scale=softmax_scale,
+    )
 
 
 def dot_product_attention(
@@ -63,6 +103,7 @@ def dot_product_attention(
         inner = "pallas" if (
             impl == "auto" and jax.default_backend() == "tpu"
         ) else ("xla" if impl == "auto" else impl)
+        interp = inner == "pallas_interpret"
         return ulysses_attention(
             q, k, v,
             mesh=mesh, axis=axis,
@@ -70,11 +111,15 @@ def dot_product_attention(
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             softmax_scale=softmax_scale,
-            impl=inner,
+            impl="pallas" if interp else inner,
+            interpret=interp,
         )
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret"):
+        # "pallas_interpret" runs the flash kernels in interpret mode —
+        # blockwise memory on CPU, where the XLA reference would
+        # materialize the full S×S scores (infeasible at 32k+)
         return flash_attention(
             q, k, v,
             causal=causal,
@@ -85,6 +130,7 @@ def dot_product_attention(
             block_k=block_k,
             window=window,
             q_position_offset=q_position_offset,
+            interpret=impl == "pallas_interpret",
         )
     if impl == "xla":
         if window is not None:

@@ -930,18 +930,27 @@ _flash_attention_ragged.defvjp(_ragged_fwd_rule, _ragged_bwd_rule)
 # in-context: pad.94/copy.769 in the HLO, ~0.5 ms/layer of data
 # formatting); manual-DMA per-head slabs (Mosaic: DMA slices must be
 # 8-aligned in sublanes, 820 is not); CQ=104 (1.40 ms/layer — M too small
-# for the MXU); CQ>=416 (scoped-vmem OOM, 18.8M > 16M).
+# for the MXU). CQ originally capped at 208 by the compiler's default 16M
+# scoped-vmem ceiling; raising the ceiling (v5e has 128M physical) made
+# CQ=416 both compile and win — see _SMALL_S_VMEM_LIMIT.
 #
 # The backward is two kernels in the same layout (no host transposes):
 # dq (chunked q, full K/V; also emits per-head base-2 LSE + delta), then
 # dk/dv (chunked both ways, accumulating into revisited output blocks).
 
 _SMALL_S_MAX = 1024
-_SMALL_S_VMEM_BUDGET = 15 * 1024 * 1024  # scoped-vmem limit is 16M
+# All small-S kernels raise the scoped-vmem ceiling from the compiler's 16M
+# default (v5e has 128M physical); the budget below keeps the working set
+# comfortably under the raised ceiling. CQ=416 measured 0.390 ms/layer vs
+# 0.501 at CQ=208 at the masked shape (B=8, S=820) once the ceiling allowed
+# it; CQ=624 regressed (624+196 chunk imbalance) and CQ=832 still OOMs.
+_SMALL_S_VMEM_LIMIT = 48 * 1024 * 1024
+_SMALL_S_VMEM_BUDGET = 40 * 1024 * 1024
+_SMALL_S_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_SMALL_S_VMEM_LIMIT)
 
 
 def _ss_cq(s: int) -> int:
-    return min(_round_up(s, 8), 208)
+    return min(_round_up(s, 8), 416)
 
 
 def _ss_fits(sq: int, sk: int, w: int, itemsize: int) -> bool:
@@ -1069,6 +1078,7 @@ def _small_s_attention(q, k, v, h, d, scale, interpret):
         ],
         out_specs=pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, sq, w), q.dtype),
+        compiler_params=_SMALL_S_PARAMS,
         interpret=interpret,
     )(q, k, v)
 
@@ -1104,6 +1114,7 @@ def _small_s_bwd_rule(h, d, scale, interpret, res, g):
             jax.ShapeDtypeStruct((b, sq, w), q.dtype),
             jax.ShapeDtypeStruct((b, sq, h), f32),
         ],
+        compiler_params=_SMALL_S_PARAMS,
         interpret=interpret,
     )(q, k, v, g, delta)
     q3 = pl.BlockSpec((1, cq, w), lambda bi, ki, qi: (bi, qi, 0))
@@ -1118,12 +1129,153 @@ def _small_s_bwd_rule(h, d, scale, interpret, res, g):
             jax.ShapeDtypeStruct((b, sk, w), k.dtype),
             jax.ShapeDtypeStruct((b, sk, w), v.dtype),
         ],
+        compiler_params=_SMALL_S_PARAMS,
         interpret=interpret,
     )(q, k, v, g, delta, lse)
     return dq, dk, dv
 
 
 _small_s_attention.defvjp(_small_s_fwd_rule, _small_s_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Fused qkv + whole-dim QK-RMSNorm + attention (small-S forward)
+# ---------------------------------------------------------------------------
+#
+# The encoder's attention consumes the (B, S, 3W) output of one flat qkv
+# GEMM; between that GEMM and the kernel sit three lane slices and two
+# whole-dim RMSNorms (reference internvideo2.py:171-172 normalizes q/k over
+# the flattened head dim). Even with the zero-copy small-S kernel, XLA
+# materializes normalized q and k plus the v slice — three full-tensor
+# write+read passes per layer. This op removes them: the kernel takes THREE
+# BlockSpec views of the SAME qkv array (block width W at column blocks
+# 0/1/2 — W = H*D is a lane multiple of the 3W array, so the views are
+# block-aligned), applies the RMSNorms in-kernel on full-width rows
+# (replicating rms_norm's exact cast chain: f32 variance, normalize, cast
+# to input dtype, multiply by f32 weight, cast back), and runs the same
+# per-head static-lane-slice attention.
+#
+# The backward VJPs the unfused composition (slice → rms_norm →
+# _small_s_attention), so gradients are exactly the production path's; the
+# recomputed forward inside the VJP is the same work full remat would do.
+
+def _small_s_fused_fwd_kernel(
+    q_ref, k_ref, v_ref, qw_ref, kw_ref, o_ref, *, scale, h, d, eps,
+):
+    def _norm(x, w_row):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+        return (w_row * normed.astype(jnp.float32)).astype(x.dtype)
+
+    qb = _norm(q_ref[0], qw_ref[0][None, :])  # (cq, h*d)
+    kb = _norm(k_ref[0], kw_ref[0][None, :])  # (sk, h*d)
+    vb = v_ref[0]
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        m = jnp.max(s, axis=1)
+        p = jnp.exp2(s - m[:, None])
+        l = jnp.sum(p, axis=1)
+        o = jax.lax.dot(
+            p.astype(vb.dtype), vb[:, sl], preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, sl] = (o / l[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_qkv_small_s(qkv, qw, kw, h, d, scale, eps, interpret):
+    """qkv: (B, S, 3W) straight off the projection GEMM; qw/kw: (W,) f32."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    cq = _ss_cq(s)
+    col = pl.BlockSpec((1, w), lambda bi, qi: (0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _small_s_fused_fwd_kernel, scale=scale, h=h, d=d, eps=eps
+        ),
+        grid=(b, pl.cdiv(s, cq)),
+        in_specs=[
+            pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, s, w), lambda bi, qi: (bi, 0, 1)),
+            pl.BlockSpec((1, s, w), lambda bi, qi: (bi, 0, 2)),
+            col, col,
+        ],
+        out_specs=pl.BlockSpec((1, cq, w), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        compiler_params=_SMALL_S_PARAMS,
+        interpret=interpret,
+    )(qkv, qkv, qkv, qw.reshape(1, w), kw.reshape(1, w))
+
+
+def _fused_qkv_unfused_ref(qkv, qw, kw, h, d, scale, eps, interpret):
+    from internvideo_tpu.ops.rmsnorm import rms_norm
+
+    w = h * d
+    q = rms_norm(qkv[..., :w], qw, eps=eps)
+    k = rms_norm(qkv[..., w:2 * w], kw, eps=eps)
+    v = qkv[..., 2 * w:]
+    return _small_s_attention(q, k, v, h, d, scale, interpret)
+
+
+def _fused_qkv_fwd_rule(qkv, qw, kw, h, d, scale, eps, interpret):
+    out = _fused_qkv_small_s(qkv, qw, kw, h, d, scale, eps, interpret)
+    return out, (qkv, qw, kw)
+
+
+def _fused_qkv_bwd_rule(h, d, scale, eps, interpret, res, g):
+    qkv, qw, kw = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _fused_qkv_unfused_ref(
+            a, b, c, h, d, scale, eps, interpret
+        ),
+        qkv, qw, kw,
+    )
+    return vjp(g)
+
+
+_fused_qkv_small_s.defvjp(_fused_qkv_fwd_rule, _fused_qkv_bwd_rule)
+
+
+def fused_qkv_eligible(s: int, num_heads: int, head_dim: int,
+                       itemsize: int) -> bool:
+    """Can (B, S, 3W) self-attention take the fused small-S path?"""
+    w = num_heads * head_dim
+    if not (0 < s <= _SMALL_S_MAX):
+        return False
+    # the fused kernel only adds per-row 1/rms factors and per-head
+    # (S, D) staging on top of the plain small-S footprint
+    return _ss_fits(s, s, w, itemsize)
+
+
+def fused_qkv_rmsnorm_attention(
+    qkv: jax.Array,          # (B, S, 3*W) — one flat projection GEMM output
+    q_weight: jax.Array,     # (W,) f32 RMSNorm weight over the flattened dim
+    k_weight: jax.Array,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    softmax_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused qkv-slice + whole-dim QK-RMSNorm + small-S flash attention.
+
+    Returns (B, S, W) in projection layout (reshape to (B, S, H, D) is
+    free). Caller must ensure `fused_qkv_eligible` — this asserts it.
+    """
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    assert w3 == 3 * w and w % num_heads == 0
+    d = w // num_heads
+    assert fused_qkv_eligible(s, num_heads, d, jnp.dtype(qkv.dtype).itemsize)
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+    return _fused_qkv_small_s(
+        qkv, q_weight.astype(jnp.float32), k_weight.astype(jnp.float32),
+        num_heads, d, scale, eps, interpret,
+    )
 
 
 def flash_attention(

@@ -66,8 +66,49 @@ def ulysses_attention(
     if head_axis is not None and head_axis not in mesh.axis_names:
         head_axis = None
     tp = mesh.shape[head_axis] if head_axis else 1
+
+    s_orig = q.shape[1]
+    s_pad = -(-s_orig // sp) * sp
+    if s_pad != s_orig:
+        # Sequences not divisible by sp (the encoder's CLS-token shapes,
+        # e.g. 4097): pad rows and mask them out via the segment-id path —
+        # pad queries get id -1, pad keys -2, so they match nothing. The
+        # XLA path's finite NEG_INF masking keeps fully-masked pad rows
+        # NaN-free in fwd and bwd; their outputs are sliced off below.
+        dseq = s_pad - s_orig
+        if q_segment_ids is None:
+            b_ = q.shape[0]
+            q_segment_ids = jnp.zeros((b_, s_orig), jnp.int32)
+            kv_segment_ids = jnp.zeros((b_, k.shape[1]), jnp.int32)
+        rows = ((0, 0), (0, dseq), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, rows), jnp.pad(k, rows), jnp.pad(v, rows)
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, dseq)), constant_values=-1)
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, dseq)), constant_values=-2)
+
     h = q.shape[2]
-    assert h % (sp * tp) == 0, f"heads {h} not divisible by sp*tp {sp}*{tp}"
+    h_pad = -(-h // (sp * tp)) * (sp * tp)
+    if h_pad != h:
+        # Heads not divisible by sp*tp (the 6B encoder has 25): pad with
+        # zero heads and drop their outputs. The reference's inner-SP
+        # (xtuner/parallel/sequence/attention.py:21-110) instead splits
+        # head_dim into insp = sp/gcd(h, sp) slices, all-to-alls the thin
+        # heads, and re-gathers full head_dim inside inner groups — which
+        # REPLICATES the attention compute insp× per inner group (4× for
+        # h=25, sp=4) plus three extra all-gathers. Zero-padding costs
+        # (h_pad-h)/h extra compute and comm (12% for 25→28) with no extra
+        # collectives, so it strictly dominates whenever h >= sp; at h < sp
+        # the two schemes tie on compute and padding still saves the inner
+        # collectives. Zero heads are softmax-safe (uniform probs over
+        # zero values → zero output).
+        if k.shape[2] != h:
+            raise NotImplementedError(
+                f"Ulysses head padding requires MHA (hq={h}, hkv={k.shape[2]});"
+                " GQA with heads not divisible by sp*tp is unsupported"
+            )
+        pad = ((0, 0), (0, 0), (0, h_pad - h), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
 
     has_segs = q_segment_ids is not None
 
@@ -102,9 +143,14 @@ def ulysses_attention(
     if has_segs:
         args += (q_segment_ids, kv_segment_ids)
         in_specs += (seg_spec, seg_spec)
-    return jax.shard_map(
+    out = jax.shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=spec,
         # pallas_call outputs carry no varying-mesh-axes metadata yet;
         # without this the vma check rejects the kernel inside shard_map
         check_vma=False,
     )(*args)
+    if h_pad != h:
+        out = out[:, :, :h]
+    if s_pad != s_orig:
+        out = out[:, :s_orig]
+    return out

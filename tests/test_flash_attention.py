@@ -393,3 +393,55 @@ def test_small_s_route_and_parity(monkeypatch):
     qb, kb, vb = _rand_qkv(jax.random.key(43), 1, big, big, 1, 16)
     _flash(qb, kb, vb)
     assert len(calls) == n0, "ineligible shape routed to small-S path"
+
+
+def test_fused_qkv_rmsnorm_attention_parity():
+    """Fused qkv-slice + whole-dim QK-RMSNorm + attention matches the
+    unfused composition (slice -> rms_norm -> attention) in fwd and grads,
+    and the module-level dispatcher falls back correctly."""
+    from internvideo_tpu.ops import flash_attention as fa
+    from internvideo_tpu.ops.rmsnorm import rms_norm
+
+    rng = np.random.default_rng(7)
+    for (b, s, h, d) in [(2, 197, 4, 32), (1, 413, 8, 24)]:
+        w = h * d
+        qkv = jnp.asarray(rng.standard_normal((b, s, 3 * w)), jnp.float32)
+        qw = jnp.asarray(rng.standard_normal(w) * 0.1 + 1.0, jnp.float32)
+        kw = jnp.asarray(rng.standard_normal(w) * 0.1 + 1.0, jnp.float32)
+
+        def fused(qkv, qw, kw):
+            return fa._fused_qkv_small_s(
+                qkv, qw, kw, h, d, d ** -0.5, 1e-6, True)
+
+        def ref(qkv, qw, kw):
+            q = rms_norm(qkv[..., :w], qw)
+            k = rms_norm(qkv[..., w:2 * w], kw)
+            return fa._small_s_attention(
+                q, k, qkv[..., 2 * w:], h, d, d ** -0.5, True)
+
+        np.testing.assert_allclose(
+            np.asarray(fused(qkv, qw, kw)), np.asarray(ref(qkv, qw, kw)),
+            atol=2e-5, rtol=2e-5,
+        )
+        g = jnp.asarray(rng.standard_normal((b, s, w)), jnp.float32)
+
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a) * g)
+
+        g1 = jax.grad(loss(fused), argnums=(0, 1, 2))(qkv, qw, kw)
+        g2 = jax.grad(loss(ref), argnums=(0, 1, 2))(qkv, qw, kw)
+        for a, e, name in zip(g1, g2, ("qkv", "qw", "kw")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), atol=5e-4, rtol=5e-4,
+                err_msg=f"{name} s={s}",
+            )
+
+    # dispatcher: on CPU (impl resolves to xla) it must decline
+    from internvideo_tpu.ops.attention import fused_qkv_attention_or_none
+
+    assert fused_qkv_attention_or_none(
+        qkv, qw, kw, num_heads=8) is None
+    # forced pallas with an over-threshold S must also decline
+    big = jnp.zeros((1, fa._SMALL_S_MAX + 1, 3 * 64), jnp.float32)
+    assert fused_qkv_attention_or_none(
+        big, jnp.ones(64), jnp.ones(64), num_heads=4, impl="pallas") is None

@@ -214,3 +214,70 @@ def test_ulysses_with_pallas_ragged_kernel():
     ))(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ulysses_head_padding_25_heads():
+    """The 6B encoder has 25 heads — not divisible by sp=4. Ulysses pads
+    with zero heads and drops their outputs (measured/argued alternative to
+    the reference's inner-SP head_dim splitting, which replicates attention
+    compute insp x per inner group — xtuner/parallel/sequence/
+    attention.py:21-110; see PERF.md)."""
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 64, 25, 8
+    q = jax.random.normal(jax.random.key(10), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(11), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(12), (b, s, h, d))
+    ref = xla_attention(q, k, v, causal=False)
+
+    sharding = NamedSharding(mesh, P(None, "seq", None, None))
+    qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
+
+    @jax.jit
+    def run(q, k, v):
+        return ulysses_attention(
+            q, k, v, mesh=mesh, axis="seq", impl="xla",
+        )
+
+    out = run(qs, ks, vs)
+    assert out.shape == (b, s, h, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # grads flow through the pad/slice
+    def loss(fn):
+        return lambda q: jnp.sum(jnp.square(fn(q, ks, vs)))
+
+    g = jax.jit(jax.grad(loss(lambda q, k, v: run(q, k, v))))(qs)
+    g_ref = jax.grad(loss(lambda q, k, v: xla_attention(q, k, v)))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_6b_shaped_tower_under_sp4():
+    """A 25-head encoder tower (the 6B head count) runs under sp=4 via
+    ulysses_context and matches the unsharded forward."""
+    from internvideo_tpu.models.internvideo2 import (
+        InternVideo2, InternVideo2Config,
+    )
+    from internvideo_tpu.ops import ulysses_context
+
+    cfg = InternVideo2Config(
+        embed_dim=400, depth=1, num_heads=25, mlp_ratio=2.0,
+        patch_size=14, img_size=56, num_frames=4, tubelet_size=1,
+        clip_embed_dim=64, num_classes=0, attn_impl="xla",
+    )
+    model = InternVideo2(cfg)
+    video = jax.random.normal(jax.random.key(0), (2, 4, 56, 56, 3))
+    params = model.init(jax.random.key(1), video)
+    ref = model.apply(params, video).pooled
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    with mesh:
+        @jax.jit
+        def run(p, v):
+            with ulysses_context(mesh, "seq"):
+                return model.apply(p, v).pooled
+
+        out = run(params, video)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -83,7 +83,9 @@ def main():
     # no norms at all (norm1/norm2/qk-norm -> scaled passthrough)
     orig_rms_call = norms.RMSNorm.__call__
 
-    def rms_identity(self, x):
+    def rms_identity(self, x, *, weight_only=False):
+        if weight_only:  # fused attn path consumes the raw weight
+            return orig_rms_call(self, x, weight_only=True)
         return x
 
     norms.RMSNorm.__call__ = rms_identity
