@@ -192,10 +192,15 @@ class Block(nn.Module):
             norm_type=self.norm_type,
             name="attn",
         )(_make_norm(self.norm_type, self.dtype, "norm1")(x))
+        # NOTE: a Pallas-fused LayerScale+add+RMSNorm for this residual
+        # chain was built and MEASURED SLOWER in-context (97.2 -> 101.3
+        # ms/masked-batch, 2 reps each way): XLA already fuses the chain
+        # into the adjacent GEMMs' epilogues, and a standalone elementwise
+        # kernel breaks those fusions. The op is kept in ops/rmsnorm.py
+        # (`_fused_ls_add_rms_norm`) with its parity test; see PERF.md.
         if self.init_values:
             h = LayerScale(self.init_values, dtype=self.dtype, name="ls1")(h)
         x = x + DropPath(self.drop_path, name="droppath1")(h, deterministic)
-
         h = Mlp(
             hidden_dim=int(d * self.mlp_ratio),
             dtype=self.dtype,

@@ -100,3 +100,93 @@ def fused_add_rms_norm(
         interpret=interpret,
     )(x2, r2, weight)
     return y.reshape(orig_shape), newres.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerScale + residual-add + RMSNorm (the encoder block's elementwise
+# chain between attention/MLP and the next norm)
+# ---------------------------------------------------------------------------
+#
+# Built to replace the XLA chain `x + (h_f32 * gamma).astype(bf16)` ->
+# rms_norm, whose removal the in-context ablation priced at ~5 ms per
+# masked-pretrain batch (tools_r3/masked_ablate.py "norms+ls"). MEASURED
+# REJECTION: wiring this kernel into the encoder Block ran 97.2 -> 101.3
+# ms/masked-batch (2 reps each way, same process) — XLA already fuses the
+# chain into the adjacent GEMM epilogues, and a standalone elementwise
+# pass breaks those fusions, costing more than the passes it saves. Kept
+# (with its parity test) as a measured artifact and for potential future
+# block-level fusion where it can absorb a GEMM. The kernel writes the
+# same cast chain the Block composes (fp32 LayerScale -> bf16 add -> fp32 variance -> bf16 normed ->
+# fp32 weight mult -> bf16); bitwise parity with the unfused path is not
+# attainable at bf16 because XLA's excess-precision elision skips
+# intermediate bf16 roundings when it fuses the unfused chain — measured
+# divergence is 1-2 bf16 ulps in the forward, ~1.5% relative in grads
+# (f32 parity is ~1e-7). Backward VJPs the unfused composition.
+
+
+def _fused_ls_kernel(h_ref, res_ref, g_ref, w_ref, y_ref, newres_ref,
+                     *, eps: float):
+    ls = (h_ref[:].astype(jnp.float32) * g_ref[:].astype(jnp.float32)
+          ).astype(h_ref.dtype)
+    xs = res_ref[:] + ls
+    xf = xs.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(xs.dtype)
+    y_ref[:] = (w_ref[:].astype(jnp.float32) * normed.astype(jnp.float32)
+                ).astype(y_ref.dtype)
+    newres_ref[:] = xs
+
+
+def _ls_add_norm_ref(h, residual, gamma, weight, eps):
+    ls = (h.astype(jnp.float32) * gamma.astype(jnp.float32)).astype(h.dtype)
+    xs = residual + ls
+    return rms_norm(xs, weight, eps=eps), xs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_ls_add_rms_norm(h, residual, gamma, weight, eps, interpret):
+    orig_shape = h.shape
+    d = orig_shape[-1]
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    h2 = h.reshape(rows, d)
+    r2 = residual.reshape(rows, d)
+    block_rows = min(512, rows)
+    y, newres = pl.pallas_call(
+        functools.partial(_fused_ls_kernel, eps=eps),
+        grid=(pl.cdiv(rows, block_rows),),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), h.dtype),
+            jax.ShapeDtypeStruct((rows, d), residual.dtype),
+        ],
+        interpret=interpret,
+    )(h2, r2, gamma.reshape(1, d), weight.reshape(1, d))
+    return y.reshape(orig_shape), newres.reshape(orig_shape)
+
+
+def _fused_ls_fwd(h, residual, gamma, weight, eps, interpret):
+    out = _fused_ls_add_rms_norm(h, residual, gamma, weight, eps, interpret)
+    return out, (h, residual, gamma, weight)
+
+
+def _fused_ls_bwd(eps, interpret, res, g):
+    h, residual, gamma, weight = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _ls_add_norm_ref(a, b, c, d, eps),
+        h, residual, gamma, weight,
+    )
+    return vjp(g)
+
+
+_fused_ls_add_rms_norm.defvjp(_fused_ls_fwd, _fused_ls_bwd)

@@ -132,3 +132,44 @@ def test_flops_estimator_and_mfu_logging():
     assert rec["tflops_per_sec"] > 0
     # 5 TF over >=50 ms at 100 TF peak -> mfu <= 1.0
     assert rec["mfu"] <= 1.0, rec
+
+
+def test_fused_ls_add_rms_norm_matches_composition():
+    """Fused LayerScale+add+RMSNorm vs the unfused chain: near-bitwise in
+    f32; bf16 differs only by excess-precision elision in the unfused
+    XLA fusion (1-2 ulps fwd, ~2% rel grads)."""
+    from internvideo_tpu.ops.rmsnorm import (
+        _fused_ls_add_rms_norm,
+        _ls_add_norm_ref,
+    )
+
+    rng = np.random.default_rng(11)
+    for dt, ytol, gtol in ((jnp.float32, 1e-6, 1e-5),
+                           (jnp.bfloat16, 5e-2, 2e-1)):
+        shape = (2, 123, 64)
+        h = jnp.asarray(rng.standard_normal(shape), dt)
+        x = jnp.asarray(rng.standard_normal(shape), dt)
+        g = jnp.asarray(rng.standard_normal(shape[-1]) * 0.01, jnp.float32)
+        w = jnp.asarray(rng.standard_normal(shape[-1]) * 0.1 + 1, jnp.float32)
+        y1, r1 = _fused_ls_add_rms_norm(h, x, g, w, 1e-6, True)
+        y2, r2 = _ls_add_norm_ref(h, x, g, w, 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(y1, np.float32), np.asarray(y2, np.float32),
+            atol=ytol, rtol=ytol)
+        np.testing.assert_allclose(
+            np.asarray(r1, np.float32), np.asarray(r2, np.float32),
+            atol=1e-6, rtol=1e-6)
+
+        def loss(f):
+            return lambda *a: jnp.sum(
+                jnp.asarray(f(*a)[0], jnp.float32) ** 2)
+
+        g1 = jax.grad(loss(lambda *a: _fused_ls_add_rms_norm(*a, 1e-6, True)),
+                      argnums=(0, 1, 2, 3))(h, x, g, w)
+        g2 = jax.grad(loss(lambda *a: _ls_add_norm_ref(*a, 1e-6)),
+                      argnums=(0, 1, 2, 3))(h, x, g, w)
+        for a, b, name in zip(g1, g2, ("h", "x", "gamma", "w")):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+            assert rel < gtol, f"{name} rel={rel} dt={dt}"
