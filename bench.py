@@ -13,6 +13,7 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -96,6 +97,35 @@ def main():
 
     def over_budget():
         return time.perf_counter() - t_start > budget
+
+    # int8 serving encoder: Int8Dense projections (dynamic activation
+    # quant + int8 MXU), params converted from the dense tree — the wired
+    # consumer of the measured 1.54x int8 GEMM win (PERF.md); accuracy
+    # delta vs dense is covered by tests/test_quant_rl_paged.py
+    try:
+        if over_budget():
+            raise TimeoutError("bench budget")
+        from flax import linen as nn_linen
+
+        from internvideo_tpu.ops.quant import quantize_params_like
+
+        qmodel = InternVideo2(dataclasses.replace(cfg, quant="int8"))
+        qabstract = nn_linen.unbox(
+            jax.eval_shape(qmodel.init, jax.random.key(0), video)
+        )["params"]
+        qparams = {"params": quantize_params_like(
+            qabstract, nn_linen.unbox(params)["params"]
+        )}
+
+        @jax.jit
+        def int8_fwd(p, v):
+            return qmodel.apply(p, v).pooled
+
+        extra["encoder_int8_clips_per_sec"] = round(
+            _timer(int8_fwd, (qparams, video), batch, iters, _scalar), 2
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["encoder_int8_error"] = type(e).__name__
 
     # masked pretrain-student forward (UMT recipe: 20% visible) — the
     # workload the 150-clips/s north star was written around

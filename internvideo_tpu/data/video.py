@@ -92,6 +92,51 @@ def read_frames_npy(path: str, indices: np.ndarray) -> np.ndarray:
     return np.asarray(arr[indices])
 
 
+try:
+    import av as _av  # PyAV: frame-accurate decode (preferred backend)
+
+    HAVE_AV = True
+except ImportError:  # this image ships without PyAV; cv2 is the fallback
+    _av = None
+    HAVE_AV = False
+
+
+def read_frames_av(path: str, indices: np.ndarray) -> np.ndarray:
+    """PyAV sequential decode of explicit `indices` (frame-accurate).
+
+    The preferred container backend, mirroring the reference's
+    `read_frames_av` (multi_modality/dataset/video_utils.py:91-128): one
+    sequential decode pass collecting wanted frames, stopping at the last.
+    Unlike cv2's CAP_PROP_POS_FRAMES seek (keyframe-inaccurate on long-GOP
+    streams), decoded frame order is exact.
+    """
+    if _av is None:
+        raise ImportError("PyAV is not installed")
+    want = set(int(i) for i in indices)
+    last_want = max(want)
+    frames = {}
+    with _av.open(path) as container:
+        stream = container.streams.video[0]
+        stream.thread_type = "AUTO"  # frame+slice threading in ffmpeg
+        for i, frame in enumerate(container.decode(stream)):
+            if i in want:
+                frames[i] = frame.to_ndarray(format="rgb24")
+            if i >= last_want:
+                break
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    last = frames[max(frames)]
+    return np.stack([frames.get(int(i), last) for i in indices])
+
+
+def _av_video_length(path: str) -> int:
+    with _av.open(path) as container:
+        stream = container.streams.video[0]
+        if stream.frames:  # container metadata when present
+            return int(stream.frames)
+        return sum(1 for _ in container.decode(stream))
+
+
 def read_frames_cv2(path: str, indices: np.ndarray) -> np.ndarray:
     import cv2
 
@@ -152,6 +197,11 @@ def video_length(path: str) -> int:
         from PIL import Image, ImageSequence
 
         return sum(1 for _ in ImageSequence.Iterator(Image.open(path)))
+    if HAVE_AV:
+        try:
+            return _av_video_length(path)
+        except Exception:  # noqa: BLE001 — corrupt container: try cv2
+            pass
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -170,6 +220,13 @@ def read_frames(path: str, indices: np.ndarray) -> np.ndarray:
         return read_frames_imgdir(path, indices)
     if path.lower().endswith(".gif"):
         return read_frames_gif(path, indices)
+    # container fallback chain like the reference's video_utils.py:91-166:
+    # PyAV (frame-accurate) first, cv2 seek otherwise
+    if HAVE_AV:
+        try:
+            return read_frames_av(path, indices)
+        except Exception:  # noqa: BLE001
+            pass
     return read_frames_cv2(path, indices)
 
 
@@ -194,4 +251,9 @@ def read_video(
         return read_frames_imgdir(path, idx)
     if path.lower().endswith(".gif"):
         return read_frames_gif(path, idx)
+    if HAVE_AV:
+        try:
+            return read_frames_av(path, idx)
+        except Exception:  # noqa: BLE001
+            pass
     return read_frames_cv2(path, idx)

@@ -40,6 +40,26 @@ from internvideo_tpu.nn.norms import LayerNorm
 from internvideo_tpu.nn.transformer import AttentionPoolingBlock, Block
 
 
+def _remat_policy(name):
+    """Map a config string to a jax.checkpoint policy (see PERF.md)."""
+    if name is None:
+        return None
+    cp = jax.checkpoint_policies
+    if name == "save_attn":
+        return cp.save_only_these_names("attn_out")
+    if name == "save_attn_mlp":
+        return cp.save_only_these_names("attn_out", "mlp_hidden")
+    if name == "offload_mlp":
+        return cp.save_and_offload_only_these_names(
+            names_which_can_be_saved=["attn_out"],
+            names_which_can_be_offloaded=["mlp_hidden"],
+            offload_src="device", offload_dst="pinned_host",
+        )
+    if name == "dots":
+        return cp.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class InternVideo2Config:
     embed_dim: int = 1408
@@ -65,6 +85,17 @@ class InternVideo2Config:
     # when use_fused_mlp=True (flash-attn FusedMLP); "gelu" = exact erf
     mlp_act: str = "gelu"
     remat: bool = False  # jax.checkpoint each block (memory/flops trade)
+    # selective-remat policy (with remat=True): None = save nothing (full
+    # replay); "save_attn" keeps attention outputs; "save_attn_mlp" also
+    # keeps the post-gelu MLP activation (skips attention + fc1 + gelu in
+    # the bwd replay); "offload_mlp" saves attn on-device and offloads the
+    # MLP activation to host memory; "dots" = XLA's
+    # dots_with_no_batch_dims_saveable. Measured trade-offs in PERF.md.
+    remat_policy: Optional[str] = None
+    # "int8" = Int8Dense serving projections in every block (weights live
+    # as int8 + scales; load via ops.quant.quantize_params_like) — eval/
+    # serving only; measured 1.54x GEMM throughput (PERF.md)
+    quant: Optional[str] = None
 
     @property
     def grid_size(self) -> tuple[int, int, int]:
@@ -175,7 +206,10 @@ class InternVideo2(nn.Module):
         hidden = []
         block_cls = Block
         if cfg.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            block_cls = nn.remat(
+                Block, static_argnums=(2,),
+                policy=_remat_policy(cfg.remat_policy),
+            )
         for i in range(cfg.depth):
             x = block_cls(
                 num_heads=cfg.num_heads,
@@ -189,6 +223,7 @@ class InternVideo2(nn.Module):
                 attn_impl=cfg.attn_impl,
                 norm_type=cfg.norm_type,
                 mlp_act=cfg.mlp_act,
+                quant=cfg.quant,
                 name=f"blocks_{i}",
             )(x, deterministic)
             if return_hidden_states or (

@@ -17,6 +17,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 from internvideo_tpu.nn.norms import LayerNorm, RMSNorm
@@ -26,7 +27,15 @@ Initializer = Callable[..., jax.Array]
 
 
 def _dense(feats, name, dtype, param_dtype, use_bias=True, logical=("embed", "mlp"),
-           kernel_init=None):
+           kernel_init=None, quant=None):
+    if quant == "int8":  # serving mode: int8 weights + dynamic activations
+        from internvideo_tpu.ops.quant import Int8Dense
+
+        return Int8Dense(
+            feats, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
+            logical=tuple(logical), name=name,
+        )
+    assert quant is None, quant
     return nn.Dense(
         feats,
         use_bias=use_bias,
@@ -83,15 +92,20 @@ class Mlp(nn.Module):
     # approximation the reference's production FusedMLP uses (≈2× cheaper
     # on the VPU at bf16)
     act: str = "gelu"
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
         x = _dense(self.hidden_dim, "fc1", self.dtype, self.param_dtype,
-                   logical=("embed", "mlp"))(x)
+                   logical=("embed", "mlp"), quant=self.quant)(x)
         x = nn.gelu(x, approximate=(self.act == "gelu_tanh"))
+        # named for selective-remat policies: the post-gelu activation is
+        # the single biggest tensor (B,S,mlp_ratio*D); saving or
+        # offloading it removes the fc1 GEMM + gelu from the bwd replay
+        x = checkpoint_name(x, "mlp_hidden")
         x = _dense(out_dim, "fc2", self.dtype, self.param_dtype,
-                   logical=("mlp", "embed"))(x)
+                   logical=("mlp", "embed"), quant=self.quant)(x)
         return x
 
 
@@ -113,6 +127,7 @@ class Attention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"
+    quant: Optional[str] = None  # "int8" = Int8Dense serving projections
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -121,15 +136,10 @@ class Attention(nn.Module):
         # Flat (D, 3D) projection with lane-aligned [..., i*D:(i+1)*D] slices:
         # measured ~1.4 ms/layer faster at 1B shapes than DenseGeneral's
         # (B, S, 3, D) output, whose middle-axis slices force strided copies.
-        qkv = nn.Dense(
-            3 * d,
-            use_bias=self.qkv_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=nn.with_logical_partitioning(
-                nn.initializers.truncated_normal(0.02), ("embed", "heads")
-            ),
-            name="qkv",
+        qkv = _dense(
+            3 * d, "qkv", self.dtype, self.param_dtype,
+            use_bias=self.qkv_bias, logical=("embed", "heads"),
+            quant=self.quant,
         )(x)
         if self.qk_normalization and self.norm_type == "rmsnorm":
             # Fused qkv-slice + whole-dim QK-RMSNorm + attention: the kernel
@@ -146,7 +156,8 @@ class Attention(nn.Module):
             )
             if fused is not None:
                 return _dense(d, "proj", self.dtype, self.param_dtype,
-                              logical=("heads", "embed"))(fused)
+                              logical=("heads", "embed"),
+                              quant=self.quant)(fused)
             q = q_norm(qkv[..., :d])
             k = k_norm(qkv[..., d:2 * d])
             v = qkv[..., 2 * d:]
@@ -161,7 +172,7 @@ class Attention(nn.Module):
         out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, s, d)
         return _dense(d, "proj", self.dtype, self.param_dtype,
-                      logical=("heads", "embed"))(out)
+                      logical=("heads", "embed"), quant=self.quant)(out)
 
 
 class Block(nn.Module):
@@ -178,6 +189,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style teachers
     mlp_act: str = "gelu"  # "gelu_tanh" = reference FusedMLP approx
+    quant: Optional[str] = None  # "int8" serving projections (eval only)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -190,8 +202,13 @@ class Block(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             norm_type=self.norm_type,
+            quant=self.quant,
             name="attn",
         )(_make_norm(self.norm_type, self.dtype, "norm1")(x))
+        # named for selective-remat policies (save_only_these_names):
+        # saving the attention output skips the whole attention fwd in the
+        # backward replay at (B,S,D)-bf16 cost per layer
+        h = checkpoint_name(h, "attn_out")
         # NOTE: a Pallas-fused LayerScale+add+RMSNorm for this residual
         # chain was built and MEASURED SLOWER in-context (97.2 -> 101.3
         # ms/masked-batch, 2 reps each way): XLA already fuses the chain
@@ -206,6 +223,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             act=self.mlp_act,
+            quant=self.quant,
             name="mlp",
         )(_make_norm(self.norm_type, self.dtype, "norm2")(x))
         if self.init_values:

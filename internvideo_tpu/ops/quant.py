@@ -98,3 +98,84 @@ class QuantDense(nn.Module):
     def inference_weights(self, kernel):
         """Export path: real int8 weights + scales for serving."""
         return quantize_int8(kernel, axis=0)
+
+
+class Int8Dense(nn.Module):
+    """Serving-mode int8 linear: weights LIVE as int8 params + fp32 scales.
+
+    The deploy counterpart of QuantDense (which fake-quantizes a bf16
+    master copy for QAT): params are `kernel_q` (K, N) int8 and `scale`
+    (1, N) fp32, produced from a trained checkpoint by
+    `quantize_params_like`. Activations are dynamically quantized per row
+    and the int8×int8→int32 product rides the MXU at 2× bf16 throughput
+    (measured 1.54× end-to-end incl. quantize/rescale — PERF.md).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32  # bias dtype
+    logical: tuple = ("embed", "mlp")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), self.logical
+            ),
+            (k, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(
+                nn.initializers.ones_init(), (self.logical[1],)
+            ),
+            (1, self.features),
+            jnp.float32,
+        )
+        y = int8_matmul(
+            x, kernel_q, scale, dynamic_activations=True,
+            out_dtype=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (self.logical[1],)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def quantize_params_like(abstract_int8_params, params):
+    """Map a trained (bf16/fp32) param tree onto an int8 model's tree.
+
+    For each `{kernel_q, scale}` pair in the int8 model's abstract tree,
+    quantizes the source tree's `kernel` at the same path (per-out-channel
+    absmax); all other leaves are copied (cast to the abstract dtype).
+    """
+    import numpy as np
+
+    def walk(abstract, source):
+        if isinstance(abstract, dict):
+            out = {}
+            for key, sub in abstract.items():
+                if key == "kernel_q":
+                    q, _ = quantize_int8(jnp.asarray(source["kernel"]), axis=0)
+                    out[key] = q
+                elif key == "scale" and "kernel_q" in abstract:
+                    _, s = quantize_int8(jnp.asarray(source["kernel"]), axis=0)
+                    out[key] = s
+                else:
+                    src = source[key]
+                    out[key] = walk(sub, src)
+            return out
+        return jnp.asarray(source, dtype=abstract.dtype)
+
+    return walk(abstract_int8_params, params)

@@ -198,3 +198,43 @@ def test_paged_decode_kernel_ragged_lengths():
     probs /= probs.sum(-1, keepdims=True)
     ref = np.einsum("bhs,bsr->bhr", probs, c)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_int8_encoder_serving_accuracy():
+    """Int8Dense serving encoder (quant="int8") vs the fp32 model: the
+    quantize_params_like-converted tree runs the real int8 path and stays
+    within ~0.1% relative of the dense outputs (with O(1) LayerScale, the
+    trained-model regime)."""
+    import dataclasses
+
+    from flax import linen as nn
+
+    from internvideo_tpu.models.internvideo2 import (
+        InternVideo2, InternVideo2Config,
+    )
+    from internvideo_tpu.ops.quant import quantize_params_like
+
+    cfg = InternVideo2Config(
+        embed_dim=128, depth=2, num_heads=4, mlp_ratio=4.0, patch_size=14,
+        img_size=56, num_frames=4, tubelet_size=1, clip_embed_dim=64,
+        num_classes=0, attn_impl="xla")
+    model = InternVideo2(cfg)
+    video = jax.random.normal(jax.random.key(0), (2, 4, 56, 56, 3))
+    params = nn.unbox(model.init(jax.random.key(1), video))["params"]
+    for i in range(cfg.depth):
+        for ls in ("ls1", "ls2"):
+            params[f"blocks_{i}"][ls]["gamma"] = jnp.full_like(
+                params[f"blocks_{i}"][ls]["gamma"], 0.5)
+    ref = model.apply({"params": params}, video)
+
+    qmodel = InternVideo2(dataclasses.replace(cfg, quant="int8"))
+    abstract = nn.unbox(
+        jax.eval_shape(qmodel.init, jax.random.key(1), video))["params"]
+    qparams = quantize_params_like(abstract, params)
+    assert qparams["blocks_0"]["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    out = qmodel.apply({"params": qparams}, video)
+
+    for name in ("pooled", "tokens"):
+        a, b = getattr(ref, name), getattr(out, name)
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        assert rel < 5e-3, f"{name} rel={rel}"
