@@ -41,6 +41,9 @@ class LLMConfig:
     # sown into the "intermediates" collection (moe_aux_losses() sums it)
     moe: "object | None" = None  # nn/moe.py MoEConfig
     tie_word_embeddings: bool = False
+    # fp8 feed-forward GEMMs (reference float8_handler.py:38-230): "fwd"
+    # = e4m3 forward only, "full" = fp8 backward too (e5m2 gradients)
+    fp8: Optional[str] = None  # None | "fwd" | "full"
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
@@ -58,12 +61,22 @@ class SwiGLU(nn.Module):
     intermediate: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    fp8: Optional[str] = None  # None | "fwd" | "full" (e5m2 backward)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
 
         def dense(feats, name, logical):
+            if self.fp8 is not None:
+                from internvideo_tpu.ops.fp8 import Fp8Dense
+
+                return Fp8Dense(
+                    feats, use_bias=False,
+                    backward="fp8" if self.fp8 == "full" else "precise",
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=name,
+                )
             return nn.Dense(
                 feats, use_bias=False, dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -103,6 +116,7 @@ class _DecoderLayer(nn.Module):
             self.mlp = SwiGLU(
                 cfg.intermediate_size, dtype=dtype,
                 param_dtype=jnp.dtype(cfg.param_dtype),
+                fp8=cfg.fp8,
             )
 
     def _mlp(self, x):

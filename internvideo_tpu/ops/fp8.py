@@ -109,13 +109,18 @@ _fp8_dense_op.defvjp(_fp8_dense_fwd, _fp8_dense_bwd)
 
 
 class Fp8Dense(nn.Module):
-    """Dense layer running its forward GEMM in e4m3 with dynamic scaling
-    (backward in full precision). Master weights stay in param_dtype —
-    the GSPMD analogue of the reference's fp8 FSDP parameters whose scales
-    are recomputed before every all-gather (float8_handler.py:38-230)."""
+    """Dense layer running its forward GEMM in e4m3 with dynamic scaling.
+
+    backward="precise" keeps the backward GEMMs in full precision;
+    backward="fp8" runs them in fp8 too (e5m2 gradients x e4m3
+    weights/activations) — the reference's full-fp8 training mode
+    (float8_handler.py:38-230). Master weights stay in param_dtype — the
+    GSPMD analogue of the reference's fp8 FSDP parameters whose scales
+    are recomputed before every all-gather."""
 
     features: int
     use_bias: bool = True
+    backward: str = "precise"  # "precise" | "fp8"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -129,7 +134,9 @@ class Fp8Dense(nn.Module):
             (x.shape[-1], self.features),
             self.param_dtype,
         )
-        y = _fp8_dense_op(x, w).astype(self.dtype)
+        op = _fp8_dense_op if self.backward == "precise" else \
+            _fp8_dense_op_full
+        y = op(x, w).astype(self.dtype)
         if self.use_bias:
             b = self.param(
                 "bias",
@@ -141,3 +148,57 @@ class Fp8Dense(nn.Module):
             )
             y = y + b.astype(self.dtype)
         return y
+
+
+# ---------------------------------------------------------------------------
+# fp8 backward (e5m2 gradients) — full fp8 training
+# ---------------------------------------------------------------------------
+#
+# The reference's float8 stack trains fwd AND bwd in fp8
+# (float8_handler.py:38-230); the standard recipe keeps weights/activations
+# in e4m3 (more mantissa) and gradients in e5m2 (more range). Both backward
+# GEMMs (dgrad = g @ W^T, wgrad = x^T @ g) run with dynamically scaled fp8
+# operands; scale math stays f32.
+
+E5M2_MAX = 57344.0
+
+
+def quantize_fp8_e5m2(x: jax.Array):
+    """Tensor-wise e5m2 quantization -> (q, scale). Gradients only."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    scale = jnp.maximum(amax, 1e-12) / E5M2_MAX
+    return (xf / scale).astype(jnp.float8_e5m2), scale
+
+
+@jax.custom_vjp
+def _fp8_dense_op_full(x, w):
+    return _fp8_dense_op(x, w)
+
+
+def _fp8_full_fwd(x, w):
+    return _fp8_dense_op(x, w), (x, w)
+
+
+def _fp8_full_bwd(res, g):
+    x, w = res
+    k = x.shape[-1]
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, k)
+    gq, gs = quantize_fp8_e5m2(g2)
+    wq, ws = quantize_fp8(w)          # tensor-wise e4m3
+    xq, xs = quantize_fp8(x2)
+    # dgrad: (M, N) @ (N, K) — contract over out-features
+    dx = (jax.lax.dot_general(
+        gq, wq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (gs * ws)).reshape(x.shape).astype(x.dtype)
+    # wgrad: (K, M) @ (M, N) — contract over rows
+    dw = (jax.lax.dot_general(
+        xq, gq, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (xs * gs)).astype(w.dtype)
+    return dx, dw
+
+
+_fp8_dense_op_full.defvjp(_fp8_full_fwd, _fp8_full_bwd)

@@ -84,3 +84,60 @@ def test_fp8_dense_trains():
     for _ in range(30):
         params, st = step(params, st)
     assert float(loss(params)) < l0 * 0.5
+
+
+def test_fp8_full_backward_close_to_precise():
+    """fp8 backward (e5m2 grads x e4m3 operands) tracks the precise
+    backward within the expected e5m2 noise (~4% rel)."""
+    from internvideo_tpu.ops.fp8 import _fp8_dense_op, _fp8_dense_op_full
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 48)) * 0.1, jnp.float32)
+    g1 = jax.grad(lambda x, w: jnp.sum(_fp8_dense_op(x, w) ** 2),
+                  argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: jnp.sum(_fp8_dense_op_full(x, w) ** 2),
+                  argnums=(0, 1))(x, w)
+    for a, b, n in zip(g1, g2, "xw"):
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        assert rel < 0.1, f"d{n} rel={rel}"
+
+
+def test_llm_full_fp8_training_converges():
+    """LLMConfig(fp8='full'): the SwiGLU GEMMs run e4m3 fwd + fp8 bwd and
+    a tiny LM still optimizes (reference float8_handler trains fwd+bwd
+    fp8 the same way)."""
+    from internvideo_tpu.models.llm import LLMConfig, MLATransformer
+    from internvideo_tpu.nn.mla import MLAConfig
+
+    rng = np.random.default_rng(1)
+    cfg = LLMConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, intermediate_size=64,
+        mrope_section=None, fp8="full",
+        mla=MLAConfig(hidden_size=32, num_heads=4, kv_lora_rank=16,
+                      qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8),
+        attn_impl="xla")
+    model = MLATransformer(cfg)
+    ids = jnp.asarray(rng.integers(0, 128, (2, 32)), jnp.int32)
+    params = model.init(jax.random.key(0), ids)["params"]
+    # fp8 path engaged: SwiGLU params created by Fp8Dense
+    assert "gate_proj" in params["layers_0"]["mlp"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, ids)
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            out.logits[:, :-1], ids[:, 1:]))
+
+    @jax.jit
+    def step(p, o):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(30):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
