@@ -200,3 +200,138 @@ class BEATsEncoder(nn.Module):
                 cfg, has_rel_bias=(i == 0), name=f"layers_{i}"
             )(x, pos_bias)
         return x, x.mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Acoustic tokenizer (the audio-pretraining side of BEATs)
+# ---------------------------------------------------------------------------
+
+
+def _l2norm(t: jax.Array) -> jax.Array:
+    """F.normalize(p=2, dim=-1) semantics: x / max(||x||, 1e-12)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(t), axis=-1, keepdims=True))
+    return t / jnp.maximum(n, 1e-12)
+
+
+def _kmeans_cosine(samples, k: int, iters: int, key):
+    """Cosine-similarity k-means (quantizer.py:40-67), matmul-binned:
+    bucket counts and centroid sums are one-hot matmuls (MXU) instead of
+    scatter_add. Returns (means, final bucket counts)."""
+    n = samples.shape[0]
+    if n >= k:
+        idx = jax.random.permutation(key, n)[:k]
+    else:
+        idx = jax.random.randint(key, (k,), 0, n)
+    means = samples[idx]
+
+    def body(_, means):
+        buckets = jnp.argmax(samples @ means.T, axis=1)
+        onehot = jax.nn.one_hot(buckets, k, dtype=samples.dtype)
+        bins = onehot.sum(axis=0)
+        new = _l2norm((onehot.T @ samples) / jnp.maximum(bins, 1.0)[:, None])
+        return jnp.where((bins == 0)[:, None], means, new)
+
+    means = jax.lax.fori_loop(0, iters, body, means)
+    bins = jax.nn.one_hot(
+        jnp.argmax(samples @ means.T, axis=1), k, dtype=samples.dtype
+    ).sum(axis=0)
+    return means, bins
+
+
+class NormEMAVectorQuantizer(nn.Module):
+    """Cosine EMA codebook VQ (quantizer.py:131-215), TPU-native.
+
+    Codebook state (weight / cluster_size / initted) lives in the mutable
+    "quantizer" collection: training applies must pass
+    mutable=["quantizer"] (and an rng "quantizer" for the k-means init on
+    the first batch) and thread the returned state — the functional form
+    of the reference's in-place EMA buffers. All scatter-style updates are
+    one-hot matmuls. The straight-through estimator and the beta commit
+    loss match the reference exactly.
+    """
+
+    num_tokens: int = 1024
+    codebook_dim: int = 256
+    beta: float = 1.0
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, z: jax.Array, *, train: bool = False):
+        n, d = self.num_tokens, self.codebook_dim
+        z = _l2norm(z.astype(jnp.float32))
+        zf = z.reshape(-1, d)
+
+        weight = self.variable(
+            "quantizer", "weight", lambda: jnp.zeros((n, d), jnp.float32))
+        cluster = self.variable(
+            "quantizer", "cluster_size", lambda: jnp.zeros((n,), jnp.float32))
+        initted = self.variable(
+            "quantizer", "initted", lambda: jnp.zeros((), jnp.bool_))
+
+        writable = self.is_mutable_collection("quantizer") \
+            and not self.is_initializing()
+        if train and writable:
+            # k-means init on the first training batch (EmbeddingEMA
+            # kmeans_init=True path, quantizer.py:96-105)
+            key = (self.make_rng("quantizer") if self.has_rng("quantizer")
+                   else jax.random.key(0))
+            km_w, km_bins = _kmeans_cosine(zf, n, 10, key)
+            fresh = jnp.logical_not(initted.value)
+            weight.value = jnp.where(fresh, km_w, weight.value)
+            cluster.value = jnp.where(fresh, km_bins, cluster.value)
+            initted.value = jnp.ones((), jnp.bool_)
+
+        w = weight.value
+        dist = (jnp.sum(zf * zf, axis=1, keepdims=True)
+                + jnp.sum(w * w, axis=1) - 2.0 * (zf @ w.T))
+        idx = jnp.argmin(dist, axis=1)
+        z_q = w[idx].reshape(z.shape)
+
+        if train and writable:
+            onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+            bins = onehot.sum(axis=0)
+            cluster.value = (self.decay * cluster.value
+                             + (1.0 - self.decay) * bins)
+            embed_sum = zf.T @ onehot  # (d, n)
+            embed_norm = _l2norm(
+                (embed_sum / jnp.maximum(bins, 1.0)[None, :]).T)
+            embed_norm = jnp.where(
+                (bins == 0)[:, None], w, embed_norm)
+            weight.value = _l2norm(
+                self.decay * w + (1.0 - self.decay) * embed_norm)
+
+        loss = self.beta * jnp.mean(
+            jnp.square(jax.lax.stop_gradient(z_q) - z))
+        z_q = z + jax.lax.stop_gradient(z_q - z)  # straight-through
+        return z_q, loss, idx.reshape(z.shape[:-1])
+
+
+class BEATsTokenizer(nn.Module):
+    """BEATs acoustic tokenizer (Tokenizers.py:73-173): the encoder tower,
+    a Linear-Tanh-Linear projection, and the NormEMA VQ. `extract_labels`
+    (the reference's API for generating audio-pretrain distillation
+    targets) is the code-index output."""
+
+    cfg: BEATsConfig
+    quant_n: int = 1024
+    quant_dim: int = 256
+
+    @nn.compact
+    def __call__(self, fbank: jax.Array, *, train: bool = False):
+        tokens, _ = BEATsEncoder(self.cfg, name="encoder")(fbank)
+        dt = jnp.dtype(self.cfg.dtype)
+        pdt = jnp.dtype(self.cfg.param_dtype)
+        q = nn.Dense(self.cfg.encoder_embed_dim, dtype=dt, param_dtype=pdt,
+                     name="quantize_layer_0")(tokens)
+        q = jnp.tanh(q)
+        q = nn.Dense(self.quant_dim, dtype=dt, param_dtype=pdt,
+                     name="quantize_layer_2")(q)
+        return NormEMAVectorQuantizer(
+            num_tokens=self.quant_n, codebook_dim=self.quant_dim,
+            beta=1.0, name="quantize",
+        )(q, train=train)
+
+    def extract_labels(self, fbank: jax.Array) -> jax.Array:
+        """(B, frames, mels) -> (B, N) code indices (Tokenizers.py:138-173)."""
+        return self(fbank)[2]

@@ -522,6 +522,32 @@ def convert_beats(sd, num_layers: int = 12) -> dict:
     return {"params": p}
 
 
+def convert_beats_tokenizer(sd, num_layers: int = 12) -> dict:
+    """BEATs acoustic-tokenizer state dict (backbones/beats/Tokenizers.py)
+    -> flax variables: params (encoder + quantize_layer projections) plus
+    the "quantizer" collection (codebook weight / cluster_size / initted)
+    consumed by models.beats.NormEMAVectorQuantizer."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    enc = convert_beats(sd, num_layers)["params"]
+    params = {
+        "encoder": enc,
+        "quantize_layer_0": _linear(sd, "quantize_layer.0"),
+        "quantize_layer_2": _linear(sd, "quantize_layer.2"),
+    }
+    n = sd["quantize.embedding.weight"].shape[0]
+    quantizer = {
+        "quantize": {
+            "weight": sd["quantize.embedding.weight"].astype(np.float32),
+            "cluster_size": sd.get(
+                "quantize.embedding.cluster_size",
+                sd.get("quantize.cluster_size", np.zeros(n, np.float32)),
+            ).astype(np.float32),
+            "initted": np.asarray(True),
+        }
+    }
+    return {"params": params, "quantizer": quantizer}
+
+
 # ---------------------------------------------------------------------------
 # HF-layout MLA LLM (Qwen3-VL-MLA / DeepSeek-style naming) <-> MLATransformer
 # ---------------------------------------------------------------------------

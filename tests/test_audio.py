@@ -222,3 +222,40 @@ def test_av_clip_train_step_all_media():
         assert np.isfinite(last)
         assert last < first, (media, first, last)
         assert {"loss_vtc", "loss_vtm", "loss_mlm"} <= set(m)
+
+
+def test_beats_tokenizer_kmeans_init_and_labels():
+    """From-scratch tokenizer training path: first train batch k-means-
+    initializes the codebook (initted flips), EMA updates move it, and
+    extract_labels yields in-range codes."""
+    import jax
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.beats import BEATsConfig, BEATsTokenizer
+
+    cfg = BEATsConfig(
+        input_patch_size=8, embed_dim=16, encoder_embed_dim=24,
+        encoder_ffn_embed_dim=48, encoder_layers=1,
+        encoder_attention_heads=4, conv_pos=16, conv_pos_groups=4,
+        num_buckets=16, max_distance=8,
+    )
+    model = BEATsTokenizer(cfg, quant_n=12, quant_dim=8)
+    fbank = jax.random.normal(jax.random.key(0), (2, 16, 32))
+    variables = model.init(
+        {"params": jax.random.key(1), "quantizer": jax.random.key(2)},
+        fbank, train=True)
+    assert not bool(variables["quantizer"]["quantize"]["initted"])
+
+    (zq, loss, idx), updated = model.apply(
+        variables, fbank, train=True,
+        rngs={"quantizer": jax.random.key(3)}, mutable=["quantizer"])
+    q = updated["quantizer"]["quantize"]
+    assert bool(q["initted"])
+    assert float(jnp.sum(jnp.abs(q["weight"]))) > 0
+    assert float(loss) >= 0
+    assert idx.shape == (2, fbank.shape[1] // 8 * (32 // 8))
+    assert int(idx.min()) >= 0 and int(idx.max()) < 12
+
+    # eval labels through the updated state
+    labels = model.apply(updated | {"params": variables["params"]}, fbank)[2]
+    assert labels.shape == idx.shape

@@ -460,3 +460,106 @@ def test_uniformerv2_parity():
     np.testing.assert_allclose(
         np.asarray(out), r.numpy(), atol=1e-4, rtol=1e-3
     )
+
+
+def test_beats_tokenizer_and_vq_parity():
+    """Acoustic tokenizer (Tokenizers.py:73-173) + NormEMA VQ
+    (quantizer.py:131-215) vs the reference torch modules: eval forward
+    (codes/quantized/loss) through the converted checkpoint, and one
+    training step of the EMA codebook update."""
+    import sys
+
+    import torch
+
+    q_mod = load_reference_module(
+        "InternVideo2/multi_modality/models/backbones/beats/quantizer.py")
+    bb_mod = load_reference_module(
+        "InternVideo2/multi_modality/models/backbones/beats/backbone.py")
+    sys.modules["backbone"] = bb_mod
+    sys.modules["quantizer"] = q_mod
+    try:
+        tok_mod = load_reference_module(
+            "InternVideo2/multi_modality/models/backbones/beats/Tokenizers.py")
+    finally:
+        del sys.modules["backbone"], sys.modules["quantizer"]
+
+    torch.manual_seed(0)
+    layers, heads = 2, 4
+    rcfg = tok_mod.TokenizersConfig({
+        "input_patch_size": 8, "embed_dim": 24, "encoder_embed_dim": 32,
+        "encoder_ffn_embed_dim": 64, "encoder_layers": layers,
+        "encoder_attention_heads": heads, "conv_pos": 16,
+        "conv_pos_groups": 4, "relative_position_embedding": True,
+        "num_buckets": 32, "max_distance": 16, "gru_rel_pos": True,
+        "deep_norm": True, "layer_norm_first": False, "dropout": 0.0,
+        "attention_dropout": 0.0, "activation_dropout": 0.0,
+        "dropout_input": 0.0, "encoder_layerdrop": 0.0,
+        "quant_n": 24, "quant_dim": 8,
+    })
+    ref = tok_mod.Tokenizers(rcfg).eval()
+    # initialize the codebook as a released checkpoint would be: l2-normed
+    # random, initted
+    with torch.no_grad():
+        w = torch.randn(24, 8)
+        w = torch.nn.functional.normalize(w, p=2, dim=-1)
+        ref.quantize.embedding.weight.copy_(w)
+        ref.quantize.embedding.initted.fill_(1)
+
+    rng = np.random.RandomState(3)
+    fbank = rng.randn(2, 32, 32).astype(np.float32)
+
+    # reference extract_labels body minus the torchaudio preprocess
+    # (Tokenizers.py:138-173)
+    with torch.no_grad():
+        t = torch.from_numpy(fbank).unsqueeze(1)
+        feats = ref.patch_embedding(t)
+        feats = feats.reshape(feats.shape[0], feats.shape[1], -1)
+        feats = feats.transpose(1, 2)
+        feats = ref.layer_norm(feats)
+        feats = ref.post_extract_proj(feats)
+        x, _ = ref.encoder(feats, padding_mask=None)
+        qin = ref.quantize_layer(x)
+        r_zq, r_loss, r_idx = ref.quantize(qin)
+
+    from internvideo_tpu.models.beats import BEATsConfig, BEATsTokenizer
+    from internvideo_tpu.models.convert import convert_beats_tokenizer
+
+    cfg = BEATsConfig(
+        input_patch_size=8, embed_dim=24, encoder_embed_dim=32,
+        encoder_ffn_embed_dim=64, encoder_layers=layers,
+        encoder_attention_heads=heads, conv_pos=16, conv_pos_groups=4,
+        num_buckets=32, max_distance=16,
+    )
+    model = BEATsTokenizer(cfg, quant_n=24, quant_dim=8)
+    variables = convert_beats_tokenizer(
+        torch_state_dict_to_numpy(ref.state_dict()), num_layers=layers)
+    zq, loss, idx = model.apply(variables, fbank)
+    np.testing.assert_array_equal(np.asarray(idx), r_idx.reshape(2, -1).numpy())
+    np.testing.assert_allclose(
+        np.asarray(zq), r_zq.numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(loss), float(r_loss), atol=1e-5)
+
+    # --- EMA codebook update parity (one training forward of the VQ) ---
+    import jax.numpy as jnp
+
+    from internvideo_tpu.models.beats import NormEMAVectorQuantizer
+
+    z = rng.randn(6, 8).astype(np.float32)
+    ref_vq = q_mod.NormEMAVectorQuantizer(
+        n_embed=24, embedding_dim=8, beta=1.0, kmeans_init=False,
+        decay=0.9).train()
+    with torch.no_grad():
+        ref_vq.embedding.weight.copy_(w)
+        ref_vq.embedding.initted.fill_(1)
+    _ = ref_vq(torch.from_numpy(z))
+    ours = NormEMAVectorQuantizer(num_tokens=24, codebook_dim=8, decay=0.9)
+    state = {"quantizer": {
+        "weight": jnp.asarray(w.numpy()),
+        "cluster_size": jnp.zeros(24),
+        "initted": jnp.asarray(True),
+    }}
+    (_, _, _), new_state = ours.apply(
+        state, jnp.asarray(z), train=True, mutable=["quantizer"])
+    np.testing.assert_allclose(
+        np.asarray(new_state["quantizer"]["weight"]),
+        ref_vq.embedding.weight.detach().numpy(), atol=1e-5, rtol=1e-5)
