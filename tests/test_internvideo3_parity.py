@@ -61,11 +61,13 @@ def ref_vision_mod():
     import types
 
     def smod(name, **attrs):
-        m = types.ModuleType(name)
+        # update attrs even when another parity fixture already stubbed
+        # this dotted name (the fixtures share the xtuner.* namespace and
+        # run in whatever order the suite schedules them)
+        m = sys.modules.setdefault(name, types.ModuleType(name))
         for k, v in attrs.items():
             setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
+        return m
 
     import logging
 

@@ -70,11 +70,13 @@ def ref_mods():
     import types
 
     def smod(name, **attrs):
-        m = types.ModuleType(name)
+        # update attrs even when another parity fixture already stubbed
+        # this dotted name (the fixtures share the xtuner.* namespace and
+        # run in whatever order the suite schedules them)
+        m = sys.modules.setdefault(name, types.ModuleType(name))
         for k, v in attrs.items():
             setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
+        return m
 
     class _Param:  # cyclopts.Parameter used inside Annotated[...]
         def __init__(self, *a, **k):
