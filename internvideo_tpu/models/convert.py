@@ -522,6 +522,101 @@ def convert_beats(sd, num_layers: int = 12) -> dict:
     return {"params": p}
 
 
+def convert_internvit(sd, *, depth: int, prefix: str = "") -> dict:
+    """InternViT vision checkpoint (HF `InternVLVisionModel` naming, which
+    the reference's compose vision subclasses —
+    xtuner/v1/model/compose/intern_s1/modeling_vision.py:57-275 /
+    compose/internvl/modeling_vision.py) -> our InternVideo2 encoder
+    params (T=1). Handles both norm flavors: InternVL's layer_norm blocks
+    (no qk-norm) and Intern-S1's rms_norm + use_qk_norm=True.
+
+    The model-level final `layernorm` is Identity under use_mean_pooling
+    (the compose default); a non-identity final norm is rejected loudly.
+    """
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items()
+              if k.startswith(prefix)}
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if "layernorm.weight" in sd:
+        raise NotImplementedError(
+            "InternViT with a final layernorm (use_mean_pooling=False) is "
+            "not supported by the compose path"
+        )
+    p: dict = {}
+    w = sd["embeddings.patch_embeddings.projection.weight"]  # (D, 3, p, p)
+    d = w.shape[0]
+    kernel = np.ascontiguousarray(
+        w[:, :, None].transpose(2, 3, 4, 1, 0).reshape(-1, d))
+    p["patch_embed"] = {"proj": {"kernel": kernel}}
+    if "embeddings.patch_embeddings.projection.bias" in sd:
+        p["patch_embed"]["proj"]["bias"] = sd[
+            "embeddings.patch_embeddings.projection.bias"]
+    p["cls_token"] = sd["embeddings.cls_token"]
+    if "embeddings.position_embeddings" in sd:
+        p["pos_embed"] = sd["embeddings.position_embeddings"][0]
+
+    for i in range(depth):
+        b = f"encoder.layer.{i}"
+        if f"{b}.attention.q_proj.weight" not in sd and \
+                f"layer.{i}.attention.q_proj.weight" in sd:
+            b = f"layer.{i}"  # the xtuner subclass flattens `encoder.`
+        ln = f"{b}.layernorm_before.bias" in sd
+        norm = _layernorm if ln else _rmsnorm
+        qw = sd[f"{b}.attention.q_proj.weight"]
+        kw = sd[f"{b}.attention.k_proj.weight"]
+        vw = sd[f"{b}.attention.v_proj.weight"]
+        attn = {
+            # separate q/k/v projections fold into our flat (D, 3D) qkv
+            "qkv": {"kernel": np.ascontiguousarray(
+                np.concatenate([qw.T, kw.T, vw.T], axis=1))},
+            "proj": _linear(sd, f"{b}.attention.projection_layer"),
+        }
+        if f"{b}.attention.q_proj.bias" in sd:
+            attn["qkv"]["bias"] = np.concatenate([
+                sd[f"{b}.attention.q_proj.bias"],
+                sd[f"{b}.attention.k_proj.bias"],
+                sd[f"{b}.attention.v_proj.bias"],
+            ])
+        if f"{b}.attention.q_norm.weight" in sd:
+            attn["q_norm"] = _rmsnorm(sd, f"{b}.attention.q_norm")
+            attn["k_norm"] = _rmsnorm(sd, f"{b}.attention.k_norm")
+        p[f"blocks_{i}"] = {
+            "attn": attn,
+            "norm1": norm(sd, f"{b}.layernorm_before"),
+            "norm2": norm(sd, f"{b}.layernorm_after"),
+            "ls1": {"gamma": sd[f"{b}.lambda_1"]},
+            "ls2": {"gamma": sd[f"{b}.lambda_2"]},
+            "mlp": {
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            },
+        }
+    return {"params": p}
+
+
+def convert_internvl(sd, cfg) -> dict:
+    """Full InternVL/Intern-S1 compose checkpoint -> InternVLChat params:
+    model.vision_tower.* via convert_internvit, model.multi_modal_projector.*
+    (layer_norm + linear_1/linear_2 -> mlp1_*), model.language_model.* via
+    the MLA LLM bridge (an M2LA-converted text dict; use
+    models/mla_convert.dense_gqa_to_mla first for stock GQA checkpoints).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    vt = "model.vision_tower."
+    pj = "model.multi_modal_projector."
+    params = convert_internvit(
+        sd, depth=cfg.vision.depth, prefix=vt)["params"]
+    out = {
+        "vision_tower": params,
+        "mlp1_norm": _layernorm(sd, pj + "layer_norm"),
+        "mlp1_fc1": _linear(sd, pj + "linear_1"),
+        "mlp1_fc2": _linear(sd, pj + "linear_2"),
+    }
+    if any(k.startswith("model.language_model.") for k in sd):
+        out["language_model"] = convert_hf_mla_llm(sd, cfg.text)["params"]
+    return {"params": out}
+
+
 def convert_beats_tokenizer(sd, num_layers: int = 12) -> dict:
     """BEATs acoustic-tokenizer state dict (backbones/beats/Tokenizers.py)
     -> flax variables: params (encoder + quantize_layer projections) plus

@@ -286,6 +286,7 @@ def _fwd(
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=_MAIN_PARAMS,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -947,6 +948,11 @@ _SMALL_S_MAX = 1024
 _SMALL_S_VMEM_LIMIT = 48 * 1024 * 1024
 _SMALL_S_VMEM_BUDGET = 40 * 1024 * 1024
 _SMALL_S_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_SMALL_S_VMEM_LIMIT)
+
+# Main-kernel scoped-vmem override (None = compiler default 16M). Raised
+# limits let block shapes above 1024x1024 compile — measured on-chip
+# before adoption (see PERF.md); experiments set this via monkeypatch.
+_MAIN_PARAMS = None
 
 
 def _ss_cq(s: int) -> int:
