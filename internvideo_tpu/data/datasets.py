@@ -216,3 +216,102 @@ class JsonlVideoTextDataset:
                 "attention_mask": toks["attention_mask"],
                 "idx": np.asarray(idxs, np.int32),
             }
+
+
+def answers_with_weights(raw_answers, eos: str = "[SEP]"):
+    """Open-ended VQA answer aggregation (multi_modality/dataset/
+    qa_dataset.py:29-42): duplicate answers fold into weights 1/n each,
+    and every answer is suffixed with the eos token."""
+    if isinstance(raw_answers, str):
+        raw_answers = [raw_answers]
+    weight = {}
+    for a in raw_answers:
+        weight[a] = weight.get(a, 0.0) + 1.0 / len(raw_answers)
+    answers = list(weight.keys())
+    return [f"{a} {eos}" for a in answers], [weight[a] for a in answers]
+
+
+class VideoQADataset:
+    """Open-ended video QA (multi_modality/dataset/qa_dataset.py:10-90):
+    jsonl rows {"video", "question", "answer"(str|list),
+    "question_id"(eval)}. Train mode yields per-item (clip, question,
+    answers, weights); eval mode (clip, question, question_id) with the
+    candidate `answer_list` attached — the shapes `eval/openend_vqa.py`'s
+    classifier head consumes.
+    """
+
+    def __init__(
+        self,
+        ann_path: str,
+        *,
+        num_frames: int = 4,
+        img_size: int = 224,
+        mode: str = "train",
+        eos: str = "[SEP]",
+        answer_list: Optional[Sequence[str]] = None,
+        seed: int = 0,
+    ):
+        assert mode in ("train", "eval")
+        with open(ann_path) as f:
+            self.items = [json.loads(line) for line in f if line.strip()]
+        self.num_frames = num_frames
+        self.img_size = img_size
+        self.mode = mode
+        self.eos = eos
+        self.answer_list = list(answer_list) if answer_list else None
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, i: int):
+        ann = self.items[i]
+        rng = np.random.default_rng(self.seed + i)
+        clip = read_video(
+            ann["video"], self.num_frames,
+            sample="rand" if self.mode == "train" else "middle", rng=rng,
+        )
+        clip = (
+            transforms.random_resized_crop(
+                clip, self.img_size, rng, scale=(0.5, 1.0))
+            if self.mode == "train"
+            else transforms.center_crop(
+                transforms.resize_short_side(clip, self.img_size),
+                self.img_size)
+        )
+        clip = transforms.normalize(np.ascontiguousarray(clip))
+        question = " ".join(str(ann["question"]).strip().split())
+        if self.mode == "train":
+            answers, weights = answers_with_weights(ann["answer"], self.eos)
+            return {
+                "video": clip, "question": question,
+                "answers": answers, "weights": np.asarray(weights,
+                                                          np.float32),
+            }
+        return {
+            "video": clip, "question": question,
+            "question_id": ann.get("question_id", i),
+        }
+
+
+class WeightedConcatDataset:
+    """Weighted concat of indexable datasets (multi_modality/dataset/
+    resample_concat_dataset.py:18-60): each source's length is scaled by
+    an integer sample weight, so one epoch resamples hotter sources more
+    often. Index math mirrors cumsum_with_sample_weight."""
+
+    def __init__(self, datasets: Sequence, sample_weights: Sequence[int]):
+        assert len(datasets) == len(sample_weights) and datasets
+        assert all(int(w) == w and w >= 1 for w in sample_weights)
+        self.datasets = list(datasets)
+        self.weights = [int(w) for w in sample_weights]
+        self.cum = np.cumsum(
+            [len(d) * w for d, w in zip(self.datasets, self.weights)])
+
+    def __len__(self) -> int:
+        return int(self.cum[-1])
+
+    def __getitem__(self, idx: int):
+        ds = int(np.searchsorted(self.cum, idx, side="right"))
+        base = 0 if ds == 0 else int(self.cum[ds - 1])
+        return self.datasets[ds][(idx - base) % len(self.datasets[ds])]

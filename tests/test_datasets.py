@@ -121,3 +121,56 @@ def test_corpus_build_datasets(tmp_path, monkeypatch):
                               img_size=28)["toy"]
     batch = next(ds.batches(1))
     assert batch["video"].shape == (1, 4, 28, 28, 3)
+
+
+def test_video_qa_dataset_and_weights(tmp_path):
+    import json
+
+    import numpy as np
+
+    from internvideo_tpu.data.datasets import (
+        VideoQADataset,
+        answers_with_weights,
+    )
+
+    # answer aggregation matches qa_dataset.py semantics
+    answers, weights = answers_with_weights(["cat", "cat", "dog"])
+    assert answers == ["cat [SEP]", "dog [SEP]"]
+    np.testing.assert_allclose(weights, [2 / 3, 1 / 3])
+    a1, w1 = answers_with_weights("yes")
+    assert a1 == ["yes [SEP]"] and w1 == [1.0]
+
+    vid = tmp_path / "v.npy"
+    np.save(vid, np.zeros((6, 32, 32, 3), np.uint8))
+    ann = tmp_path / "qa.jsonl"
+    rows = [
+        {"video": str(vid), "question": "what  is this?",
+         "answer": ["a cat", "a cat", "a dog"]},
+        {"video": str(vid), "question": "how many?", "answer": "two",
+         "question_id": 7},
+    ]
+    ann.write_text("\n".join(json.dumps(r) for r in rows))
+
+    train = VideoQADataset(str(ann), num_frames=2, img_size=16)
+    item = train[0]
+    assert item["video"].shape == (2, 16, 16, 3)
+    assert item["question"] == "what is this?"
+    assert item["answers"] == ["a cat [SEP]", "a dog [SEP]"]
+
+    ev = VideoQADataset(str(ann), num_frames=2, img_size=16, mode="eval",
+                        answer_list=["a cat", "a dog", "two"])
+    assert ev[1]["question_id"] == 7
+    assert ev.answer_list == ["a cat", "a dog", "two"]
+
+
+def test_weighted_concat_dataset():
+    from internvideo_tpu.data.datasets import WeightedConcatDataset
+
+    a = [f"a{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(2)]
+    ds = WeightedConcatDataset([a, b], [2, 3])
+    assert len(ds) == 3 * 2 + 2 * 3
+    got = [ds[i] for i in range(len(ds))]
+    # resampled regions: first 6 from a (cycled), last 6 from b (cycled)
+    assert got[:6] == ["a0", "a1", "a2", "a0", "a1", "a2"]
+    assert got[6:] == ["b0", "b1", "b0", "b1", "b0", "b1"]
