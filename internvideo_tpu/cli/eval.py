@@ -10,6 +10,7 @@ retrieval_mc.py, InternVideo3_eval shell suite).
 
 Tasks:
   retrieval       VideoCLIP ITC + cross-encoder rerank -> R@K/mdR/mnR
+  zeroshot        prompt-ensembled zero-shot action classification
   classification  encoder multi-view softmax-ensemble -> top-1/top-5
   mcqa            multiple-choice retrieval accuracy
   videoqa         generation-based QA accuracy (eval/videoqa.py scorers)
@@ -125,6 +126,68 @@ def run_retrieval(run: EvalRunConfig) -> dict:
     return itm_eval(s_v2t, s_t2v, gt_v, gt_t)
 
 
+def run_zeroshot(run: EvalRunConfig) -> dict:
+    """Zero-shot action classification: prompt-template text ensembling
+    against a stage-2 VideoCLIP (reference text_prompt.py templates +
+    zero-shot demo flow). `run.data()` -> (class_names, tokenize_fn,
+    batches); tokenize_fn(texts) -> {"input_ids", "attention_mask"}."""
+    import jax
+
+    from internvideo_tpu.eval.zeroshot import (
+        build_zero_shot_classifier,
+        zero_shot_eval,
+    )
+    from internvideo_tpu.models.convert import convert_internvideo2_stage2
+    from internvideo_tpu.models.videoclip import VideoCLIP
+
+    model = VideoCLIP(run.model)
+    class_names, tokenize_fn, batches = run.data()
+    sample = tokenize_fn(["a"])
+    init = jax.jit(
+        lambda v, i, m: model.init(
+            jax.random.key(0), v, i, m, init_all_branches=True
+        )
+    )
+    first = next(iter(batches))
+    params = init(first["video"][:1], sample["input_ids"],
+                  sample["attention_mask"])
+    params = _load_params(
+        model, params, run.checkpoint,
+        lambda sd: convert_internvideo2_stage2(
+            sd, depth=run.model.vision.depth,
+            clip_return_layers=(
+                run.model.pretrain.clip_return_layers
+                if run.model.pretrain is not None else 0
+            ),
+            text_layers=run.model.text.num_layers,
+        ),
+    )
+
+    @jax.jit
+    def _txt(ids, mask):
+        _, pooled = model.apply(params, ids, mask, method="encode_text")
+        return model.apply(params, pooled, method=lambda m, x: m.text_proj(x))
+
+    def encode_texts(texts):
+        t = tokenize_fn(texts)
+        return _txt(t["input_ids"], t["attention_mask"])
+
+    @jax.jit
+    def encode_video(video):
+        out = model.apply(params, video, method="encode_vision")
+        return model.apply(params, out[1],
+                           method=lambda m, x: m.vision_proj(x))
+
+    classifier = build_zero_shot_classifier(
+        encode_texts, class_names,
+        **{k: v for k, v in run.options.items() if k == "templates"},
+    )
+    import itertools
+
+    return zero_shot_eval(
+        encode_video, classifier, itertools.chain([first], batches))
+
+
 def run_classification(run: EvalRunConfig) -> dict:
     import jax
 
@@ -213,6 +276,7 @@ def run_grounding(run: EvalRunConfig) -> dict:
 
 TASKS = {
     "retrieval": run_retrieval,
+    "zeroshot": run_zeroshot,
     "classification": run_classification,
     "mcqa": run_mcqa,
     "videoqa": run_videoqa,

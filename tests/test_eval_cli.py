@@ -49,3 +49,9 @@ def test_mcqa_map_metric():
     # anti-correlated scores -> low mAP
     bad = -np.eye(4) * 5
     assert multiple_choice_map(bad, answers) < 60.0
+
+
+def test_eval_cli_zeroshot():
+    out = _run("eval_zeroshot_tiny.py")
+    assert out["task"] == "zeroshot"
+    assert 0 <= out["top1"] <= 100 and out["n"] == 6
