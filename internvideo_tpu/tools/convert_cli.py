@@ -99,6 +99,18 @@ def convert(kind: str, sd: dict, args) -> dict:
         return C.convert_mobileclip_text(sd, num_layers=args.text_layers)
     if kind == "beats":
         return C.convert_beats(sd, num_layers=args.depth)
+    if kind == "beats_tokenizer":
+        return C.convert_beats_tokenizer(sd, num_layers=args.depth)
+    if kind == "internvit":
+        return C.convert_internvit(sd, depth=args.depth)
+    if kind == "internvideo3":
+        from internvideo_tpu.models import presets
+
+        return C.convert_internvideo3(sd, getattr(presets, args.preset)())
+    if kind == "internvl":
+        from internvideo_tpu.models import presets
+
+        return C.convert_internvl(sd, getattr(presets, args.preset)())
     if kind == "hf_mla_llm":
         from internvideo_tpu.models import presets
 
@@ -115,7 +127,8 @@ def convert(kind: str, sd: dict, args) -> dict:
 KINDS = (
     "internvideo2_encoder", "internvideo2_pretrain", "internvideo2_stage2",
     "internvl_clip_teacher", "videomae_teacher", "hf_bert",
-    "mobileclip_text", "beats", "hf_mla_llm", "hf_gqa_llm",
+    "mobileclip_text", "beats", "beats_tokenizer", "internvit",
+    "internvideo3", "internvl", "hf_mla_llm", "hf_gqa_llm",
 )
 
 
@@ -128,7 +141,8 @@ def main(argv=None):
     ap.add_argument("--clip-return-layers", type=int, default=6)
     ap.add_argument("--text-layers", type=int, default=24)
     ap.add_argument("--preset", default="qwen3_8b_mla",
-                    help="models/presets name (hf_mla_llm)")
+                    help="models/presets name (hf_mla_llm / internvideo3 /"
+                         " internvl kinds)")
     args = ap.parse_args(argv)
 
     sd = load_state_dict(args.src)
