@@ -274,6 +274,117 @@ def convert_mobileclip_text(
 
 
 # ---------------------------------------------------------------------------
+# ViCLIP (Data/InternVid/viclip) -> models/viclip.ViCLIP
+# ---------------------------------------------------------------------------
+
+
+def convert_viclip_vision(
+    sd: Mapping[str, np.ndarray], *, depth: int, prefix: str = "",
+) -> dict:
+    """viclip_vision.py VisionTransformer state_dict -> InternVideo2 params
+    (viclip preset: ln_pre, cls_proj pool, no LayerScale/qk-norm).
+
+    Pos embed: the reference adds spatial PE per frame and temporal PE per
+    patch (viclip_vision.py:162-180); both fold into our single
+    (1 + T*N, D) table — row[1 + t*N + n] = spatial[1+n] + temporal[t]
+    (our token order is time-major; joint attention is order-invariant,
+    so only the table layout must match our own ordering).
+    """
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    w = sd["conv1.weight"]  # (D, 3, kt, p, p), bias-free in the reference
+    d = w.shape[0]
+    p: dict = {
+        "patch_embed": {"proj": {
+            "kernel": np.ascontiguousarray(
+                w.transpose(2, 3, 4, 1, 0).reshape(-1, d)
+            ),
+            "bias": np.zeros(d, w.dtype),
+        }},
+        "cls_token": sd["class_embedding"].reshape(1, 1, d),
+        "ln_pre": _layernorm(sd, "ln_pre"),
+        "ln_post": _layernorm(sd, "ln_post"),
+        "proj": sd["proj"],  # used as x @ proj in both frameworks
+    }
+    spatial = sd["positional_embedding"]  # (N+1, D)
+    temporal = sd["temporal_positional_embedding"][0]  # (T, D)
+    grid = spatial[None, 1:, :] + temporal[:, None, :]  # (T, N, D)
+    p["pos_embed"] = np.concatenate(
+        [spatial[:1], grid.reshape(-1, d)], axis=0
+    )
+    for i in range(depth):
+        b = f"transformer.resblocks.{i}"
+        p[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{b}.ln_1"),
+            "norm2": _layernorm(sd, f"{b}.ln_2"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.ascontiguousarray(
+                        sd[f"{b}.attn.in_proj_weight"].T
+                    ),
+                    "bias": sd[f"{b}.attn.in_proj_bias"],
+                },
+                "proj": _linear(sd, f"{b}.attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _linear(sd, f"{b}.mlp.c_fc"),
+                "fc2": _linear(sd, f"{b}.mlp.c_proj"),
+            },
+        }
+    return {"params": p}
+
+
+def convert_clip_text(
+    sd: Mapping[str, np.ndarray], *, num_layers: int, prefix: str = "",
+) -> dict:
+    """OpenAI-CLIP text transformer state_dict (viclip_text.py CLIP_TEXT)
+    -> CLIPTextEncoder params."""
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    w = sd["token_embedding.weight"]
+    d = w.shape[1]
+    p: dict = {
+        "token_embedding": {"embedding": w},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": _layernorm(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+    }
+    for i in range(num_layers):
+        b = f"transformer.resblocks.{i}"
+        p[f"attn_qkv_{i}"] = {
+            "kernel": np.ascontiguousarray(
+                sd[f"{b}.attn.in_proj_weight"].T
+            ).reshape(d, 3, d),
+            "bias": sd[f"{b}.attn.in_proj_bias"].reshape(3, d),
+        }
+        p[f"attn_proj_{i}"] = _linear(sd, f"{b}.attn.out_proj")
+        p[f"ln_1_{i}"] = _layernorm(sd, f"{b}.ln_1")
+        p[f"ln_2_{i}"] = _layernorm(sd, f"{b}.ln_2")
+        p[f"mlp_fc_{i}"] = _linear(sd, f"{b}.mlp.c_fc")
+        p[f"mlp_proj_{i}"] = _linear(sd, f"{b}.mlp.c_proj")
+    return {"params": p}
+
+
+def convert_viclip(
+    sd: Mapping[str, np.ndarray], *, depth: int = 24, text_layers: int = 12,
+) -> dict:
+    """Full ViCLIP checkpoint (viclip.py:17-90 `state_dict['model']`) ->
+    models/viclip.ViCLIP params (viclip_config preset, use_vision_proj=
+    False). `temp` is a plain temperature clamped at 1/100; our model
+    stores log-scale, so logit_scale = ln(1/temp)."""
+    p = {
+        "vision_encoder": convert_viclip_vision(
+            sd, depth=depth, prefix="vision_encoder."
+        )["params"],
+        "text_encoder": convert_clip_text(
+            sd, num_layers=text_layers, prefix="text_encoder."
+        )["params"],
+        "logit_scale": np.log(1.0 / np.asarray(sd["temp"], np.float32)),
+    }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # BERT (HF naming) -> models/bert.BertModel
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,14 @@ class InternVideo2Config:
     param_dtype: str = "float32"
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style backbones
+    norm_eps: Optional[float] = None  # layernorm eps (CLIP lineage: 1e-5)
+    # CLIP-lineage towers (ViCLIP vision, viclip_vision.py:123) norm the
+    # token stream once before the blocks
+    ln_pre: bool = False
+    # "attn" = learned attention pooling (InternVideo2's clip_projector);
+    # "cls_proj" = ln_post -> cls token -> matmul projection (CLIP/ViCLIP,
+    # viclip_vision.py:192-195)
+    pool_type: str = "attn"
     # "gelu_tanh" = the tanh approximation the reference trains/serves with
     # when use_fused_mlp=True (flash-attn FusedMLP); "gelu" = exact erf
     mlp_act: str = "gelu"
@@ -199,6 +207,11 @@ class InternVideo2(nn.Module):
         )
         x = jnp.concatenate([cls, x], axis=1)
 
+        if cfg.ln_pre:
+            x = LayerNorm(
+                eps=cfg.norm_eps or 1e-5, dtype=dtype, name="ln_pre"
+            )(x)
+
         dp_rates = [
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
             for i in range(cfg.depth)
@@ -222,6 +235,7 @@ class InternVideo2(nn.Module):
                 param_dtype=param_dtype,
                 attn_impl=cfg.attn_impl,
                 norm_type=cfg.norm_type,
+                norm_eps=cfg.norm_eps,
                 mlp_act=cfg.mlp_act,
                 quant=cfg.quant,
                 name=f"blocks_{i}",
@@ -232,16 +246,34 @@ class InternVideo2(nn.Module):
                 hidden.append(x)
 
         pool_attn = None
-        pooled = AttentionPoolingBlock(
-            num_heads=cfg.attn_pool_num_heads,
-            out_dim=cfg.clip_embed_dim,
-            dtype=dtype,
-            param_dtype=param_dtype,
-            attn_impl="xla",  # single-query attention: XLA beats a flash pass
-            name="clip_projector",
-        )(x, return_attn=return_pool_attn)
-        if return_pool_attn:
-            pooled, pool_attn = pooled
+        if cfg.pool_type == "cls_proj":
+            # CLIP/ViCLIP head: ln_post on the cls token, then a bias-free
+            # matmul projection (viclip_vision.py:192-195). LayerNorm is
+            # per-token, so norming the slice equals slicing the norm.
+            h = LayerNorm(
+                eps=cfg.norm_eps or 1e-5, dtype=dtype, name="ln_post"
+            )(x[:, 0])
+            proj = self.param(
+                "proj",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(cfg.embed_dim ** -0.5),
+                    ("embed", "mlp"),
+                ),
+                (cfg.embed_dim, cfg.clip_embed_dim),
+                param_dtype,
+            )
+            pooled = h @ proj.astype(dtype)
+        else:
+            pooled = AttentionPoolingBlock(
+                num_heads=cfg.attn_pool_num_heads,
+                out_dim=cfg.clip_embed_dim,
+                dtype=dtype,
+                param_dtype=param_dtype,
+                attn_impl="xla",  # single-query attn: XLA beats a flash pass
+                name="clip_projector",
+            )(x, return_attn=return_pool_attn)
+            if return_pool_attn:
+                pooled, pool_attn = pooled
 
         logits = None
         if cfg.num_classes:

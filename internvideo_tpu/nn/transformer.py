@@ -90,7 +90,7 @@ class Mlp(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     # "gelu" = exact erf (reference eval path); "gelu_tanh" = the tanh
     # approximation the reference's production FusedMLP uses (≈2× cheaper
-    # on the VPU at bf16)
+    # on the VPU at bf16); "quick_gelu" = x·σ(1.702x) (CLIP/ViCLIP towers)
     act: str = "gelu"
     quant: Optional[str] = None
 
@@ -99,7 +99,10 @@ class Mlp(nn.Module):
         out_dim = self.out_dim or x.shape[-1]
         x = _dense(self.hidden_dim, "fc1", self.dtype, self.param_dtype,
                    logical=("embed", "mlp"), quant=self.quant)(x)
-        x = nn.gelu(x, approximate=(self.act == "gelu_tanh"))
+        if self.act == "quick_gelu":
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = nn.gelu(x, approximate=(self.act == "gelu_tanh"))
         # named for selective-remat policies: the post-gelu activation is
         # the single biggest tensor (B,S,mlp_ratio*D); saving or
         # offloading it removes the fc1 GEMM + gelu from the bwd replay
@@ -109,11 +112,14 @@ class Mlp(nn.Module):
         return x
 
 
-def _make_norm(norm_type: str, dtype, name: str):
+def _make_norm(norm_type: str, dtype, name: str, eps: Optional[float] = None):
     if norm_type == "rmsnorm":
         return RMSNorm(dtype=dtype, name=name)
     if norm_type == "layernorm":
-        return LayerNorm(eps=1e-6, dtype=dtype, name=name)
+        # 1e-6 = timm/VideoMAE convention; CLIP-lineage towers (ViCLIP)
+        # use torch's 1e-5 default — pass eps for checkpoint parity.
+        return LayerNorm(eps=1e-6 if eps is None else eps, dtype=dtype,
+                         name=name)
     raise ValueError(norm_type)
 
 
@@ -127,6 +133,7 @@ class Attention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"
+    norm_eps: Optional[float] = None
     quant: Optional[str] = None  # "int8" = Int8Dense serving projections
 
     @nn.compact
@@ -164,8 +171,10 @@ class Attention(nn.Module):
         else:
             q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
             if self.qk_normalization:
-                q = _make_norm(self.norm_type, self.dtype, "q_norm")(q)
-                k = _make_norm(self.norm_type, self.dtype, "k_norm")(k)
+                q = _make_norm(self.norm_type, self.dtype, "q_norm",
+                               self.norm_eps)(q)
+                k = _make_norm(self.norm_type, self.dtype, "k_norm",
+                               self.norm_eps)(k)
         q = q.reshape(b, s, self.num_heads, head_dim)
         k = k.reshape(b, s, self.num_heads, head_dim)
         v = v.reshape(b, s, self.num_heads, head_dim)
@@ -188,6 +197,7 @@ class Block(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     norm_type: str = "rmsnorm"  # "layernorm" for VideoMAE-style teachers
+    norm_eps: Optional[float] = None  # layernorm eps override (CLIP: 1e-5)
     mlp_act: str = "gelu"  # "gelu_tanh" = reference FusedMLP approx
     quant: Optional[str] = None  # "int8" serving projections (eval only)
 
@@ -202,9 +212,10 @@ class Block(nn.Module):
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             norm_type=self.norm_type,
+            norm_eps=self.norm_eps,
             quant=self.quant,
             name="attn",
-        )(_make_norm(self.norm_type, self.dtype, "norm1")(x))
+        )(_make_norm(self.norm_type, self.dtype, "norm1", self.norm_eps)(x))
         # named for selective-remat policies (save_only_these_names):
         # saving the attention output skips the whole attention fwd in the
         # backward replay at (B,S,D)-bf16 cost per layer
@@ -225,7 +236,7 @@ class Block(nn.Module):
             act=self.mlp_act,
             quant=self.quant,
             name="mlp",
-        )(_make_norm(self.norm_type, self.dtype, "norm2")(x))
+        )(_make_norm(self.norm_type, self.dtype, "norm2", self.norm_eps)(x))
         if self.init_values:
             h = LayerScale(self.init_values, dtype=self.dtype, name="ls2")(h)
         x = x + DropPath(self.drop_path, name="droppath2")(h, deterministic)

@@ -111,6 +111,10 @@ def convert(kind: str, sd: dict, args) -> dict:
         from internvideo_tpu.models import presets
 
         return C.convert_internvl(sd, getattr(presets, args.preset)())
+    if kind == "viclip":
+        return C.convert_viclip(
+            sd, depth=args.depth, text_layers=args.text_layers
+        )
     if kind == "hf_mla_llm":
         from internvideo_tpu.models import presets
 
@@ -128,7 +132,7 @@ KINDS = (
     "internvideo2_encoder", "internvideo2_pretrain", "internvideo2_stage2",
     "internvl_clip_teacher", "videomae_teacher", "hf_bert",
     "mobileclip_text", "beats", "beats_tokenizer", "internvit",
-    "internvideo3", "internvl", "hf_mla_llm", "hf_gqa_llm",
+    "internvideo3", "internvl", "viclip", "hf_mla_llm", "hf_gqa_llm",
 )
 
 
