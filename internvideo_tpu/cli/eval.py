@@ -16,6 +16,9 @@ Tasks:
   videoqa         generation-based QA accuracy (eval/videoqa.py scorers)
   mcq_benchmark   VideoMME/MVBench-class generation MCQ suites
   grounding       temporal grounding mIoU / R@{0.3,0.5,0.7}
+  temporal_detection  TAL decode+NMS -> mAP@tIoU (ANETdetection)
+  openset         OpenMax recalibration -> open-set accuracy
+  spatiotemporal  STAL ROI head -> AVA frame mAP
 
 `data` is a zero-arg callable returning the task's inputs (plug real
 dataset loaders; tiny configs ship synthetic ones for smoke/CI).
@@ -274,6 +277,57 @@ def run_grounding(run: EvalRunConfig) -> dict:
     return run_grounding_eval(queries, generate_fn, **run.options)
 
 
+def run_temporal_detection(run: EvalRunConfig) -> dict:
+    """TAL suite (ANETdetection protocol): data() -> (raw_outputs, gt);
+    raw_outputs: vid -> (scores (T,C), left (T,), right (T,)) anchor-free
+    head outputs; decode -> per-class NMS -> mAP@tIoU."""
+    import numpy as np
+
+    from internvideo_tpu.eval.temporal_detection import (
+        decode_proposals,
+        detection_map,
+        nms_proposals,
+    )
+
+    raw, gt = run.data()
+    opts = dict(run.options)
+    dec = {k: opts.pop(k) for k in
+           ("stride", "score_threshold", "max_per_class") if k in opts}
+    nms = {k: opts.pop(k) for k in
+           ("iou_threshold", "soft", "sigma", "max_keep") if k in opts}
+    preds = {}
+    for vid, (scores, left, right) in raw.items():
+        segs, sc, labs = decode_proposals(
+            np.asarray(scores), np.asarray(left), np.asarray(right), **dec
+        )
+        preds[vid] = nms_proposals(segs, sc, labs, **nms)
+    return detection_map(preds, gt, **opts)
+
+
+def run_openset(run: EvalRunConfig) -> dict:
+    """Open-set AR (OpenMax over the libMR port): data() ->
+    (train_feats, train_labels, train_logits, test_feats, test_logits,
+    test_labels) with -1 test labels marking unknown-class samples."""
+    from internvideo_tpu.eval.openset import OpenMax, openset_metrics
+
+    tr_f, tr_y, tr_z, te_f, te_z, te_y = run.data()
+    om = OpenMax(**{
+        k: v for k, v in run.options.items() if k in ("tail_size", "alpha")
+    }).fit(tr_f, tr_y, tr_z)
+    return openset_metrics(om.recalibrate(te_f, te_z), te_y)
+
+
+def run_spatiotemporal(run: EvalRunConfig) -> dict:
+    """STAL frame-mAP (AVA protocol): data() -> (apply_head,
+    features_by_frame, boxes_by_frame, ground_truth)."""
+    from internvideo_tpu.eval.spatiotemporal import evaluate_action_detector
+
+    apply_head, feats, boxes, gt = run.data()
+    return evaluate_action_detector(
+        apply_head, feats, boxes, gt, **run.options
+    )
+
+
 TASKS = {
     "retrieval": run_retrieval,
     "zeroshot": run_zeroshot,
@@ -282,6 +336,9 @@ TASKS = {
     "videoqa": run_videoqa,
     "mcq_benchmark": run_mcq_benchmark,
     "grounding": run_grounding,
+    "temporal_detection": run_temporal_detection,
+    "openset": run_openset,
+    "spatiotemporal": run_spatiotemporal,
 }
 
 

@@ -55,3 +55,25 @@ def test_eval_cli_zeroshot():
     out = _run("eval_zeroshot_tiny.py")
     assert out["task"] == "zeroshot"
     assert 0 <= out["top1"] <= 100 and out["n"] == 6
+
+
+def test_eval_cli_temporal_detection():
+    out = _run("eval_temporal_detection_tiny.py")
+    assert out["task"] == "temporal_detection"
+    # exact anchor-free regression at every event center -> perfect mAP
+    assert out["average_mAP"] > 0.9 and out["mAP@0.7"] > 0.9
+
+
+def test_eval_cli_openset():
+    out = _run("eval_openset_tiny.py")
+    assert out["task"] == "openset"
+    # far-from-every-mean samples must land in the unknown bucket
+    assert out["unknown_detection_rate"] > 0.8
+    assert out["closed_acc"] > 0.7 and out["open_acc"] > 0.7
+
+
+def test_eval_cli_spatiotemporal():
+    out = _run("eval_spatiotemporal_tiny.py")
+    assert out["task"] == "spatiotemporal"
+    # class signature embedded in each box region -> perfect frame mAP
+    assert out["frame_mAP@0.5"] > 0.9
