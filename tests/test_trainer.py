@@ -179,6 +179,8 @@ def test_all_shipped_configs_load():
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     paths = sorted(glob.glob(os.path.join(root, "*.py")))
     assert len(paths) >= 11, paths
+    from internvideo_tpu.cli.eval import TASKS as EVAL_TASKS
+
     for p in paths:
         cfg = load_config(p)
         assert isinstance(cfg, (RunConfig, EvalRunConfig)), p
@@ -187,10 +189,7 @@ def test_all_shipped_configs_load():
                 "finetune", "pretrain", "distill", "clip", "clip_av", "sft"
             )
         else:
-            assert cfg.task in (
-                "retrieval", "classification", "mcqa", "videoqa",
-                "mcq_benchmark", "grounding",
-            )
+            assert cfg.task in EVAL_TASKS, (p, cfg.task)
 
 
 def test_model_ema_tracks_params():
