@@ -311,9 +311,7 @@ def run_openset(run: EvalRunConfig) -> dict:
     from internvideo_tpu.eval.openset import OpenMax, openset_metrics
 
     tr_f, tr_y, tr_z, te_f, te_z, te_y = run.data()
-    om = OpenMax(**{
-        k: v for k, v in run.options.items() if k in ("tail_size", "alpha")
-    }).fit(tr_f, tr_y, tr_z)
+    om = OpenMax(**run.options).fit(tr_f, tr_y, tr_z)
     return openset_metrics(om.recalibrate(te_f, te_z), te_y)
 
 

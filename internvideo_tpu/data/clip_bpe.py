@@ -156,6 +156,11 @@ class ClipBpeTokenizer:
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
         for word in self._pat.findall(clean_text(text).lower()):
+            if word in ("<|startoftext|>", "<|endoftext|>"):
+                # literal special tokens map to their single id (the
+                # reference pre-seeds its BPE cache with them)
+                ids.append(self.encoder[word])
+                continue
             mapped = "".join(self._byte_enc[b] for b in word.encode("utf-8"))
             ids.extend(self.encoder[p] for p in self._bpe(mapped))
         return ids

@@ -365,13 +365,31 @@ def convert_clip_text(
     return {"params": p}
 
 
+def _count_resblocks(sd: Mapping, prefix: str) -> int:
+    import re
+
+    pat = re.compile(re.escape(prefix) + r"transformer\.resblocks\.(\d+)\.")
+    idx = [int(m.group(1)) for k in sd for m in [pat.match(k)] if m]
+    if not idx:
+        raise KeyError(f"no {prefix}transformer.resblocks.* keys in checkpoint")
+    return max(idx) + 1
+
+
 def convert_viclip(
-    sd: Mapping[str, np.ndarray], *, depth: int = 24, text_layers: int = 12,
+    sd: Mapping[str, np.ndarray],
+    *,
+    depth: int | None = None,
+    text_layers: int | None = None,
 ) -> dict:
     """Full ViCLIP checkpoint (viclip.py:17-90 `state_dict['model']`) ->
     models/viclip.ViCLIP params (viclip_config preset, use_vision_proj=
-    False). `temp` is a plain temperature clamped at 1/100; our model
-    stores log-scale, so logit_scale = ln(1/temp)."""
+    False). Tower depths are inferred from the checkpoint's resblock keys
+    unless given. `temp` is a plain temperature clamped at 1/100; our
+    model stores log-scale, so logit_scale = ln(1/temp)."""
+    if depth is None:
+        depth = _count_resblocks(sd, "vision_encoder.")
+    if text_layers is None:
+        text_layers = _count_resblocks(sd, "text_encoder.")
     p = {
         "vision_encoder": convert_viclip_vision(
             sd, depth=depth, prefix="vision_encoder."

@@ -246,6 +246,12 @@ class InternVideo2(nn.Module):
                 hidden.append(x)
 
         pool_attn = None
+        if cfg.pool_type == "cls_proj" and return_pool_attn:
+            raise ValueError(
+                "return_pool_attn requires the attention-pooled head "
+                "(pool_type='attn'); cls_proj towers have no pooling "
+                "attention map for attention-guided masking"
+            )
         if cfg.pool_type == "cls_proj":
             # CLIP/ViCLIP head: ln_post on the cls token, then a bias-free
             # matmul projection (viclip_vision.py:192-195). LayerNorm is

@@ -17,6 +17,7 @@ encoder with text_projection; VTC only.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -106,14 +107,14 @@ class ViCLIPConfig:
 def viclip_config(size: str = "l", **overrides) -> ViCLIPConfig:
     """The released ViCLIP-L/B recipe (viclip.py:17-70): in-tower vision
     projection, temp=1/100 -> logit_scale ln(100)."""
-    return ViCLIPConfig(
+    base = dict(
         vision=viclip_vision_config(size),
         text=viclip_text_config(size),
         embed_dim={"l": 768, "b": 512}[size.lower()],
-        logit_scale_init=float(jnp.log(100.0)),
+        logit_scale_init=math.log(100.0),
         use_vision_proj=False,
-        **overrides,
     )
+    return ViCLIPConfig(**{**base, **overrides})
 
 
 class ViCLIP(nn.Module):

@@ -112,9 +112,9 @@ def convert(kind: str, sd: dict, args) -> dict:
 
         return C.convert_internvl(sd, getattr(presets, args.preset)())
     if kind == "viclip":
-        return C.convert_viclip(
-            sd, depth=args.depth, text_layers=args.text_layers
-        )
+        # tower depths are read off the checkpoint's resblock keys (the
+        # argparse --depth/--text-layers defaults are 1B-encoder values)
+        return C.convert_viclip(sd)
     if kind == "hf_mla_llm":
         from internvideo_tpu.models import presets
 

@@ -31,6 +31,7 @@ TEXTS = [
     "it's 42 degrees; we're melting...",
     "划独木舟",  # CJK goes through the byte fallback path
     "café au lait & croissants <3",
+    "a photo of a dog <|endoftext|>",  # literal specials -> single ids
     "",
     "supercalifragilisticexpialidocious " * 20,  # forces truncation at 77
 ]

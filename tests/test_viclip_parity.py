@@ -153,6 +153,41 @@ def test_viclip_full_convert(ref_vision, ref_text):
     np.testing.assert_allclose(float(out.logit_scale), 1 / 0.02, rtol=1e-5)
 
 
+def test_viclip_config_presets():
+    from internvideo_tpu.models.viclip import viclip_config
+
+    cfg = viclip_config("l")
+    assert cfg.vision.depth == 24 and cfg.vision.pool_type == "cls_proj"
+    assert cfg.text.num_layers == 12 and not cfg.use_vision_proj
+    assert abs(cfg.logit_scale_init - 4.60517) < 1e-4  # ln(1/temp_min)
+    # overrides must actually apply (and not need a live backend)
+    assert viclip_config("b", embed_dim=256).embed_dim == 256
+
+
+def test_viclip_convert_infers_depths(ref_vision, ref_text):
+    """convert_viclip reads tower depths off the checkpoint keys."""
+    sd = {}
+    for k, v in torch_state_dict_to_numpy(ref_vision.state_dict()).items():
+        sd[f"vision_encoder.{k}"] = v
+    for k, v in torch_state_dict_to_numpy(ref_text.state_dict()).items():
+        sd[f"text_encoder.{k}"] = v
+    sd["temp"] = np.asarray(0.01, np.float32)
+    params = convert_viclip(sd)  # no explicit depth/text_layers
+    assert "blocks_1" in params["params"]["vision_encoder"]
+    assert "blocks_2" not in params["params"]["vision_encoder"]
+    assert "attn_qkv_1" in params["params"]["text_encoder"]
+    assert "attn_qkv_2" not in params["params"]["text_encoder"]
+
+
+def test_cls_proj_rejects_pool_attn():
+    """Attention-guided masking needs the attn-pooled head — fail fast."""
+    cfg = viclip_vision_config("l", **VIS_KW)
+    model = InternVideo2(cfg)
+    video = jax.random.normal(jax.random.key(0), (1, 2, 28, 28, 3))
+    with pytest.raises(ValueError, match="pool_type"):
+        model.init(jax.random.key(1), video, return_pool_attn=True)
+
+
 def test_viclip_masked_forward_runs():
     """keep_indices (masked-token eval, viclip_vision.py:146-160 semantics)
     composes with the cls_proj/ln_pre path."""
