@@ -278,8 +278,22 @@ def convert_mobileclip_text(
 # ---------------------------------------------------------------------------
 
 
+def _interp_rows(table: np.ndarray, new_len: int) -> np.ndarray:
+    """Linear interpolation along axis 0 (reference
+    load_temp_embed_with_mismatch add_zero=False, viclip_vision.py:18-42)."""
+    old = table.shape[0]
+    if old == new_len:
+        return table
+    pos = np.linspace(0, old - 1, new_len)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, old - 1)
+    frac = (pos - lo)[:, None]
+    return (1 - frac) * table[lo] + frac * table[hi]
+
+
 def convert_viclip_vision(
     sd: Mapping[str, np.ndarray], *, depth: int, prefix: str = "",
+    num_frames: int | None = None,
 ) -> dict:
     """viclip_vision.py VisionTransformer state_dict -> InternVideo2 params
     (viclip preset: ln_pre, cls_proj pool, no LayerScale/qk-norm).
@@ -288,7 +302,10 @@ def convert_viclip_vision(
     patch (viclip_vision.py:162-180); both fold into our single
     (1 + T*N, D) table — row[1 + t*N + n] = spatial[1+n] + temporal[t]
     (our token order is time-major; joint attention is order-invariant,
-    so only the table layout must match our own ordering).
+    so only the table layout must match our own ordering). `num_frames`
+    interpolates the temporal rows when the target frame budget differs
+    from the checkpoint's (interpolate_pos_embed_vit surgery,
+    viclip_vision.py:316-326).
     """
     if prefix:
         sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
@@ -308,6 +325,8 @@ def convert_viclip_vision(
     }
     spatial = sd["positional_embedding"]  # (N+1, D)
     temporal = sd["temporal_positional_embedding"][0]  # (T, D)
+    if num_frames is not None:
+        temporal = _interp_rows(temporal, num_frames)
     grid = spatial[None, 1:, :] + temporal[:, None, :]  # (T, N, D)
     p["pos_embed"] = np.concatenate(
         [spatial[:1], grid.reshape(-1, d)], axis=0
@@ -380,6 +399,7 @@ def convert_viclip(
     *,
     depth: int | None = None,
     text_layers: int | None = None,
+    num_frames: int | None = None,
 ) -> dict:
     """Full ViCLIP checkpoint (viclip.py:17-90 `state_dict['model']`) ->
     models/viclip.ViCLIP params (viclip_config preset, use_vision_proj=
@@ -392,7 +412,8 @@ def convert_viclip(
         text_layers = _count_resblocks(sd, "text_encoder.")
     p = {
         "vision_encoder": convert_viclip_vision(
-            sd, depth=depth, prefix="vision_encoder."
+            sd, depth=depth, prefix="vision_encoder.",
+            num_frames=num_frames,
         )["params"],
         "text_encoder": convert_clip_text(
             sd, num_layers=text_layers, prefix="text_encoder."

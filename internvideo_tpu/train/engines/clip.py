@@ -209,6 +209,13 @@ def make_clip_train_step(
     use_uta = cfg.uta > 0
     if use_uta and (clip_teacher is None or teacher_params is None):
         raise ValueError("cfg.uta > 0 needs clip_teacher + teacher_params")
+    if cfg.mlm and max(cfg.mask_token_id, cfg.cls_token_id) >= cfg.vocab_size:
+        # an out-of-range [MASK] id makes flax's Embed gather fill NaN
+        # under jit — fail here, not as a mid-training NaN
+        raise ValueError(
+            f"vocab_size={cfg.vocab_size} does not cover the special ids "
+            f"(mask={cfg.mask_token_id}, cls={cfg.cls_token_id})"
+        )
 
     def loss_fn(params, batch, rng):
         r_neg, r_mlm, r_drop, r_mask = jax.random.split(rng, 4)

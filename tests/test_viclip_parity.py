@@ -188,6 +188,28 @@ def test_cls_proj_rejects_pool_attn():
         model.init(jax.random.key(1), video, return_pool_attn=True)
 
 
+def test_viclip_frame_surgery(ref_vision):
+    """num_frames != checkpoint T: temporal rows interpolate (reference
+    interpolate_pos_embed_vit, add_zero=False) and the 4-frame tower runs."""
+    sd = torch_state_dict_to_numpy(ref_vision.state_dict())
+    p2 = convert_viclip_vision(sd, depth=2)["params"]
+    p4 = convert_viclip_vision(sd, depth=2, num_frames=4)["params"]
+    n = 4  # patches per frame at 28/14
+    assert p4["pos_embed"].shape[0] == 1 + 4 * n
+    # endpoint frames keep the checkpoint's first/last temporal rows
+    np.testing.assert_allclose(
+        p4["pos_embed"][1:1 + n], p2["pos_embed"][1:1 + n], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        p4["pos_embed"][1 + 3 * n:], p2["pos_embed"][1 + n:], atol=1e-6
+    )
+    cfg = viclip_vision_config("l", **{**VIS_KW, "num_frames": 4})
+    video = jax.random.normal(jax.random.key(0), (1, 4, 28, 28, 3))
+    out = InternVideo2(cfg).apply({"params": p4}, video)
+    assert out.pooled.shape == (1, 16)
+    assert bool(jnp.isfinite(out.pooled).all())
+
+
 def test_viclip_masked_forward_runs():
     """keep_indices (masked-token eval, viclip_vision.py:146-160 semantics)
     composes with the cls_proj/ln_pre path."""
