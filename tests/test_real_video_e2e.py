@@ -63,6 +63,25 @@ def test_dataset_pipeline_real_mp4(tmp_path):
 
 
 @needs_asset
+def test_eval_cli_classification_realfile():
+    """CsvVideoDataset multi-view ensemble over the real mp4 through the
+    classification eval CLI (final_test merge flow)."""
+    from internvideo_tpu.cli.eval import main
+
+    cfg = os.path.join(
+        os.path.dirname(__file__), "..", "configs",
+        "eval_classification_realfile.py",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--config", cfg])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["task"] == "classification" and out["num_videos"] == 3
+    assert 0.0 <= out["top1"] <= 100.0
+
+
+@needs_asset
 def test_eval_cli_retrieval_realfile():
     """Full retrieval eval CLI over the real mp4 (chance-level metrics;
     asserts the executed pipeline, shapes, and metric contract)."""
