@@ -99,7 +99,14 @@ class InternVideoTPULmms(_LmmsBase):
             contexts, gen_kwargs, doc_to_visual, doc_id, task, split = (
                 req.args
             )
-            visuals = doc_to_visual(doc_id) if callable(doc_to_visual) else []
+            # the harness contract resolves visuals from the doc dict:
+            # doc_to_visual(self.task_dict[task][split][doc_id]); the
+            # offline runner has no task_dict and keys by index directly
+            doc = doc_id
+            task_dict = getattr(self, "task_dict", None)
+            if task_dict and task in task_dict:
+                doc = task_dict[task][split][doc_id]
+            visuals = doc_to_visual(doc) if callable(doc_to_visual) else []
             video = None
             if visuals:
                 first = visuals[0] if isinstance(visuals, (list, tuple)) \
@@ -140,12 +147,15 @@ def from_generate_cli(
     max_new_tokens: int = 16,
     **_: Any,
 ) -> Callable[[str, Optional[str]], str]:
-    """(prompt, video) -> text over the generate CLI's model machinery.
+    """(prompt, video) -> text over the generate CLI's TEXT-LLM machinery.
 
     Loads the preset + checkpoint exactly as
     `python -m internvideo_tpu.cli.generate --preset ... --checkpoint ...`
-    does and returns a greedy-decode callable. Video frames are sampled
-    with the tokenize-fn budget when a video path is given.
+    does and returns a greedy-decode callable. The generate CLI presets
+    are text-only LLMs — a request carrying a video path raises instead
+    of silently answering from text alone; use `from_mllm` for the
+    video-consuming compose backend. The checkpoint is loaded ONCE and
+    cached across requests.
     """
     import types
 
@@ -157,23 +167,101 @@ def from_generate_cli(
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(checkpoint) if checkpoint else None
+    cache: dict = {}
 
     def generate_fn(prompt: str, video: Optional[str]) -> str:
-        import jax
+        if video is not None:
+            raise ValueError(
+                "from_generate_cli wraps a text-only LLM preset; video "
+                "benchmarks need the from_mllm backend (a text-only "
+                "answer would silently score the benchmark without "
+                "looking at the videos)"
+            )
         import jax.numpy as jnp
 
-        from internvideo_tpu.models.generation import greedy_generate
+        from internvideo_tpu.models.generation import generate
 
         if tok is None:
             raise RuntimeError("a tokenizer checkpoint is required")
         ids = tok(prompt, return_tensors="np")["input_ids"]
-        params = gen_cli.load_params(model, args, ids)
-        out_ids = greedy_generate(
-            model, params, jnp.asarray(ids), max_new_tokens=max_new_tokens
+        if "params" not in cache:  # load the checkpoint once, not per req
+            cache["params"] = gen_cli.load_params(model, args, ids)
+        out_ids = generate(  # returns only the new tokens
+            model, cache["params"], jnp.asarray(ids),
+            max_new_tokens=max_new_tokens, temperature=0.0,
         )
-        return tok.decode(
-            out_ids[0, ids.shape[1]:], skip_special_tokens=True
-        )
+        return tok.decode(out_ids[0], skip_special_tokens=True)
+
+    return generate_fn
+
+
+def from_mllm(
+    model,
+    params,
+    tokenizer,  # callable texts -> {"input_ids"} or an HF tokenizer
+    *,
+    num_frames: int = 8,
+    max_new_tokens: int = 16,
+    eos_token_id: Optional[int] = None,
+) -> Callable[[str, Optional[str]], str]:
+    """(prompt, video_path) -> text over a VideoMLLM compose.
+
+    Decodes `num_frames` frames with the production reader chain
+    (data/video.py), resizes to the vision tower's grid, prepends a
+    video-placeholder run sized to the tower's merged token count, and
+    runs the cached-generate path with the pixels attached — the actual
+    eval surface the reference's lmms-eval fork wraps
+    (InternVideo3_eval scripts)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from internvideo_tpu.data import transforms
+    from internvideo_tpu.data.video import read_video
+    from internvideo_tpu.models.generation import generate
+
+    vis = model.config.vision
+    tps = vis.temporal_patch_size
+    frames = max(num_frames - num_frames % tps, tps)
+    side = vis.patch_size * vis.spatial_merge_size * 2  # minimal 2x2 grid
+    grid = (side // vis.patch_size) // vis.spatial_merge_size
+    n_vis = (frames // tps) * grid * grid
+
+    def _tok_ids(text: str) -> np.ndarray:
+        try:  # HF-style tokenizer
+            return np.asarray(
+                tokenizer(text, return_tensors="np")["input_ids"][0]
+            )
+        except TypeError:  # data/tokenizer.py-style: texts -> batch dict
+            return np.asarray(tokenizer([text])["input_ids"][0])
+
+    def _decode(ids) -> str:
+        if hasattr(tokenizer, "decode"):
+            return tokenizer.decode(list(ids), skip_special_tokens=True)
+        return " ".join(str(int(i)) for i in ids)
+
+    def generate_fn(prompt: str, video: Optional[str]) -> str:
+        text_ids = _tok_ids(prompt)
+        if video is not None:
+            clip = read_video(str(video), frames, sample="middle")
+            clip = transforms.center_crop(
+                transforms.resize_short_side(clip, side), side
+            )
+            pixels = transforms.normalize(np.ascontiguousarray(clip))[None]
+            ids = np.concatenate([
+                np.full(n_vis, model.config.video_token_id, np.int64),
+                text_ids,
+            ])[None]
+            out = generate(
+                model, params, jnp.asarray(ids),
+                video=jnp.asarray(pixels), max_new_tokens=max_new_tokens,
+                eos_token_id=eos_token_id,
+            )
+        else:
+            out = generate(
+                model, params, jnp.asarray(text_ids[None]),
+                max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+            )
+        return _decode(np.asarray(out[0]))
 
     return generate_fn
 

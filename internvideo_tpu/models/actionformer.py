@@ -50,8 +50,11 @@ class ActionFormerConfig:
     num_classes: int = 20
     max_seq_len: int = 256      # T at stride 1 (divisible by 2**levels)
     center_sample_radius: float = 1.5
-    # per-level regression ranges in stride-1 units (reference config
-    # style: [0,4],[4,8],... scaled by stride)
+    # per-level regression ranges in stride-1 frame units, CONTIGUOUS and
+    # not stride-scaled (reference config.py:51 [(0,4),(4,8),(8,16),...];
+    # meta_archs.py:503-507 compares the unnormalized max regress distance
+    # against them, so gaps between levels would orphan medium-length
+    # events — no point would ever label them positive)
     regression_ranges: Optional[tuple] = None
     dtype: str = "float32"
 
@@ -59,14 +62,10 @@ class ActionFormerConfig:
         if self.regression_ranges is not None:
             return np.asarray(self.regression_ranges, np.float32)
         r = [(0.0, 4.0)]
-        for i in range(1, self.num_levels):
+        for _ in range(1, self.num_levels):
             r.append((r[-1][1], r[-1][1] * 2))
         r[-1] = (r[-1][0], 1e8)
-        out = []
-        for lvl, (lo, hi) in enumerate(r):
-            s = 2 ** lvl
-            out.append((lo * s, hi * s if hi < 1e8 else 1e8))
-        return np.asarray(out, np.float32)
+        return np.asarray(r, np.float32)
 
 
 def generate_points(cfg: ActionFormerConfig):
@@ -141,15 +140,24 @@ class ActionFormer(nn.Module):
         units, point_mask (B, P))."""
         cfg = self.cfg
         dt = jnp.dtype(cfg.dtype)
-        x = feats.astype(dt)
+
+        # padding positions are re-zeroed after every position-mixing op
+        # (the reference's MaskedConv1D contract) so conv/pool windows at
+        # valid/pad boundaries never read garbage activations
+        def _zero_pads(h, mm):
+            return jnp.where(mm[..., None], h, jnp.zeros_like(h))
+
+        x = _zero_pads(feats.astype(dt), mask)
         x = nn.Conv(cfg.embed_dim, (3,), padding="SAME", dtype=dt,
                     name="embed0")(x)
         x = nn.relu(x)
         x = nn.Conv(cfg.embed_dim, (3,), padding="SAME", dtype=dt,
                     name="embed1")(x)
+        x = _zero_pads(x, mask)
         for i in range(cfg.num_blocks):
             x = _Block(cfg.num_heads, cfg.window, dt, name=f"stem{i}")(
                 x, mask)
+            x = _zero_pads(x, mask)
 
         cls_head = _ConvHead(cfg.num_classes, cfg.head_layers, dt,
                              name="cls_head")
@@ -159,10 +167,17 @@ class ActionFormer(nn.Module):
         m = mask
         for lvl in range(cfg.num_levels):
             if lvl > 0:
-                x = nn.max_pool(x, (2,), strides=(2,), padding="SAME")
+                # masked max-pool: pads contribute -inf, so a window with
+                # any valid input keeps its true (possibly negative) max
+                x = nn.max_pool(
+                    jnp.where(m[..., None], x, -jnp.inf),
+                    (2,), strides=(2,), padding="SAME",
+                )
                 m = m[:, ::2]
+                x = _zero_pads(x, m)  # fully-pad windows: -inf -> 0
                 x = _Block(cfg.num_heads, cfg.window, dt,
                            name=f"level{lvl}")(x, m)
+                x = _zero_pads(x, m)
             scale = self.param(f"scale_{lvl}", nn.initializers.ones, ())
             logits.append(cls_head(x))
             offsets.append(nn.relu(reg_head(x) * scale))

@@ -276,10 +276,14 @@ class NormEMAVectorQuantizer(nn.Module):
             # kmeans_init=True path, quantizer.py:96-105)
             key = (self.make_rng("quantizer") if self.has_rng("quantizer")
                    else jax.random.key(0))
-            km_w, km_bins = _kmeans_cosine(zf, n, 10, key)
-            fresh = jnp.logical_not(initted.value)
-            weight.value = jnp.where(fresh, km_w, weight.value)
-            cluster.value = jnp.where(fresh, km_bins, cluster.value)
+            # lax.cond so the 10-iteration k-means only EXECUTES on the
+            # first step — an unconditional compute masked by jnp.where
+            # would pay the clustering matmuls every step of the run
+            weight.value, cluster.value = jax.lax.cond(
+                initted.value,
+                lambda: (weight.value, cluster.value),
+                lambda: _kmeans_cosine(zf, n, 10, key),
+            )
             initted.value = jnp.ones((), jnp.bool_)
 
         w = weight.value

@@ -87,13 +87,15 @@ def random_box_aug(boxes, key, *, ratio=0.2, shift_x=0.1, shift_y=0.1,
                    scale=0.05):
     """The reference's proposal jitter random_aug(0.2, 0.1, 0.1, 0.05):
     per-box aspect jitter + center shift + scale jitter, functional rng."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k1b, k2, k3, k4 = jax.random.split(key, 5)
     x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
     w, h = x2 - x1, y2 - y1
     cx, cy = 0.5 * (x1 + x2), 0.5 * (y1 + y2)
     u = lambda k, s: jax.random.uniform(k, w.shape, minval=-s, maxval=s)
+    # independent w/h draws — the reference jitters each edge separately
+    # (bounding_box.py:238-241), so aspect ratio actually changes
     w = w * (1.0 + u(k1, ratio))
-    h = h * (1.0 + u(k1, ratio))
+    h = h * (1.0 + u(k1b, ratio))
     cx = cx + w * u(k2, shift_x)
     cy = cy + h * u(k3, shift_y)
     s = 1.0 + u(k4, scale)

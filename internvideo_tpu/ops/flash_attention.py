@@ -1252,6 +1252,12 @@ def fused_qkv_eligible(s: int, num_heads: int, head_dim: int,
     w = num_heads * head_dim
     if not (0 < s <= _SMALL_S_MAX):
         return False
+    # the kernel carves the (B, S, 3W) projection into interior column
+    # blocks of width W — Mosaic only accepts those views when W itself
+    # is lane-aligned (otherwise: compile-time unaligned-block error, not
+    # a fallback)
+    if w % 128:
+        return False
     # the fused kernel only adds per-row 1/rms factors and per-head
     # (S, D) staging on top of the plain small-S footprint
     return _ss_fits(s, s, w, itemsize)

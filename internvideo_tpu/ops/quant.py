@@ -165,13 +165,16 @@ def quantize_params_like(abstract_int8_params, params):
     def walk(abstract, source):
         if isinstance(abstract, dict):
             out = {}
+            qs = None  # quantize each kernel once for (kernel_q, scale)
             for key, sub in abstract.items():
-                if key == "kernel_q":
-                    q, _ = quantize_int8(jnp.asarray(source["kernel"]), axis=0)
-                    out[key] = q
-                elif key == "scale" and "kernel_q" in abstract:
-                    _, s = quantize_int8(jnp.asarray(source["kernel"]), axis=0)
-                    out[key] = s
+                if key == "kernel_q" or (
+                    key == "scale" and "kernel_q" in abstract
+                ):
+                    if qs is None:
+                        qs = quantize_int8(
+                            jnp.asarray(source["kernel"]), axis=0
+                        )
+                    out[key] = qs[0] if key == "kernel_q" else qs[1]
                 else:
                     src = source[key]
                     out[key] = walk(sub, src)

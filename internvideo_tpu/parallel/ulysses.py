@@ -67,25 +67,35 @@ def ulysses_attention(
         head_axis = None
     tp = mesh.shape[head_axis] if head_axis else 1
 
-    s_orig = q.shape[1]
+    s_orig, sk_orig = q.shape[1], k.shape[1]
     s_pad = -(-s_orig // sp) * sp
-    if s_pad != s_orig:
+    sk_pad = -(-sk_orig // sp) * sp
+    if s_pad != s_orig or sk_pad != sk_orig:
         # Sequences not divisible by sp (the encoder's CLS-token shapes,
         # e.g. 4097): pad rows and mask them out via the segment-id path —
         # pad queries get id -1, pad keys -2, so they match nothing. The
         # XLA path's finite NEG_INF masking keeps fully-masked pad rows
         # NaN-free in fwd and bwd; their outputs are sliced off below.
-        dseq = s_pad - s_orig
+        # Q and KV lengths pad independently (cross-attention can differ).
+        if (q_segment_ids is None) != (kv_segment_ids is None):
+            raise ValueError(
+                "ulysses padding needs both q_segment_ids and "
+                "kv_segment_ids, or neither"
+            )
         if q_segment_ids is None:
             b_ = q.shape[0]
             q_segment_ids = jnp.zeros((b_, s_orig), jnp.int32)
-            kv_segment_ids = jnp.zeros((b_, k.shape[1]), jnp.int32)
-        rows = ((0, 0), (0, dseq), (0, 0), (0, 0))
-        q, k, v = jnp.pad(q, rows), jnp.pad(k, rows), jnp.pad(v, rows)
+            kv_segment_ids = jnp.zeros((b_, sk_orig), jnp.int32)
+        q_rows = ((0, 0), (0, s_pad - s_orig), (0, 0), (0, 0))
+        kv_rows = ((0, 0), (0, sk_pad - sk_orig), (0, 0), (0, 0))
+        q = jnp.pad(q, q_rows)
+        k, v = jnp.pad(k, kv_rows), jnp.pad(v, kv_rows)
         q_segment_ids = jnp.pad(
-            q_segment_ids, ((0, 0), (0, dseq)), constant_values=-1)
+            q_segment_ids, ((0, 0), (0, s_pad - s_orig)),
+            constant_values=-1)
         kv_segment_ids = jnp.pad(
-            kv_segment_ids, ((0, 0), (0, dseq)), constant_values=-2)
+            kv_segment_ids, ((0, 0), (0, sk_pad - sk_orig)),
+            constant_values=-2)
 
     h = q.shape[2]
     h_pad = -(-h // (sp * tp)) * (sp * tp)

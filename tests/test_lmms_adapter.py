@@ -81,3 +81,108 @@ def test_run_offline_writes_harness_artifacts(tmp_path):
     assert len(samples) == 3
     assert samples[0]["filtered_resps"] == ["B"]
     assert samples[2]["exact_match"] == 0.0
+
+
+def test_task_dict_doc_resolution():
+    """With a harness-style task_dict, doc_to_visual receives the DOC
+    (lmms-eval model contract), not the integer doc_id."""
+    adapter = InternVideoTPULmms(generate_fn=_stub_generate)
+    adapter.task_dict = {
+        "videomme": {"test": [{"video": "/real/a.mp4"},
+                              {"video": "/real/b.mp4"}]}
+    }
+    seen = []
+
+    def doc_to_visual(doc):
+        seen.append(doc)
+        return [doc["video"]]
+
+    reqs = [
+        _FakeInstance(args=(
+            "What color is the ball?", {}, doc_to_visual, i, "videomme",
+            "test",
+        ))
+        for i in range(2)
+    ]
+    adapter.generate_until(reqs)
+    assert seen == adapter.task_dict["videomme"]["test"]
+
+
+def test_from_mllm_consumes_video(tmp_path, monkeypatch):
+    """The MLLM backend actually reads the video: frames are decoded,
+    shaped to the tower's grid, a placeholder run is spliced, and the
+    pixels reach generate() (spied)."""
+    import numpy as np
+
+    from internvideo_tpu.data.tokenizer import ToyTokenizer
+    from internvideo_tpu.eval.lmms_adapter import from_mllm
+    from internvideo_tpu.models.llm import LLMConfig
+    from internvideo_tpu.models.mllm import MLLMConfig, VideoMLLM
+    from internvideo_tpu.models.vision_tower import VisionTowerConfig
+    from internvideo_tpu.nn.mla import MLAConfig
+
+    cfg = MLLMConfig(
+        vision=VisionTowerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
+            pos_embed_grid=6, deepstack_indexes=(0, 1), text_hidden_size=48,
+            attn_impl="xla",
+        ),
+        text=LLMConfig(
+            vocab_size=4096, hidden_size=48, num_layers=2,
+            intermediate_size=96, mrope_section=(2, 1, 1),
+            mla=MLAConfig(
+                hidden_size=48, num_heads=2, kv_lora_rank=24,
+                qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+            ),
+            attn_impl="xla",
+        ),
+        image_token_id=4000, video_token_id=4001,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    model = VideoMLLM(cfg)
+    ids0 = jnp.array([[5, 4001, 4001, 4001, 4001, 7]])
+    vid0 = jax.random.normal(jax.random.key(0), (1, 2, 32, 32, 3))
+    params = model.init(jax.random.key(1), ids0, vid0)
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "clip.npy"
+    np.save(path, (rng.random((8, 40, 48, 3)) * 255).astype(np.uint8))
+
+    import internvideo_tpu.models.generation as G
+
+    captured = {}
+    real_generate = G.generate
+
+    def spy(model_, params_, ids, **kw):
+        captured["ids"] = np.asarray(ids)
+        captured["video"] = kw.get("video")
+        return real_generate(model_, params_, ids, **kw)
+
+    monkeypatch.setattr(G, "generate", spy)
+    fn = from_mllm(model, params, ToyTokenizer(), num_frames=2,
+                   max_new_tokens=3)
+
+    out_a = fn("what happens?", str(path))
+    assert isinstance(out_a, str)
+    assert captured["video"] is not None
+    # 2 frames decoded, resized to the tower's 32px grid, batch dim added
+    assert captured["video"].shape == (1, 2, 32, 32, 3)
+    # 4 merged visual tokens -> a 4-token video-placeholder run up front
+    assert (captured["ids"][0, :4] == 4001).all()
+    assert (captured["ids"][0, 4:] != 4001).all()
+
+    out_text = fn("what happens?", None)
+    assert isinstance(out_text, str) and captured["video"] is None
+
+
+def test_from_generate_cli_rejects_video():
+    import pytest
+
+    from internvideo_tpu.eval.lmms_adapter import from_generate_cli
+
+    fn = from_generate_cli("", preset="qwen3_8b_mla")
+    with pytest.raises(ValueError, match="text-only"):
+        fn("prompt", "/some/video.mp4")
