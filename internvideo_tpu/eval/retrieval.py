@@ -25,12 +25,25 @@ import numpy as np
 
 
 def _encode_in_batches(encode_fn, data, batch_size):
-    outs = None
     n = jax.tree.leaves(data)[0].shape[0]
     chunks = []
     for s in range(0, n, batch_size):
         piece = jax.tree.map(lambda x: x[s:s + batch_size], data)
-        chunks.append(jax.device_get(encode_fn(piece)))
+        m = jax.tree.leaves(piece)[0].shape[0]
+        if m < batch_size:
+            # pad the tail chunk so the jitted tower compiles ONE program
+            # (remote TPU compiles run 20-60 s; _rerank_rows already pads
+            # for the same reason)
+            piece = jax.tree.map(
+                lambda x: np.concatenate(
+                    [x, np.repeat(np.asarray(x[-1:]), batch_size - m, 0)], 0
+                ),
+                piece,
+            )
+        out = jax.device_get(encode_fn(piece))
+        if m < batch_size:
+            out = jax.tree.map(lambda x: x[:m], out)
+        chunks.append(out)
     return jax.tree.map(lambda *xs: np.concatenate(xs, 0), *chunks)
 
 
@@ -70,9 +83,12 @@ def retrieval_evaluation(
         itc = itc * _sm0(itc)
         if rerank_score is None:
             return itc, itc_t2v
+        itc_t = itc_t2v  # the rerank base must be the DSL-rescaled t2v
+    else:
+        itc_t = itc.T
 
     if rerank_score is None:
-        return itc, itc.T
+        return itc, itc_t
 
     nv, nt = itc.shape
     k = min(k_test, nt)
@@ -104,15 +120,15 @@ def retrieval_evaluation(
         itc[v_rows[:, None], topk_v] + itm
     )
 
-    score_t2v = np.full_like(itc.T, -100.0)
-    topk_t = _topk_idx(itc.T[t_rows], kv)
+    score_t2v = np.full_like(itc_t, -100.0)
+    topk_t = _topk_idx(itc_t[t_rows], kv)
     itm = _rerank_rows(
         lambda t_rep, v_cand, m_rep: rerank_score(v_cand, t_rep, m_rep),
         txt_embeds[t_rows], vis_embeds, None,
         topk_t, rerank_batch, row_masks=mask_arr[t_rows],
     )
     score_t2v[t_rows[:, None], topk_t] = (
-        itc.T[t_rows[:, None], topk_t] + itm
+        itc_t[t_rows[:, None], topk_t] + itm
     )
 
     if shard_hosts:

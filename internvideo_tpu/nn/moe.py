@@ -17,7 +17,9 @@ ops/moe/cuda/group_gemm.py, model/moe/moe.py):
       - "dropless": sort-based dispatch + `jax.lax.ragged_dot` grouped
         GEMMs (megablox-style) — NO tokens are ever dropped, matching the
         reference's DeepEP semantics, and the O(N·E) one-hot cumsum is
-        replaced by an argsort
+        replaced by an argsort. ("dropless_ep" bounds its receive buffer
+        at buffer_factor·n·k and CAN drop under extreme routing skew —
+        watch MoEOutput.dropped_fraction.)
   * SwiGLU experts (DeepSeek/Qwen3-MoE shape)
 """
 
@@ -55,6 +57,13 @@ class MoEOutput:
     output: jax.Array
     aux_loss: jax.Array  # load-balancing loss (0 when bias balancing)
     expert_load: jax.Array  # (E,) fraction of tokens routed per expert
+    # fraction of (token, slot) assignments dropped by the dispatcher:
+    # 0 for 'dropless'; capacity overflow for 'capacity'; receive-buffer
+    # overflow for 'dropless_ep' (ep.py drops past buffer_factor·n·k) —
+    # monitor it, routing collapse degrades quality silently otherwise
+    dropped_fraction: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros(())
+    )
 
 
 class MoEMlp(nn.Module):
@@ -116,7 +125,7 @@ class MoEMlp(nn.Module):
 
             if self.mesh is None:
                 raise ValueError("dispatch='dropless_ep' needs mesh=")
-            out, _dropped = ep_dropless_moe(
+            out, dropped = ep_dropless_moe(
                 xt, top_idx, top_gate, w_gate, w_up, w_down,
                 mesh=self.mesh, axis="expert",
                 buffer_factor=cfg.ep_buffer_factor,
@@ -136,12 +145,21 @@ class MoEMlp(nn.Module):
             out = jnp.zeros((n, d), ys.dtype).at[src_tok].add(
                 ys * gate_sorted[:, None]
             )
+            dropped = jnp.zeros(())
         else:
-            # position of each (token, slot) within its expert's capacity
+            # position of each (token, slot) within its expert's capacity.
+            # CHOICE-major priority (Switch/GSPMD convention): every
+            # token's 1st choice is ranked before any token's 2nd choice,
+            # so under capacity pressure secondary assignments are the
+            # ones dropped — token-major cumsum would let early tokens'
+            # spillover slots evict later tokens' primary experts.
             onehot = jax.nn.one_hot(top_idx, e, dtype=jnp.int32)  # (N, k, E)
-            flat = onehot.reshape(n * k, e)
+            flat = onehot.transpose(1, 0, 2).reshape(n * k, e)  # choice-major
             pos_in_expert = jnp.cumsum(flat, axis=0) * flat - 1  # (N*k, E)
-            pos = jnp.max(pos_in_expert, axis=-1).reshape(n, k)  # (N, k)
+            pos = (
+                jnp.max(pos_in_expert, axis=-1)
+                .reshape(k, n).transpose(1, 0)  # back to (N, k)
+            )
             keep = pos < cap
 
             # dispatch: (N, k) -> (E, cap, D) via scatter-add
@@ -167,6 +185,7 @@ class MoEMlp(nn.Module):
             gathered = out_e[expert_idx.reshape(-1), safe_pos.reshape(-1)]
             gathered = gathered.reshape(n, k, d)
             out = jnp.sum(gathered * combine_w[..., None], axis=1)
+            dropped = 1.0 - jnp.mean(keep.astype(jnp.float32))
 
         # load-balancing aux loss (Switch): E * Σ_e f_e · p_e
         load = jnp.mean(
@@ -182,6 +201,7 @@ class MoEMlp(nn.Module):
             output=out.reshape(b, s, d).astype(x.dtype),
             aux_loss=aux,
             expert_load=load,
+            dropped_fraction=jnp.asarray(dropped, jnp.float32),
         )
 
 

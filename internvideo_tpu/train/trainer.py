@@ -47,6 +47,12 @@ class TrainerConfig:
     max_checkpoints: int = 3
     auto_resume: bool = True
     halt_on_nan: bool = True
+    # on auto-resume, consume the already-trained number of batches from
+    # the data iterator so the stream continues where it left off (the
+    # xtuner reference resumes its dataloader position; a plain generator
+    # can only be skipped forward). Set False for stateful iterators that
+    # restore their own position (data/loader.py StatefulIterator).
+    resume_fast_forward: bool = True
     # save an HF-format export every N steps (0 = never); needs export_fn
     hf_export_every: int = 0
     # save + stop cleanly on SIGTERM/SIGINT (preemption-aware, SURVEY §5.3)
@@ -245,8 +251,10 @@ class Trainer:
         # release the device references (keeps donation effective and makes
         # the next flush fetch only its own window)
         pending.clear()
-        last_step, last_m = host[-1]
-        for _, hm in host:
+        bad = None  # halt on ANY non-finite step in the window, not just
+        # the last one (reference: engine_for_pretraining.py:153-163
+        # aborts on any non-finite loss)
+        for st, hm in host:
             scalars = {
                 k: float(v) for k, v in hm.items() if np.ndim(v) == 0
             }
@@ -257,18 +265,23 @@ class Trainer:
                 self.metrics.add_tokens(int(scalars["tokens"]))
             if self.config.flops_per_batch:
                 self.metrics.add_flops(self.config.flops_per_batch)
-        if halt_on_nan and not float(last_m.get("finite", 1.0)):
+            if bad is None and not scalars.get("finite", 1.0):
+                bad = (st, scalars)
+        if halt_on_nan and bad is not None:
             raise FloatingPointError(
-                f"non-finite loss at step {last_step}: "
-                f"{ {k: float(v) for k, v in last_m.items() if np.ndim(v) == 0} }"
+                f"non-finite loss at step {bad[0]}: {bad[1]}"
             )
-        pending.clear()
 
     def fit(self, data: Iterable[dict], steps: Optional[int] = None):
         cfg = self.config
         steps = steps or cfg.total_steps
         start = int(jax.device_get(self.state.step))
         it = iter(data)
+        if start and cfg.resume_fast_forward:
+            # replaying batches 0..start-1 at steps start.. would diverge
+            # from an uninterrupted run — skip them instead
+            for _ in range(start):
+                next(it)
         old_handlers = (
             self._install_preemption_handler()
             if cfg.save_on_preemption else {}
@@ -305,7 +318,13 @@ class Trainer:
                     and (step + 1) % cfg.hf_export_every == 0
                 ):
                     self.export_fn(self.state, step + 1)
-            self._flush_metrics(pending, halt_on_nan=cfg.halt_on_nan)
+            if pending:  # emit the final partial window to every sink
+                last_step = pending[-1][0]
+                self._flush_metrics(pending, halt_on_nan=cfg.halt_on_nan)
+                self.metrics.log_step(
+                    last_step + 1,
+                    extra={"lr": float(self.lr_schedule(last_step))},
+                )
         finally:
             self._restore_signal_handlers(old_handlers)
         if self.ckpt is not None:
