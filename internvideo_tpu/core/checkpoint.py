@@ -75,8 +75,26 @@ class CheckpointManager:
 _DTYPES = {
     "F32": np.float32, "F16": np.float16, "BF16": None, "I64": np.int64,
     "I32": np.int32, "I16": np.int16, "I8": np.int8, "U8": np.uint8,
+    "U16": np.uint16, "U32": np.uint32, "U64": np.uint64,
     "BOOL": np.bool_, "F64": np.float64,
 }
+# ml_dtypes-backed entries (BF16 handled inline; fp8 appears in published
+# quantized checkpoints)
+_ML_DTYPES = {"F8_E4M3": "float8_e4m3fn", "F8_E5M2": "float8_e5m2"}
+
+
+def _dtype_for(tag: str, tensor_name: str):
+    import ml_dtypes
+
+    if tag in _ML_DTYPES:
+        return getattr(ml_dtypes, _ML_DTYPES[tag])
+    try:
+        return _DTYPES[tag]
+    except KeyError:
+        raise ValueError(
+            f"unsupported safetensors dtype {tag!r} for tensor "
+            f"{tensor_name!r}"
+        ) from None
 
 
 def read_safetensors(path: str) -> dict[str, np.ndarray]:
@@ -97,7 +115,7 @@ def read_safetensors(path: str) -> dict[str, np.ndarray]:
         if meta["dtype"] == "BF16":
             arr = np.frombuffer(buf, dtype=ml_dtypes.bfloat16)
         else:
-            arr = np.frombuffer(buf, dtype=_DTYPES[meta["dtype"]])
+            arr = np.frombuffer(buf, dtype=_dtype_for(meta["dtype"], name))
         out[name] = arr.reshape(meta["shape"])
     return out
 
@@ -113,9 +131,17 @@ def write_safetensors(path: str, tensors: dict[str, np.ndarray]):
         if arr.dtype == ml_dtypes.bfloat16:
             dt = "BF16"
         else:
-            dt = {v: k for k, v in _DTYPES.items() if v is not None}[
-                arr.dtype.type
-            ]
+            rev = {v: k for k, v in _DTYPES.items() if v is not None}
+            rev.update({
+                getattr(ml_dtypes, v): k for k, v in _ML_DTYPES.items()
+            })
+            try:
+                dt = rev[arr.dtype.type]
+            except KeyError:
+                raise ValueError(
+                    f"cannot serialize dtype {arr.dtype} of tensor "
+                    f"{name!r} to safetensors"
+                ) from None
         blob = arr.tobytes()
         header[name] = {
             "dtype": dt,
@@ -160,6 +186,14 @@ def save_hf_checkpoint(
 ):
     """Write tensors as sharded safetensors + index (HF layout)."""
     os.makedirs(directory, exist_ok=True)
+    # drop stale artifacts from a previous (larger) export: the loader
+    # prefers the index, so a leftover index + old shards would shadow a
+    # fresh single-file export entirely
+    for fn in os.listdir(directory):
+        if fn == "model.safetensors.index.json" or (
+            fn.startswith("model") and fn.endswith(".safetensors")
+        ):
+            os.remove(os.path.join(directory, fn))
     shards: list[dict[str, np.ndarray]] = [{}]
     sizes = [0]
     for name, arr in tensors.items():

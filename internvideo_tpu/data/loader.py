@@ -14,10 +14,9 @@
 
 from __future__ import annotations
 
-import collections
 import threading
 import queue as queue_mod
-from typing import Callable, Iterable, Iterator, Optional, Sequence
+from typing import Iterable, Iterator, Optional
 
 import jax
 import numpy as np
@@ -58,10 +57,18 @@ class MetaLoader:
         its = {k: iter(v) for k, v in self.sources.items()}
         for name in self.schedule():
             try:
-                yield name, next(its[name])
+                item = next(its[name])
             except StopIteration:
                 its[name] = iter(self.sources[name])
-                yield name, next(its[name])
+                try:
+                    item = next(its[name])
+                except StopIteration:
+                    # a bare re-raise would escape the generator frame as
+                    # PEP 479's opaque RuntimeError
+                    raise ValueError(
+                        f"MetaLoader source {name!r} is empty"
+                    ) from None
+            yield name, item
 
 
 class StatefulIterator:
@@ -116,9 +123,25 @@ def prefetch_to_device(
     size: int = 2,
     sharding=None,
 ) -> Iterator:
-    """Background thread moves batches to device `size` steps ahead."""
+    """Background thread moves batches to device `size` steps ahead.
+
+    Producer errors (corrupt media, device_put OOM) re-raise in the
+    consumer instead of masquerading as end-of-data; abandoning the
+    generator early (break / close) stops the producer and releases the
+    queued device batches instead of pinning them for the process life.
+    """
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -129,14 +152,27 @@ def prefetch_to_device(
                     )
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
-                q.put(batch)
-        finally:
-            q.put(_END)
+                if not _put(batch):
+                    return
+        except BaseException as e:  # surface in the consumer
+            _put(e)
+            return
+        _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # drop queued device references
+            try:
+                q.get_nowait()
+            except queue_mod.Empty:
+                break

@@ -36,10 +36,13 @@ def default_collate(items: Sequence) -> dict:
             k: default_collate([it[k] for it in items]) for k in first
         }
     if isinstance(first, (tuple, list)):
-        return type(first)(
+        cols = [
             default_collate([it[j] for it in items])
             for j in range(len(first))
-        )
+        ]
+        if hasattr(first, "_fields"):  # namedtuple: positional ctor
+            return type(first)(*cols)
+        return type(first)(cols)
     if isinstance(first, np.ndarray):
         return np.stack(items)
     return np.asarray(items)
@@ -97,9 +100,10 @@ class WorkerPool:
         if indices is None:
             indices = range(len(self.dataset))
         if self.num_workers == 0:  # in-process fallback (debugging/tests)
-            _init_worker(self.dataset, self.collate_fn)
+            # no module-global state here: two interleaved in-process
+            # pools must not cross-contaminate datasets
             for b in self._batches(indices):
-                yield _load_batch(b)
+                yield self.collate_fn([self.dataset[i] for i in b])
             return
         ctx = mp.get_context(self.start_method)
         with ctx.Pool(

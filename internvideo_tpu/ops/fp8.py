@@ -69,9 +69,13 @@ def fp8_matmul(
     w_q: jax.Array,  # (K, N) e4m3
     w_scale: jax.Array,  # () or (1, N) f32
 ) -> jax.Array:
-    """Quantize activations row-tensor-wise, fp8×fp8 dot, rescale to f32."""
+    """Quantize activations ROW-wise, fp8×fp8 dot, rescale to f32.
+
+    Per-row activation scales (the reference Triton recipe): one outlier
+    token must not collapse every other row's quantization range the way
+    a tensor-wise amax would."""
     x2 = x.reshape(-1, x.shape[-1])
-    xq, xs = quantize_fp8(x2)
+    xq, xs = quantize_fp8(x2, axis=0)  # (M, 1) scales
     out = jax.lax.dot_general(
         xq, w_q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -82,7 +86,7 @@ def fp8_matmul(
 
 @jax.custom_vjp
 def _fp8_dense_op(x, w):
-    xq, xs = quantize_fp8(x.reshape(-1, x.shape[-1]))
+    xq, xs = quantize_fp8(x.reshape(-1, x.shape[-1]), axis=0)  # rowwise
     wq, ws = quantize_fp8(w, axis=1)  # colwise weight scales
     out = jax.lax.dot_general(
         xq, wq, (((1,), (0,)), ((), ())),
@@ -185,6 +189,9 @@ def _fp8_full_bwd(res, g):
     k = x.shape[-1]
     g2 = g.reshape(-1, g.shape[-1])
     x2 = x.reshape(-1, k)
+    # tensor-wise scales in the backward on purpose: wgrad contracts over
+    # the row axis, so per-row scales would not commute out of the dot
+    # (they'd need to multiply INSIDE the contraction)
     gq, gs = quantize_fp8_e5m2(g2)
     wq, ws = quantize_fp8(w)          # tensor-wise e4m3
     xq, xs = quantize_fp8(x2)
