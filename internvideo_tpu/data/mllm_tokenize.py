@@ -420,16 +420,20 @@ class MLLMTokenizeFunction:
         labels = np.full_like(input_ids, -100)
         for a, b in label_spans:
             labels[a : min(b, len(labels))] = input_ids[a : min(b, len(labels))]
+        # pre-shift to next-token targets (the engine contract —
+        # sequence_context.py: labels are "(B, L) shifted targets"; the
+        # loss scores hidden[i] directly against labels[i]); shifting per
+        # item BEFORE packing keeps targets from leaking across segments
+        labels = np.concatenate([labels[1:], [-100]]).astype(labels.dtype)
 
-        # per merged frame the grid row is (1, gh, gw) — frames are separate
-        # runs because timestamps sit between them
+        # per merged frame the grid row is (1, gh, gw):
+        # _render_video_placeholder wraps EVERY frame in its own
+        # vision_start/end run (with or without timestamp text), so rope
+        # grid rows must match run-for-run
         grid_rows = []
         for p in plans:
             gt, gh, gw = p.grid_thw
-            if cfg.add_timestamps:
-                grid_rows += [(1, gh, gw)] * gt
-            else:
-                grid_rows.append((gt, gh, gw))
+            grid_rows += [(1, gh, gw)] * gt
         grids = (
             np.asarray(grid_rows, np.int32).reshape(-1, 3)
             if grid_rows else None
@@ -593,17 +597,22 @@ def mllm_sft_batches(
         rows = [json.loads(line) for line in f if line.strip()]
     import os as _os
 
+    # tokenize ONCE — items are deterministic, only packing + media decode
+    # re-run per round; malformed rows (bad marker/video counts raise
+    # Assertion/IndexError, truncation raises ValueError) are skipped, not
+    # allowed to kill the stream
+    items = []
+    for row in rows:
+        for v in row.get("videos", []):
+            if media_root and not _os.path.isabs(v.get("path", "")):
+                v["path"] = _os.path.join(media_root, v["path"])
+        try:
+            items.append(tokenize_fn(row))
+        except (ValueError, IndexError, AssertionError):
+            continue
+
     def round_rows():
         """One packing round → list of per-row dicts."""
-        items = []
-        for row in rows:
-            for v in row.get("videos", []):
-                if media_root and not _os.path.isabs(v.get("path", "")):
-                    v["path"] = _os.path.join(media_root, v["path"])
-            try:
-                items.append(tokenize_fn(row))
-            except ValueError:
-                continue
         packed = pack_mllm_items(
             items, pack_max_length, pad_token_id=cfg.pad_token_id,
             one_video_per_pack=True,
@@ -652,15 +661,14 @@ def mllm_sft_batches(
     buf: list[dict] = []
     while True:
         for r in round_rows():
-            if batch_size is None:
-                buf.append(r)
-            else:
-                buf.append(r)
-                if len(buf) == batch_size:
-                    yield stack(buf)
-                    buf = []
-        if batch_size is None:
+            buf.append(r)
+            if batch_size is not None and len(buf) == batch_size:
+                yield stack(buf)
+                buf = []
+        if batch_size is None and buf:
             yield stack(buf)
             buf = []
         if not loop:
+            if buf:  # flush the final partial batch — don't drop rows
+                yield stack(buf)
             return

@@ -57,7 +57,6 @@ class BertOutput:
 
 class _BertSelfAttention(nn.Module):
     cfg: BertConfig
-    cross: bool = False
 
     @nn.compact
     def __call__(self, x, kv, attn_bias, deterministic):
@@ -87,12 +86,21 @@ class _BertSelfAttention(nn.Module):
             ) * (hd ** -0.5)
             logits = logits + attn_bias
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            # attention-probability dropout (HF BertSelfAttention's
+            # attention_probs_dropout_prob; xbert.py keeps it too)
+            probs = nn.Dropout(cfg.dropout)(
+                probs, deterministic=deterministic
+            )
             out = jnp.einsum(
                 "bhqk,bkhd->bqhd", probs, v,
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
         else:
             out = dot_product_attention(q, k, v, impl=cfg.attn_impl)
+            if cfg.dropout and not deterministic:
+                # flash path has no prob hook — approximate with dropout
+                # on the attention output before the projection
+                out = nn.Dropout(cfg.dropout)(out, deterministic=False)
         out = out.reshape(b, lq, d)
         out = dense("proj", logical=("heads", "embed"))(out)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
@@ -116,7 +124,7 @@ class _BertLayer(nn.Module):
             x + attn
         )
         if self.has_cross and vision is not None:
-            cross = _BertSelfAttention(cfg, cross=True, name="crossattention")(
+            cross = _BertSelfAttention(cfg, name="crossattention")(
                 x, vision, vision_bias, deterministic
             )
             x = LayerNorm(

@@ -41,9 +41,14 @@ def chunked_cross_entropy(
 
     @functools.partial(jax.checkpoint, policy=None)
     def chunk_loss(h, y):
+        # keep operands in their storage dtype and accumulate in f32: an
+        # .astype(f32) on the (D, V) kernel would re-materialize a
+        # multi-GB f32 copy per chunk (and again in the remat'd backward)
+        # and run the GEMM at f32 MXU rate; preferred_element_type gives
+        # the same f32 logits at bf16 throughput
         logits = jnp.einsum(
-            "bsd,dv->bsv", h.astype(jnp.float32),
-            lm_head_kernel.astype(jnp.float32),
+            "bsd,dv->bsv", h, lm_head_kernel,
+            preferred_element_type=jnp.float32,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = y != -100

@@ -19,7 +19,6 @@ force a sync every step).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +28,7 @@ from internvideo_tpu.data.masking import (
     random_keep_indices,
     tube_keep_indices,
 )
-from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import make_accum_step, optax_global_norm
+from internvideo_tpu.train.step import make_accum_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +100,6 @@ def make_pretrain_step(
         )
 
         # --- targets at visible positions ---
-        k_clip = z_clip.shape[0]
         gather_clip = jnp.concatenate(
             [jnp.zeros((b, 1), jnp.int32), keep + 1], axis=1
         )  # cls + visible patches in teacher token space

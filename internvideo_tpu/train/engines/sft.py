@@ -9,15 +9,13 @@ mesh has a seq axis) → chunked CE with a global token normalizer → adamw.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from internvideo_tpu.ops.attention import ulysses_context
 from internvideo_tpu.train.chunked_ce import chunked_cross_entropy
-from internvideo_tpu.train.state import TrainState
-from internvideo_tpu.train.step import make_accum_step, optax_global_norm
+from internvideo_tpu.train.step import make_accum_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,12 +46,31 @@ def make_sft_step(model, cfg: SFTConfig, mesh=None, *, grad_accum: int = 1):
         else:
             hidden = run()
 
-        lm_head = params["language_model"]["lm_head"]["kernel"]
+        lm = params["language_model"]
+        if "lm_head" in lm:
+            lm_head = lm["lm_head"]["kernel"]
+        else:  # tie_word_embeddings: the head IS the embedding matrix
+            lm_head = lm["embed_tokens"]["embedding"].T
         labels = batch["labels"]
+        # with grad_accum the wrapper injects the FULL batch's valid-token
+        # count; per-microbatch losses then sum to the globally-normalized
+        # loss after make_accum_step's /grad_accum (xtuner's global
+        # denominator, loss/ce_loss.py)
+        total = batch.get("total_valid")
         loss = chunked_cross_entropy(
-            hidden, lm_head, labels, chunk_size=cfg.ce_chunk_size
+            hidden, lm_head, labels, chunk_size=cfg.ce_chunk_size,
+            total_valid=(total / grad_accum if total is not None else None),
         )
         n_tok = jnp.sum(labels != -100)
         return loss, {"tokens": n_tok}
 
-    return make_accum_step(loss_fn, grad_accum=grad_accum)
+    inner = make_accum_step(loss_fn, grad_accum=grad_accum)
+    if grad_accum == 1:
+        return inner
+
+    def step(state, batch, rng):
+        total = jnp.sum(batch["labels"] != -100).astype(jnp.float32)
+        batch = dict(batch, total_valid=jnp.full((grad_accum,), total))
+        return inner(state, batch, rng)
+
+    return step

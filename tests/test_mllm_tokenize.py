@@ -128,6 +128,12 @@ def test_tokenize_placeholders_and_labels():
     sup = item.labels != -100
     assert sup.sum() > 0
     assert item.labels[sup][-1] == IDS["im_end_token_id"]
+    # labels are PRE-SHIFTED next-token targets (the engine scores
+    # hidden[i] against labels[i] with no further shift): every
+    # supervised position predicts the NEXT input token
+    pos = np.nonzero(sup)[0]
+    np.testing.assert_array_equal(item.labels[pos], item.input_ids[pos + 1])
+    assert not sup[-1]  # last position has no next token
     # no vision token is supervised
     assert not np.any(item.labels[item.input_ids == IDS["video_token_id"]] != -100)
     # position ids: every vision token's t-coord is constant per frame
