@@ -239,6 +239,23 @@ def from_mllm(
             return tokenizer.decode(list(ids), skip_special_tokens=True)
         return " ".join(str(int(i)) for i in ids)
 
+    mrope = bool(getattr(model.config.text, "mrope_section", None))
+
+    def _video_positions(n_text: int) -> np.ndarray:
+        """(3, 1, L) mrope rows: grid coords for the leading vision run,
+        text advancing from the run's max edge (qwenvl_rope2d convention —
+        equal-coordinate text rows reduce to plain rope)."""
+        gt = frames // tps
+        t_idx = np.repeat(np.arange(gt), grid * grid)
+        h_idx = np.tile(np.repeat(np.arange(grid), grid), gt)
+        w_idx = np.tile(np.arange(grid), gt * grid)
+        vis = np.stack([t_idx, h_idx, w_idx])  # (3, n_vis)
+        base = int(vis.max()) + 1
+        text = np.broadcast_to(
+            base + np.arange(n_text), (3, n_text)
+        )
+        return np.concatenate([vis, text], axis=1)[:, None, :]
+
     def generate_fn(prompt: str, video: Optional[str]) -> str:
         text_ids = _tok_ids(prompt)
         if video is not None:
@@ -251,10 +268,14 @@ def from_mllm(
                 np.full(n_vis, model.config.video_token_id, np.int64),
                 text_ids,
             ])[None]
+            pos = (
+                jnp.asarray(_video_positions(len(text_ids)))
+                if mrope else None
+            )
             out = generate(
                 model, params, jnp.asarray(ids),
-                video=jnp.asarray(pixels), max_new_tokens=max_new_tokens,
-                eos_token_id=eos_token_id,
+                video=jnp.asarray(pixels), position_ids=pos,
+                max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
             )
         else:
             out = generate(

@@ -26,6 +26,10 @@ def generate(
     input_ids: jax.Array,  # (B, L) right-aligned prompt (no padding support yet)
     *,
     video: Optional[jax.Array] = None,
+    # (B, L) or (3, B, L) mrope grid rows (get_rope_index_3d) — REQUIRED
+    # for faithful video-MLLM serving: mrope models trained on 3-D grids
+    # must not prefill/decode with 1-D arange positions
+    position_ids: Optional[jax.Array] = None,
     max_new_tokens: int = 64,
     eos_token_id: Optional[int] = None,
     temperature: float = 0.0,
@@ -43,6 +47,12 @@ def generate(
     max_len = prompt_len + max_new_tokens
 
     if paged:
+        if position_ids is not None:
+            raise NotImplementedError(
+                "explicit position_ids (mrope serving) run through the "
+                "dense-cache path; the paged decode kernel derives "
+                "positions from seq_lens"
+            )
         llm_cfg = getattr(model, "cfg", None)
         if llm_cfg is None:  # MLLM compose: text model's config
             llm_cfg = model.config.text
@@ -66,7 +76,8 @@ def generate(
                 method="prefill_paged",
             )
         else:
-            assert video is None, "this model's paged path is text-only"
+            if video is not None:  # not an assert: must survive python -O
+                raise ValueError("this model's paged path is text-only")
             out = model.apply(
                 params, input_ids, pages, tables, page_size,
                 method="prefill_paged",
@@ -78,17 +89,40 @@ def generate(
         )
         import inspect
 
-        takes_video = "video" in inspect.signature(model.prefill).parameters
+        sig = inspect.signature(model.prefill).parameters
+        takes_video = "video" in sig
+        # only thread the kwarg when set — some flavors (VideoChat) have
+        # no position_ids parameter and never serve mrope prompts
+        pos_kw = {} if position_ids is None else {
+            "position_ids": position_ids
+        }
+        if pos_kw and "position_ids" not in sig:
+            raise ValueError(
+                "this model's prefill does not accept position_ids"
+            )
         if takes_video:  # MLLM flavor: prefill(input_ids, video, caches)
             out = model.apply(
-                params, input_ids, video, caches, method="prefill"
+                params, input_ids, video, caches, method="prefill",
+                **pos_kw,
             )
         else:  # bare MLATransformer: prefill(input_embeds, caches)
             embeds = model.apply(
                 params, method=lambda m: m.embed_tokens
             )(input_ids)
-            out = model.apply(params, embeds, caches, method="prefill")
+            out = model.apply(
+                params, embeds, caches, method="prefill", **pos_kw
+            )
         caches = out.caches
+
+    # decode-position continuation: mrope rows advance together from the
+    # prompt's max position (Qwen-VL convention), per batch row
+    if position_ids is not None:
+        red = (0, -1) if position_ids.ndim == 3 else (-1,)
+        next_pos = jnp.max(position_ids, axis=red) + 1  # (B,)
+        mrope = position_ids.ndim == 3
+    else:
+        next_pos = None
+        mrope = False
 
     def sample(logits, key):
         logits = logits[:, -1].astype(jnp.float32)
@@ -99,6 +133,11 @@ def generate(
             kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         if top_p is not None and top_p < 1.0:
+            if top_p <= 0.0:
+                raise ValueError(
+                    f"top_p={top_p} masks every token (NaN softmax); "
+                    "use top_p in (0, 1]"
+                )
             # nucleus: keep the smallest prefix of sorted probs summing to
             # top_p (the first token is always kept)
             sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
@@ -113,7 +152,8 @@ def generate(
         return jax.random.categorical(key, logits, axis=-1)
 
     rng = rng if rng is not None else jax.random.key(0)
-    first = sample(out.logits, rng)
+    rng, first_key = jax.random.split(rng)  # don't reuse the carry key
+    first = sample(out.logits, first_key)
 
     def body(carry, step):
         token, caches, finished, key = carry
@@ -126,9 +166,15 @@ def generate(
                 method="decode_step_paged",
             )
         else:
+            kw = {}
+            if next_pos is not None:
+                pos = (next_pos + step)[:, None]  # (B, 1)
+                if mrope:
+                    pos = jnp.broadcast_to(pos[None], (3, b, 1))
+                kw["position_ids"] = pos
             out = model.apply(
                 params, token[:, None], caches, prompt_len + step,
-                method="decode_step",
+                method="decode_step", **kw,
             )
         nxt = sample(out.logits, sub)
         if eos_token_id is not None:

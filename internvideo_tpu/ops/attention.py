@@ -111,6 +111,7 @@ def dot_product_attention(
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
             softmax_scale=softmax_scale,
+            window=window,
             impl="pallas" if interp else inner,
             interpret=interp,
         )

@@ -37,6 +37,7 @@ def ulysses_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    window: Optional[int] = None,  # sliding-window size
     impl: str = "auto",
     interpret: bool = False,  # pallas interpret mode (CPU tests)
     batch_axes: tuple[str, ...] = ("replica", "fsdp"),
@@ -51,9 +52,15 @@ def ulysses_attention(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     # call concrete impls directly — re-entering the dispatcher under an
-    # active ulysses_context would recurse
-    attn = flash_attention if impl == "pallas" else xla_attention
-    extra = {"interpret": interpret} if impl == "pallas" else {}
+    # active ulysses_context would recurse. xla_attention has no window
+    # support; windowed XLA runs the flash kernel in interpret mode (the
+    # dispatcher's own convention)
+    use_flash = impl == "pallas" or window is not None
+    attn = flash_attention if use_flash else xla_attention
+    extra = {}
+    if use_flash:
+        extra["interpret"] = interpret or impl != "pallas"
+        extra["window"] = window
 
     sp = mesh.shape[axis]
     if sp == 1:
@@ -136,6 +143,8 @@ def ulysses_attention(
         if segs:
             full_qseg = jax.lax.all_gather(segs[0], axis, axis=1, tiled=True)
             full_kvseg = jax.lax.all_gather(segs[1], axis, axis=1, tiled=True)
+        # after the all-to-all each rank holds the FULL sequence for its
+        # heads, so the sliding window applies locally without changes
         out = attn(
             qh, kh, vh,
             q_segment_ids=full_qseg, kv_segment_ids=full_kvseg,

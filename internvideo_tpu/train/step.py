@@ -58,7 +58,9 @@ def make_train_step(
             )
             loss = loss_sum / grad_accum
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
-            aux = jax.tree.map(lambda a: a[-1], aux)
+            # whole-step metrics, not the last micro-batch's (same
+            # reduction make_accum_step uses)
+            aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), aux)
 
         grad_norm = optax_global_norm(grads)
         state = state.apply_gradients(grads)

@@ -198,3 +198,43 @@ def test_mllm_hico_video_path():
     # generation works on the compressed path too
     gen = generate(model, params, ids, video=video, max_new_tokens=3)
     assert np.asarray(gen).shape == (1, 3)
+
+
+def test_generate_with_mrope_positions_matches_full_forward():
+    """generate(position_ids=3-D grid) must prefill AND decode with the
+    mrope grid (decode continues at max+1) — matching teacher-forced full
+    forwards that use the same explicit positions."""
+    model = VideoMLLM(CFG)
+    video = jax.random.normal(jax.random.key(2), (1, 2, 32, 32, 3))
+    ids = jnp.array([[5, 251, 251, 251, 251, 7, 9]])
+    params = model.init(jax.random.key(3), ids, video)
+
+    # token 0 is text at position 0; the 4-token vision run gets grid
+    # coords offset by 1; the trailing 2 text tokens advance together
+    vis = np.array([[0, 0, 0, 0], [0, 0, 1, 1], [0, 1, 0, 1]])
+    base = (vis + 1).max() + 1
+    text = np.broadcast_to(base + np.arange(2), (3, 2))
+    pos = np.concatenate(
+        [np.zeros((3, 1), np.int64), vis + 1, text], axis=1
+    )  # (3, 7)
+    pos3 = jnp.asarray(pos[:, None, :])  # (3, 1, L)
+
+    gen = generate(
+        model, params, ids, video=video, position_ids=pos3,
+        max_new_tokens=3, temperature=0.0,
+    )
+
+    cur, cur_pos = ids, pos3
+    expected = []
+    for _ in range(3):
+        o = model.apply(params, cur, video, position_ids=cur_pos)
+        nxt = jnp.argmax(o.logits[:, -1].astype(jnp.float32), axis=-1)
+        expected.append(int(nxt[0]))
+        cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+        nxt_pos = jnp.full((3, 1, 1), int(cur_pos.max()) + 1, cur_pos.dtype)
+        cur_pos = jnp.concatenate([cur_pos, nxt_pos], axis=2)
+    assert [int(x) for x in gen[0]] == expected
+
+    # and the default (no position_ids) path is unchanged
+    gen_def = generate(model, params, ids, video=video, max_new_tokens=2)
+    assert gen_def.shape == (1, 2)
