@@ -43,11 +43,24 @@ def initialize(
         return True
     # NOTE: must run before anything touches the XLA backend (jax.devices
     # etc.) — hence the CLI calls this before building any model.
+    explicit = any(
+        a is not None for a in
+        (coordinator_address, num_processes, process_id, local_device_ids)
+    )
     has_env = any(
         k in os.environ
-        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "JAX_NUM_PROCESSES")
     )
-    if coordinator_address is None and num_processes is None and not has_env:
+    # cloud-TPU pod slices carry no JAX_* env vars — the coordinator is
+    # auto-detected from TPU metadata; skipping initialize there would
+    # silently run N independent un-synced copies
+    pod_env = any(
+        k in os.environ
+        for k in ("TPU_WORKER_HOSTNAMES", "TPU_PROCESS_BOUNDS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not (explicit or has_env or pod_env):
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -80,8 +93,13 @@ def make_global_batch(local_batch, mesh: Mesh, spec: PartitionSpec = None):
     data-parallel axes. This is the TPU equivalent of DistributedSampler:
     hosts read disjoint data, the global array glues the shards.
     """
-    spec = spec if spec is not None else PartitionSpec(("replica", "fsdp"))
-    sharding = NamedSharding(mesh, spec)
+    if spec is None:
+        # single source of truth for the dp batch spec
+        from internvideo_tpu.core.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = NamedSharding(mesh, spec)
 
     def leaf(x):
         return jax.make_array_from_process_local_data(

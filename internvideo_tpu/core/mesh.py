@@ -72,10 +72,22 @@ def create_mesh(
     slowest-varying (DCN-adjacent) dimension of the device array and the
     communication-heavy axes (tensor/expert) land on nearest-neighbor ICI.
     """
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
     sizes = config.resolve(len(devices))
     shape = tuple(sizes[a] for a in MESH_AXES)
+    if not explicit:
+        # physical-locality-aware assignment: on a 3-D torus the naive
+        # flat reshape puts tensor groups across the torus instead of on
+        # nearest-neighbor ICI
+        from jax.experimental import mesh_utils
+
+        try:
+            device_array = mesh_utils.create_device_mesh(shape)
+            return Mesh(device_array, MESH_AXES)
+        except (ValueError, NotImplementedError):
+            pass  # exotic topologies: fall through to enumeration order
     device_array = np.asarray(devices).reshape(shape)
     return Mesh(device_array, MESH_AXES)
 
@@ -125,7 +137,12 @@ def logical_axis_rules(
 
 
 def logical_to_spec(logical_axes: Sequence[Optional[str]], rules=None) -> PartitionSpec:
-    """Translate a tuple of logical axis names into a PartitionSpec."""
+    """Translate a tuple of logical axis names into a PartitionSpec.
+
+    Matches flax `logical_to_mesh` semantics: a rule applies ALL of its
+    mesh axes or none (a partially-free composite rule would silently
+    shard a dim differently than the flax rule engine the Trainer uses).
+    """
     rules = dict(rules or DEFAULT_RULES)
     parts = []
     used: set[str] = set()
@@ -136,9 +153,11 @@ def logical_to_spec(logical_axes: Sequence[Optional[str]], rules=None) -> Partit
             continue
         if isinstance(mesh_axes, str):
             mesh_axes = (mesh_axes,)
-        free = tuple(a for a in mesh_axes if a not in used)
-        used.update(free)
-        parts.append(free if len(free) > 1 else (free[0] if free else None))
+        if any(a in used for a in mesh_axes):
+            parts.append(None)  # all-or-nothing, like flax
+            continue
+        used.update(mesh_axes)
+        parts.append(mesh_axes if len(mesh_axes) > 1 else mesh_axes[0])
     return PartitionSpec(*parts)
 
 

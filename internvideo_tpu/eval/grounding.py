@@ -78,6 +78,14 @@ def run_grounding_eval(
             "pred": pred, "gt": list(q["span"]), "iou": round(iou, 4),
         })
     if results_path:
+        import os
+
+        import jax
+
+        if jax.process_count() > 1:  # per-host file: no cross-host clobber
+            root, ext = os.path.splitext(results_path)
+            results_path = f"{root}.rank{jax.process_index()}{ext}"
+        os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
         with open(results_path, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")

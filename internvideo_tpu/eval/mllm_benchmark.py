@@ -143,6 +143,14 @@ def run_mcq_benchmark(
         correct = collections.Counter(dict(zip(all_cats, merged[1])))
 
     if predictions_path:
+        import jax
+
+        if jax.process_count() > 1:
+            # each host holds only its shard's preds — write per-rank
+            # files (the reference's convention) instead of letting every
+            # process truncate the same path
+            root, ext = os.path.splitext(predictions_path)
+            predictions_path = f"{root}.rank{jax.process_index()}{ext}"
         os.makedirs(os.path.dirname(predictions_path) or ".", exist_ok=True)
         with open(predictions_path, "w") as f:
             for p in preds:

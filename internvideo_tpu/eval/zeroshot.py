@@ -92,8 +92,19 @@ def zero_shot_eval(
     import jax
 
     correct1 = correct5 = total = 0
+    full_b = None
     for batch in data:
-        v = np.asarray(jax.device_get(encode_video(batch["video"])))
+        video = np.asarray(batch["video"])
+        if full_b is None:
+            full_b = video.shape[0]
+        m = video.shape[0]
+        if m < full_b:
+            # pad the ragged tail so the jitted encoder compiles once
+            # (remote TPU compiles run 20-60 s)
+            video = np.concatenate(
+                [video, np.repeat(video[-1:], full_b - m, 0)], 0
+            )
+        v = np.asarray(jax.device_get(encode_video(video)))[:m]
         v = v / np.linalg.norm(v, axis=-1, keepdims=True)
         scores = v @ classifier.T  # (B, C)
         labels = np.asarray(batch["label"])

@@ -320,10 +320,12 @@ class Trainer:
                     self.export_fn(self.state, step + 1)
             if pending:  # emit the final partial window to every sink
                 last_step = pending[-1][0]
+                n_window = len(pending)
                 self._flush_metrics(pending, halt_on_nan=cfg.halt_on_nan)
                 self.metrics.log_step(
                     last_step + 1,
                     extra={"lr": float(self.lr_schedule(last_step))},
+                    window_steps=n_window,
                 )
         finally:
             self._restore_signal_handlers(old_handlers)

@@ -111,12 +111,16 @@ class MetricLogger:
         """Model FLOPs spent this window (e.g. flops_per_step each step)."""
         self._flops_since += float(n)
 
-    def log_step(self, step: int, extra: Optional[dict] = None):
+    def log_step(self, step: int, extra: Optional[dict] = None,
+                 *, window_steps: Optional[int] = None):
+        """`window_steps` = steps actually covered since the last log
+        (defaults to log_every; the final window can be partial)."""
         now = time.perf_counter()
         dt = now - self._t_last
+        steps_in_window = window_steps or self.log_every
         record = {
             "step": step,
-            "time_per_step": dt / max(self.log_every, 1),
+            "time_per_step": dt / max(steps_in_window, 1),
             **{k: m.avg for k, m in self.meters.items()},
         }
         if self._tokens_since:
@@ -126,10 +130,13 @@ class MetricLogger:
             achieved = self._flops_since / dt
             record["tflops_per_sec"] = achieved / 1e12
             if self._peak_flops:
-                # MFU: achieved model FLOPs over the chip's peak — the
-                # TPU-idiomatic form of xtuner's throughput log
-                # (trainer.py:786-800)
-                record["mfu"] = achieved / self._peak_flops
+                # MFU: achieved model FLOPs (global batch) over the
+                # FLEET's peak — per-chip peak × device_count, else an
+                # 8-chip run at true 40% would log mfu=3.2
+                import jax as _jax
+
+                fleet_peak = self._peak_flops * _jax.device_count()
+                record["mfu"] = achieved / fleet_peak
             self._flops_since = 0.0
         if extra:
             record.update(extra)
