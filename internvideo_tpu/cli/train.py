@@ -97,7 +97,9 @@ def main(argv: Optional[list[str]] = None):
         trainer.fit(data)
     elif run.task == "clip":
         trainer, batch = build_clip(run)
-        data = run.data.get("stream") or _synthetic_clip_stream(batch)
+        data = run.data.get("stream") or _synthetic_clip_stream(
+            batch, run.model.text.vocab_size
+        )
         trainer.fit(data)
     elif run.task == "clip_av":
         trainer, batch = build_clip_av(run)
@@ -138,22 +140,34 @@ def build_clip(run: RunConfig):
         "attention_mask": jnp.ones((b, l), jnp.int32),
         "idx": jnp.arange(b, dtype=jnp.int32),
     }
-    clip_teacher = teacher_params = None
+    clip_teacher = None
     if getattr(run.engine, "uta", 0.0) > 0:
         # stage-2: frozen CLIP teacher drives masking + UTA targets
-        # (random-init here; real runs load a converted checkpoint)
         from internvideo_tpu.models.teachers import CLIPTeacher
 
         clip_teacher = CLIPTeacher(run.teacher)
-        teacher_params = clip_teacher.init(
-            jax.random.key(run.trainer.seed + 1), batch["video"]
-        )
-    trainer = Trainer(
-        run.trainer, model,
-        lambda m, mesh, grad_accum=1: make_clip_train_step(
+
+    def _clip_step_builder(m, mesh, grad_accum=1):
+        teacher_params = None
+        if clip_teacher is not None:
+            from internvideo_tpu.train.state import sharded_frozen_variables
+
+            # born sharded on the step's mesh (and loaded from a real
+            # converted checkpoint when given — a random teacher trains
+            # against noise)
+            teacher_params = sharded_frozen_variables(
+                clip_teacher, (batch["video"],), mesh,
+                jax.random.key(run.trainer.seed + 1),
+                checkpoint=run.data.get("teacher_checkpoint"),
+            )
+        return make_clip_train_step(
             m, run.engine, clip_teacher=clip_teacher,
             teacher_params=teacher_params, grad_accum=grad_accum,
-        ),
+        )
+
+    trainer = Trainer(
+        run.trainer, model,
+        _clip_step_builder,
         example_batch=batch,
         example_inputs=(batch["video"], batch["input_ids"],
                         batch["attention_mask"]),
@@ -295,17 +309,33 @@ def build_pretrain(run: RunConfig):
     keep0 = jnp.zeros((b, n_vis), jnp.int32)
 
     rng = jax.random.key(run.trainer.seed + 1)
-    teacher_params = {
-        "clip": clip_teacher.init(rng, student_video),
-        "mae": mae_teacher.init(jax.random.fold_in(rng, 1), video),
-    }
+
+    def _pretrain_step_builder(m, mesh, grad_accum=1):
+        from internvideo_tpu.train.state import sharded_frozen_variables
+
+        # teachers born sharded on the step's mesh; real runs pass
+        # data.clip_teacher_checkpoint / data.mae_teacher_checkpoint
+        # (convert-CLI npz) — random teachers distill noise
+        teacher_params = {
+            "clip": sharded_frozen_variables(
+                clip_teacher, (student_video,), mesh, rng,
+                checkpoint=run.data.get("clip_teacher_checkpoint"),
+            ),
+            "mae": sharded_frozen_variables(
+                mae_teacher, (video,), mesh, jax.random.fold_in(rng, 1),
+                checkpoint=run.data.get("mae_teacher_checkpoint"),
+            ),
+        }
+        raw = make_pretrain_step(
+            model, clip_teacher, mae_teacher, cfg, grad_accum=grad_accum
+        )
+        return lambda state, batch, step_rng: raw(
+            state, teacher_params, batch, step_rng
+        )
+
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh, grad_accum=1: (
-            lambda state, batch, step_rng, raw=make_pretrain_step(
-                model, clip_teacher, mae_teacher, cfg, grad_accum=grad_accum
-            ): raw(state, teacher_params, batch, step_rng)
-        ),
+        _pretrain_step_builder,
         example_batch={"video": video},
         example_inputs=(student_video, keep0),
     )
@@ -336,32 +366,40 @@ def build_distill(run: RunConfig):
         n_vis = enc.num_patches
     keep0 = jnp.zeros((b, n_vis), jnp.int32)
 
-    teacher_params = teacher.init(
-        jax.random.key(run.trainer.seed + 1), video
-    )
+    def _distill_step_builder(m, mesh, grad_accum=1):
+        from internvideo_tpu.train.state import sharded_frozen_variables
+
+        teacher_params = sharded_frozen_variables(
+            teacher, (video,), mesh,
+            jax.random.key(run.trainer.seed + 1),
+            checkpoint=run.data.get("teacher_checkpoint"),
+        )
+        raw = make_distill_step(model, teacher, cfg, grad_accum=grad_accum)
+        return lambda state, batch, step_rng: raw(
+            state, teacher_params, batch, step_rng
+        )
+
     trainer = Trainer(
         run.trainer, model,
-        lambda m, mesh, grad_accum=1: (
-            lambda state, batch, step_rng, raw=make_distill_step(
-                model, teacher, cfg, grad_accum=grad_accum
-            ): raw(state, teacher_params, batch, step_rng)
-        ),
+        _distill_step_builder,
         example_batch={"video": video},
         example_inputs=(video, keep0),
     )
     return trainer, {"video": video}
 
 
-def _synthetic_clip_stream(batch, seed=0):
+def _synthetic_clip_stream(batch, vocab_size, seed=0):
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    vocab = 1000
+    # ids must stay inside the text tower's vocab AND clear of the BERT
+    # special ids mlm_corrupt writes (flax Embed fills NaN out of range)
+    hi = min(1000, vocab_size)
     while True:
         yield {
             "video": rng.normal(size=batch["video"].shape).astype(np.float32),
             "input_ids": rng.integers(
-                1, vocab, size=batch["input_ids"].shape
+                1, hi, size=batch["input_ids"].shape
             ).astype(np.int32),
             "attention_mask": np.ones_like(np.asarray(batch["attention_mask"])),
             "idx": np.arange(batch["idx"].shape[0], dtype=np.int32),

@@ -38,7 +38,6 @@ class PretrainConfig:
     encoder: InternVideo2Config = dataclasses.field(
         default_factory=InternVideo2Config
     )
-    clip_decoder_embed_dim: int = 768  # decoder input width == encoder dim
     clip_output_dim: int = 3200  # teacher hidden dim (internvl-6B: 3200)
     clip_final_output_dim: int = 768  # teacher projector dim
     clip_norm_type: str = "l2"

@@ -85,12 +85,9 @@ class CLIPTeacher(nn.Module):
         # ascending block order — the reference appends as the block loop
         # ascends (internvl_clip_vision.py:429-437), so z[0] is the earliest
         # returned layer; pairs index-wise with the student's decoders
-        z = jnp.stack(
-            [
-                dict(zip(sorted(set(cfg.return_indices)), out.hidden_states))[i]
-                for i in sorted(set(cfg.return_indices))
-            ]
-        )  # (K, BT, 1+HW, C)
+        # hidden_states arrive in ascending block order (the encoder
+        # appends at each requested layer) — stack directly
+        z = jnp.stack(out.hidden_states)  # (K, BT, 1+HW, C)
         k, _, hw1, c = z.shape
         cls = z[:, :, :1].reshape(k, b, t, 1, c).mean(axis=2)
         patches = z[:, :, 1:].reshape(k, b, t * (hw1 - 1), c)

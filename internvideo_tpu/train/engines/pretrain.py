@@ -67,7 +67,13 @@ def make_pretrain_step(
         video = batch["video"]
         b, t = video.shape[:2]
         student_video = video[:, :: cfg.td_ratio]
-        t_s = student_video.shape[1]
+        # temporal TOKEN count, not frame count — a tubelet-2 student has
+        # half as many temporal grid positions as frames (matches
+        # cli/train.py _num_visible_tokens and the distill engine)
+        t_s = (
+            student_video.shape[1]
+            // student_model.config.encoder.tubelet_size
+        )
 
         # --- frozen teachers ---
         z_clip, clip_final_t, attn = clip_teacher.apply(

@@ -121,3 +121,62 @@ def create_sharded_state(
     with mesh:
         state = jax.jit(_init, out_shardings=state_shardings)(rng)
     return state
+
+
+def sharded_frozen_variables(
+    model: nn.Module,
+    example_inputs: tuple,
+    mesh: Mesh,
+    rng: jax.Array,
+    *,
+    rules=None,
+    checkpoint: Optional[str] = None,
+    init_kwargs: Optional[dict] = None,
+):
+    """Frozen (teacher) variables born on their mesh shards.
+
+    Teachers ride the train step as jit constants or arguments; either
+    way their params must be sharded by the same logical rules as the
+    student's — a plain `.init()` materializes the whole tower on the
+    default device (OOM for the 6B CLIP teacher) and replicates it.
+
+    `checkpoint`: path to a flat converted npz (tools/convert_cli
+    output) — loads REAL teacher weights instead of random init (random
+    teachers make UMT pretraining distill noise).
+    """
+    import numpy as np
+
+    init_kwargs = init_kwargs or {}
+    abstract = jax.eval_shape(
+        lambda r: model.init(r, *example_inputs, **init_kwargs), rng
+    )
+    shardings = {}
+    for coll, sub in abstract.items():
+        if coll == "params":
+            shardings[coll] = nn.unbox(param_shardings(sub, mesh, rules))
+        else:  # aux collections (stats etc.): replicated
+            shardings[coll] = jax.tree.map(
+                lambda _: NamedSharding(mesh, PartitionSpec()),
+                nn.unbox(sub),
+            )
+    if checkpoint is not None:
+        from internvideo_tpu.tools.convert_cli import load_flat_params
+
+        if set(abstract) != {"params"}:
+            raise NotImplementedError(
+                "checkpoint loading covers params-only teachers; got "
+                f"collections {sorted(abstract)}"
+            )
+        loaded = load_flat_params(checkpoint)["params"]
+        return {
+            "params": jax.tree.map(
+                lambda a, s, x: jax.device_put(
+                    np.asarray(x).astype(a.dtype), s
+                ),
+                nn.unbox(abstract["params"]), shardings["params"], loaded,
+            )
+        }
+    return jax.jit(
+        lambda r: nn.unbox(model.init(r, *example_inputs, **init_kwargs)),
+        out_shardings=shardings,
+    )(rng)

@@ -202,18 +202,30 @@ class Trainer:
     def put_batch(self, batch: dict) -> dict:
         ga = self.config.grad_accum
         if ga > 1:
-            dims = {np.asarray(v).shape[0] for v in batch.values()}
+            # mrope position_ids lead with the axis dim (3, B, L) — swap
+            # the batch dim forward for the micro-split, then restore the
+            # engine's (ga, 3, micro, L) layout (matches the prepended-
+            # None sharding spec)
+            def _is_mrope(k, v):
+                return k == "position_ids" and v.ndim == 3 and v.shape[0] == 3
+
+            arrs = {k: np.asarray(v) for k, v in batch.items()}
+            lead = {
+                k: (np.moveaxis(v, 0, 1) if _is_mrope(k, v) else v)
+                for k, v in arrs.items()
+            }
+            dims = {v.shape[0] for v in lead.values()}
             if len(dims) != 1:
                 raise ValueError(
                     "grad_accum requires every batch leaf to lead with the "
                     f"batch dim; got leading dims {sorted(dims)}"
                 )
-            batch = {
-                k: np.reshape(
-                    np.asarray(v), (ga, -1) + np.asarray(v).shape[1:]
-                )
-                for k, v in batch.items()
-            }
+            batch = {}
+            for k, v in lead.items():
+                v = np.reshape(v, (ga, -1) + v.shape[1:])
+                if _is_mrope(k, arrs[k]):
+                    v = np.moveaxis(v, 2, 1)  # (ga, 3, micro, L)
+                batch[k] = v
         return {
             k: jax.device_put(v, self.batch_shardings[k])
             for k, v in batch.items()

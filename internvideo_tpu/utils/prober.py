@@ -44,11 +44,13 @@ def capture_activations(
     )
     flat = {}
 
+    dropped = []
+
     def rec(node, prefix):
         if isinstance(node, dict):
             for k, v in node.items():
                 rec(v, f"{prefix}/{k}" if prefix else k)
-        elif isinstance(node, tuple):
+        elif isinstance(node, (tuple, list)):  # deepstack taps are lists
             for i, v in enumerate(node):
                 suffix = "" if len(node) == 1 else f"#{i}"
                 rec(v, prefix + suffix)
@@ -56,9 +58,13 @@ def capture_activations(
             try:
                 flat[prefix] = np.asarray(jax.device_get(node))
             except Exception:
-                pass
+                # a parity tool must not pass vacuously — record what it
+                # could not capture so compare_activations can flag it
+                dropped.append(prefix)
 
     rec(state["intermediates"], "")
+    if dropped:
+        flat["__dropped__"] = np.asarray(dropped)
     return out, flat
 
 
