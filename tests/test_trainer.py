@@ -274,3 +274,43 @@ def test_lr_mult_patterns():
     u_back = float(updates["backbone"]["w"][0])
     u_head = float(updates["new_head"]["w"][0])
     assert abs(u_head / u_back - 10.0) < 1e-5, (u_back, u_head)
+
+
+def test_put_batch_mrope_grad_accum(tmp_path):
+    """(3, B, L) mrope position_ids survive the grad-accum micro split as
+    (ga, 3, micro, L) — matching the prepended-None sharding spec."""
+    from jax.sharding import PartitionSpec
+
+    cfg = TrainerConfig(
+        total_steps=2, log_every=1, grad_accum=2,
+        mesh=MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1),
+        optimizer=OptimizerConfig(lr=1e-3, total_steps=2),
+    )
+    b = 16
+    video = jnp.zeros((b, 1, 28, 28, 3))
+    dp = ("replica", "fsdp")
+    t = Trainer(
+        cfg, InternVideo2(TINY),
+        lambda model, mesh, grad_accum=1: make_train_step(
+            classification_loss, grad_accum=grad_accum
+        ),
+        example_batch={"video": video, "label": jnp.zeros((b,), jnp.int32)},
+        example_inputs=(video,),
+        batch_specs={
+            "video": PartitionSpec(dp),
+            "label": PartitionSpec(dp),
+            "position_ids": PartitionSpec(None, dp, None),
+        },
+    )
+    pos = np.arange(3 * b * 5).reshape(3, b, 5)
+    out = t.put_batch({
+        "video": np.zeros((b, 1, 28, 28, 3), np.float32),
+        "label": np.zeros((b,), np.int32),
+        "position_ids": pos,
+    })
+    got = np.asarray(out["position_ids"])
+    assert got.shape == (2, 3, b // 2, 5)
+    # micro 0 carries batch rows 0..7 of every rope axis, micro 1 the rest
+    np.testing.assert_array_equal(got[0], pos[:, : b // 2])
+    np.testing.assert_array_equal(got[1], pos[:, b // 2:])
+    t.ckpt = None
