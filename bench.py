@@ -350,6 +350,83 @@ def main():
     except Exception as e:  # noqa: BLE001
         extra["mla_paged_decode_error"] = type(e).__name__
 
+    # Full-model LLM serving: prefill + steady-state paged decode through
+    # every layer of the 2B-class M²LA preset (qwen3_2b_mla — the 8B
+    # architecture scaled to fit 16 GB; bf16 8B params alone are 16 GB).
+    # Same shapes as tools_r3/serve_bench.py so compile-cache hits.
+    try:
+        if not on_tpu:
+            raise TimeoutError("cpu smoke skips the 2B serve bench")
+        if over_budget():
+            raise TimeoutError("bench budget")
+        from functools import partial as _partial
+
+        from internvideo_tpu.models.llm import (
+            MLATransformer,
+            init_paged_cache,
+        )
+        from internvideo_tpu.models.presets import qwen3_2b_mla
+
+        lcfg = qwen3_2b_mla()
+        lmodel = MLATransformer(lcfg)
+        lb, lctx, lpage, lsteps = 8, 2048, 64, 64
+        lids = jnp.zeros((lb, lctx), jnp.int32)
+        lparams = jax.jit(lmodel.init)(jax.random.key(0), lids)
+        pages, tables = init_paged_cache(
+            lcfg, lb, lctx + lsteps, lpage, jnp.bfloat16
+        )
+
+        @_partial(jax.jit, donate_argnums=(2,))
+        def _serve_prefill(p, ids, pages):
+            out = lmodel.apply(p, ids, pages, tables, lpage,
+                               method="prefill_paged")
+            return out.logits[:, -1].argmax(-1).astype(jnp.int32), out.caches
+
+        @_partial(jax.jit, donate_argnums=(2,))
+        def _serve_decode(p, token, pages, seq_lens):
+            out = lmodel.apply(p, token[:, None], pages, tables, seq_lens,
+                               lpage, method="decode_step_paged")
+            return out.logits[:, -1].argmax(-1).astype(jnp.int32), out.caches
+
+        def _sync(x):
+            float(jax.device_get(jnp.sum(x[:1].astype(jnp.float32))))
+
+        tok, pages = _serve_prefill(lparams, lids, pages)
+        _sync(tok)
+        tok, pages = _serve_prefill(lparams, lids, pages)
+        _sync(tok)
+        t0 = time.perf_counter()
+        tok, pages = _serve_prefill(lparams, lids, pages)
+        _sync(tok)
+        pbase = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(4):
+            tok, pages = _serve_prefill(lparams, lids, pages)
+        _sync(tok)
+        pdt = max(time.perf_counter() - t0 - pbase, 1e-9)
+        extra["llm_prefill_tokens_per_sec"] = round(lb * lctx * 3 / pdt)
+
+        lseq = jnp.full((lb,), lctx, jnp.int32)
+        tok, pages = _serve_decode(lparams, tok, pages, lseq)
+        _sync(tok)
+        tok, pages = _serve_decode(lparams, tok, pages, lseq + 1)
+        _sync(tok)
+        t0 = time.perf_counter()
+        tok, pages = _serve_decode(lparams, tok, pages, lseq + 2)
+        _sync(tok)
+        dbase = time.perf_counter() - t0
+        ln = lsteps - 4
+        t0 = time.perf_counter()
+        for i in range(ln):
+            tok, pages = _serve_decode(lparams, tok, pages, lseq + 3 + i)
+        _sync(tok)
+        ddt = max(time.perf_counter() - t0 - dbase, 1e-9)
+        extra["llm_decode_tokens_per_sec"] = round(lb * (ln - 1) / ddt)
+        del lparams, pages
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        extra["llm_serve_error"] = type(e).__name__
+
     print(json.dumps({
         "metric": f"internvideo2_{size}_encoder_clips_per_sec_per_chip_{frames}f{img}",
         "value": round(dense, 2),

@@ -60,6 +60,25 @@ def qwen3_8b_mla(**overrides) -> LLMConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def qwen3_2b_mla(**overrides) -> LLMConfig:
+    """2B-class M²LA text model: the qwen3_8b_mla architecture scaled to
+    fit one 16 GB v5e for single-chip serving benches (bf16 8B params are
+    16 GB on their own). hidden 2560, 24 layers, SwiGLU 8192, 20 heads,
+    MLA latent 512 + 64 rope; everything else matches the 8B preset."""
+    cfg = qwen3_8b_mla(
+        hidden_size=2560, num_layers=24, intermediate_size=8192,
+        remat=False,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        mla=dataclasses.replace(
+            cfg.mla, hidden_size=2560, num_heads=20,
+            kv_lora_rank=512, qk_rope_head_dim=64,
+        ),
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def internvideo3_8b(**overrides) -> MLLMConfig:
     """InternVideo3-8B (internvideo3_config.py:19-120): SigLIP-style tower
     1152d/27L (depth=27) + deepstack after blocks [8,16,24] + Qwen3-8B-MLA

@@ -286,7 +286,7 @@ def _fwd(
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        compiler_params=_MAIN_PARAMS,
+        compiler_params=_main_params(d),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -627,6 +627,7 @@ def _bwd(
             window=window, q_pos=q_pos, unroll=u_dq,
         ),
         grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, u_dq * block_k)),
+        compiler_params=_main_params(d),
         in_specs=common_specs + seg_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -684,6 +685,7 @@ def _bwd(
             unroll=u_kv,
         ),
         grid=(b, h // group, pl.cdiv(sk, block_k), group * nq_blocks),
+        compiler_params=_main_params(d),
         in_specs=dkv_specs + dkv_seg_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
@@ -953,6 +955,22 @@ _SMALL_S_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_SMALL_S_VMEM_LIMIT)
 # limits let block shapes above 1024x1024 compile — measured on-chip
 # before adoption (see PERF.md); experiments set this via monkeypatch.
 _MAIN_PARAMS = None
+
+# Wide-head (d > 128) shapes — MLA prefill/train runs q_head_dim 192
+# (nope 128 + rope 64) — overflow the compiler's 16M scoped-vmem stack at
+# the measured-best 1024x1024 blocks (17.38M observed at B=8 S=2048 h=20
+# d=192). Raise the ceiling for those shapes only; d <= 128 keeps the
+# default so the measured encoder kernels are untouched. v5e has 128M
+# physical vmem.
+_WIDE_HEAD_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=32 * 1024 * 1024
+)
+
+
+def _main_params(d: int):
+    if _MAIN_PARAMS is not None:
+        return _MAIN_PARAMS
+    return _WIDE_HEAD_PARAMS if d > 128 else None
 
 
 def _ss_cq(s: int) -> int:

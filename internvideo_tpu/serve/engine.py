@@ -1,0 +1,300 @@
+"""Continuous-batching serving engine over the paged M²LA decode path.
+
+The reference serves its MLLMs through external engines (vLLM / LMDeploy /
+SGLang — xtuner/v1/ray/rollout/controller.py:163 routes rollouts to them);
+this is the TPU-native equivalent of the part those engines actually
+provide: a page allocator + slot scheduler that admits requests into a
+fixed decode batch as earlier sequences finish, so the chip always decodes
+a full batch instead of waiting for the longest request (vLLM's
+"continuous batching" memory/scheduling model over our paged latent
+cache, nn/paged_cache.py).
+
+TPU-idiomatic contract — everything the compiler sees is static:
+
+  * ONE decode program: `(B_max, 1)` tokens through every layer + the
+    paged-attention kernel, ragged `seq_lens` per slot. Finished/empty
+    slots still compute (wasted FLOPs are cheaper than a recompile) but
+    write into a reserved trash page so they can never corrupt pages that
+    have been recycled to live sequences.
+  * Prompt lengths are bucketed (one prefill compile per bucket, not per
+    length). Pad positions write garbage entries beyond the real length;
+    they are never attended (attention is bounded by seq_lens) and are
+    overwritten as decode advances — first-token logits are gathered at
+    the true last prompt index, not the padded one.
+  * Page tables grow lazily (PageAllocator.ensure) and recycle on finish;
+    admission is host control flow, not compute.
+
+Greedy decoding (the deterministic serving mode; sampling belongs to
+models/generation.py's single-program generate). Token-level parity with
+`generate()` is pinned by tests/test_serving_engine.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from internvideo_tpu.nn.paged_cache import PageAllocator
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray  # (L,) int32
+    max_new_tokens: int
+    tokens: list = dataclasses.field(default_factory=list)  # generated
+    finished: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    rid: Optional[int] = None  # None = free
+    seq_len: int = 0  # tokens in cache (prompt + generated so far)
+    budget: int = 0  # max_new_tokens remaining
+    last_token: int = 0  # next decode input
+
+
+class ServingEngine:
+    """Fixed-batch continuous scheduler for an MLATransformer.
+
+    Args:
+      model/params: the LLM (must expose prefill_paged / decode_step_paged /
+        _head — models/llm.py:271-343).
+      max_batch: decode batch width (slots).
+      num_pages: page-pool size shared by all slots (+1 trash page is
+        allocated internally).
+      max_len: hard cap on prompt+generation length per sequence (sets the
+        block-table width).
+      prompt_buckets: padded prefill lengths; each bucket is one compile.
+      decode_horizon: decode steps per device program (lax.scan). 1 =
+        per-token scheduling; larger values amortize the host round-trip
+        (dominant on a remote/tunneled TPU) at the cost of admitting new
+        requests only every `horizon` tokens.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        max_batch: int = 4,
+        page_size: int = 16,
+        num_pages: int = 256,
+        max_len: int = 512,
+        prompt_buckets: tuple = (32, 128, 512),
+        eos_token_id: Optional[int] = None,
+        impl: Optional[str] = None,  # auto | pallas | xla
+        interpret: bool = False,
+        decode_horizon: int = 1,
+    ):
+        cfg = model.cfg
+        self.model, self.params = model, params
+        self.max_batch, self.page_size = max_batch, page_size
+        self.max_len = max_len
+        self.buckets = tuple(sorted(prompt_buckets))
+        if self.buckets[-1] > max_len:
+            raise ValueError("largest prompt bucket exceeds max_len")
+        self.eos = eos_token_id
+        if decode_horizon < 1:
+            raise ValueError("decode_horizon must be >= 1")
+        self.horizon = decode_horizon
+        # table width absorbs up to horizon-1 overshoot tokens a finishing
+        # request decodes past its budget inside a chunk: unallocated
+        # columns stay pointed at the trash page, so those writes can
+        # never touch pages recycled to live sequences
+        self.max_pages = -(-(max_len + decode_horizon) // page_size)
+        self.alloc = PageAllocator(num_pages, page_size)
+        self.trash_page = num_pages  # reserved: writes from idle slots
+        cache_dtype = jnp.bfloat16 if cfg.param_dtype == "bfloat16" \
+            else jnp.float32
+        self.pages = [
+            jnp.zeros((num_pages + 1, page_size, cfg.mla.cache_dim),
+                      cache_dtype)
+            for _ in range(cfg.num_layers)
+        ]
+        self.tables = np.full(
+            (max_batch, self.max_pages), self.trash_page, np.int32
+        )
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self.pending: list[Request] = []
+        self.requests: dict[int, Request] = {}
+        self._next_rid = 0
+
+        def _prefill(m, ids, pages, table_row, last_idx):
+            out = m.prefill_paged(ids, pages, table_row, page_size)
+            # logits at the true last prompt token, not the padded tail
+            h = jnp.take_along_axis(
+                out.hidden, last_idx[:, None, None], axis=1
+            )
+            return m._head(h)[:, -1].argmax(-1).astype(jnp.int32), out.caches
+
+        def _decode(m, tok, pages, tables, seq_lens):
+            # decode_horizon steps in ONE device program (lax.scan): on a
+            # tunneled/remote TPU the per-step host round-trip dominates a
+            # ~0.1 ms decode step, so the scheduler syncs every `horizon`
+            # tokens instead of every token. Tokens a request emits past
+            # its eos/budget inside a chunk are discarded host-side; their
+            # cache writes land in pages that are released with the slot.
+            def body(carry, _):
+                t, pg, sl = carry
+                out = m.decode_step_paged(
+                    t[:, None], pg, tables, sl, page_size,
+                    impl=impl, interpret=interpret,
+                )
+                nxt = out.logits[:, -1].argmax(-1).astype(jnp.int32)
+                return (nxt, out.caches, sl + 1), nxt
+
+            (_, pages, _), toks = jax.lax.scan(
+                body, (tok, pages, seq_lens), length=decode_horizon
+            )
+            return toks.T, pages  # (B, horizon)
+
+        # pages are donated: the pool updates in place instead of copying
+        # num_layers × (P, page, C) every step
+        self._prefill_fn = jax.jit(
+            partial(model.apply, method=_prefill), donate_argnums=(2,)
+        )
+        self._decode_fn = jax.jit(
+            partial(model.apply, method=_decode), donate_argnums=(2,)
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) > self.buckets[-1]:
+            raise ValueError(
+                f"prompt ({len(prompt)}) exceeds the largest bucket "
+                f"({self.buckets[-1]})"
+            )
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError("prompt + max_new_tokens exceeds max_len")
+        rid = self._next_rid
+        self._next_rid += 1
+        req = Request(rid, prompt, max_new_tokens)
+        self.requests[rid] = req
+        self.pending.append(req)
+        return rid
+
+    def has_work(self) -> bool:
+        return bool(self.pending) or any(
+            s.rid is not None for s in self.slots
+        )
+
+    def step(self) -> list[tuple[int, int, bool]]:
+        """Admit what fits, run one decode step. Returns
+        [(rid, token, finished)] events emitted this step.
+
+        Invariant: slot.seq_len == latent entries in the cache. The decode
+        step writes its INPUT token's entry at position seq_len (so the
+        pool grows by one) and returns the next token, which stays outside
+        the cache until it is itself decoded.
+
+        The whole step is ONE host sync: admissions keep their first
+        tokens on device (fed into the decode chunk via `.at[slot].set`)
+        and everything is fetched together after the chunk is dispatched —
+        per-admission blocking fetches dominated wall time on a
+        remote/tunneled TPU."""
+        events = []
+        admitted = []  # (slot, first-token device array)
+        for i in range(self.max_batch):
+            if self.slots[i].rid is None and self.pending:
+                admitted.append((i, self._admit(i, self.pending.pop(0))))
+        active = [i for i, s in enumerate(self.slots) if s.rid is not None]
+        if not active:  # admitted slots are active, so admitted is empty too
+            return events
+        # grow tables for the tokens each active slot will write this chunk
+        # (growth is capped at max_len; chunk overshoot past it lands on
+        # trash-page columns — see max_pages in __init__)
+        for i in active:
+            self._sync_table(
+                i, min(self.slots[i].seq_len + self.horizon, self.max_len)
+            )
+        tok = jnp.asarray(
+            [s.last_token for s in self.slots], jnp.int32
+        )
+        for i, first in admitted:  # device-side: no fetch before decode
+            tok = tok.at[i].set(first[0])
+        seq_lens = jnp.asarray(
+            [s.seq_len for s in self.slots], jnp.int32
+        )
+        nxt, self.pages = self._decode_fn(
+            self.params, tok, self.pages, jnp.asarray(self.tables), seq_lens
+        )
+        nxt, firsts = jax.device_get(
+            (nxt, [f for _, f in admitted])
+        )  # the step's single host sync
+        nxt = np.asarray(nxt)  # (B, horizon)
+        for (i, _), fv in zip(admitted, firsts):
+            events.append(self._emit(i, int(fv[0])))
+        for i in active:
+            s = self.slots[i]
+            if s.rid is None:  # admitted request finished on its 1st token
+                continue
+            for k in range(self.horizon):
+                if self.slots[i] is not s:  # finished mid-chunk: the rest
+                    break  # of the chunk's tokens are discarded
+                s.seq_len += 1  # the step's input-token entry landed
+                events.append(self._emit(i, int(nxt[i, k])))
+        return events
+
+    def run(self) -> dict[int, np.ndarray]:
+        """Drain all submitted requests; returns rid -> generated ids."""
+        while self.has_work():
+            self.step()
+        return {
+            rid: np.asarray(r.tokens, np.int32)
+            for rid, r in self.requests.items()
+        }
+
+    # -- internals ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds buckets")
+
+    def _sync_table(self, slot: int, new_len: int):
+        table = self.alloc.ensure(slot, new_len)
+        self.tables[slot, : len(table)] = table
+
+    def _admit(self, slot: int, req: Request):
+        """Prefill `req` into `slot`; returns the first generated token as
+        a DEVICE array — the caller folds it into the decode chunk and
+        fetches it with the step's single host sync."""
+        bucket = self._bucket(len(req.prompt))
+        real = len(req.prompt)
+        self._sync_table(slot, bucket)  # pad entries must land in-table
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :real] = req.prompt
+        first, self.pages = self._prefill_fn(
+            self.params,
+            jnp.asarray(ids),
+            self.pages,
+            jnp.asarray(self.tables[slot: slot + 1]),
+            jnp.asarray([real - 1], jnp.int32),
+        )
+        s = self.slots[slot]
+        # prompt entries are in the cache; the first generated token is not
+        s.rid, s.seq_len, s.budget = req.rid, real, req.max_new_tokens
+        return first
+
+    def _emit(self, slot: int, token: int) -> tuple[int, int, bool]:
+        s = self.slots[slot]
+        req = self.requests[s.rid]
+        req.tokens.append(token)
+        s.last_token = token
+        s.budget -= 1
+        done = s.budget <= 0 or (self.eos is not None and token == self.eos)
+        if done:
+            req.finished = True
+            self.alloc.release(slot)
+            self.tables[slot] = self.trash_page
+            self.slots[slot] = _Slot()
+        return (req.rid, token, done)
