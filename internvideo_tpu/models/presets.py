@@ -64,10 +64,12 @@ def qwen3_2b_mla(**overrides) -> LLMConfig:
     """2B-class M²LA text model: the qwen3_8b_mla architecture scaled to
     fit one 16 GB v5e for single-chip serving benches (bf16 8B params are
     16 GB on their own). hidden 2560, 24 layers, SwiGLU 8192, 20 heads,
-    MLA latent 512 + 64 rope; everything else matches the 8B preset."""
+    MLA latent 512 + 64 rope; everything else matches the 8B preset.
+    mrope_section is rescaled with the rope dim: sections must sum to
+    qk_rope_head_dim//2 = 32 (nn/rope.py mrope_cos_sin asserts this)."""
     cfg = qwen3_8b_mla(
         hidden_size=2560, num_layers=24, intermediate_size=8192,
-        remat=False,
+        remat=False, mrope_section=(12, 10, 10),
     )
     cfg = dataclasses.replace(
         cfg,

@@ -108,8 +108,14 @@ class ServingEngine:
         # columns stay pointed at the trash page, so those writes can
         # never touch pages recycled to live sequences
         self.max_pages = -(-(max_len + decode_horizon) // page_size)
+        self.num_pages = num_pages
         self.alloc = PageAllocator(num_pages, page_size)
         self.trash_page = num_pages  # reserved: writes from idle slots
+        # worst-case page reservation per slot: admission is gated so that
+        # every running sequence can always grow to its reserved size —
+        # PageAllocator.ensure can then never fail mid-run (a mid-run
+        # failure would strand in-flight sequences)
+        self._worst_pages = [0] * max_batch
         cache_dtype = jnp.bfloat16 if cfg.param_dtype == "bfloat16" \
             else jnp.float32
         self.pages = [
@@ -167,6 +173,8 @@ class ServingEngine:
 
     def submit(self, prompt, max_new_tokens: int) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         if len(prompt) > self.buckets[-1]:
             raise ValueError(
                 f"prompt ({len(prompt)}) exceeds the largest bucket "
@@ -174,6 +182,12 @@ class ServingEngine:
             )
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds max_len")
+        if self._request_worst_pages(prompt, max_new_tokens) > self.num_pages:
+            raise ValueError(
+                f"request needs up to "
+                f"{self._request_worst_pages(prompt, max_new_tokens)} pages "
+                f"but the pool has only {self.num_pages}; raise num_pages"
+            )
         rid = self._next_rid
         self._next_rid += 1
         req = Request(rid, prompt, max_new_tokens)
@@ -204,6 +218,15 @@ class ServingEngine:
         admitted = []  # (slot, first-token device array)
         for i in range(self.max_batch):
             if self.slots[i].rid is None and self.pending:
+                # page-gated admission (FIFO, no skip-ahead): only admit if
+                # the pool can cover this request's worst-case growth on top
+                # of every running sequence's outstanding reservation
+                need = self._request_worst_pages(
+                    self.pending[0].prompt, self.pending[0].max_new_tokens
+                )
+                if need > self._unreserved_free_pages():
+                    break
+                self._worst_pages[i] = need
                 admitted.append((i, self._admit(i, self.pending.pop(0))))
         active = [i for i, s in enumerate(self.slots) if s.rid is not None]
         if not active:  # admitted slots are active, so admitted is empty too
@@ -252,7 +275,38 @@ class ServingEngine:
             for rid, r in self.requests.items()
         }
 
+    def reset(self):
+        """Clear all scheduling state but keep the compiled programs and the
+        device page pool — lets benchmarks reuse a warmed engine for a fresh
+        load without retracing/reloading the jitted partials."""
+        self.alloc = PageAllocator(self.num_pages, self.page_size)
+        self.tables[:] = self.trash_page
+        self.slots = [_Slot() for _ in range(self.max_batch)]
+        self._worst_pages = [0] * self.max_batch
+        self.pending, self.requests = [], {}
+
     # -- internals ----------------------------------------------------------
+
+    def _request_worst_pages(self, prompt, max_new_tokens: int) -> int:
+        """Worst-case pages a request can ever hold: its table is grown to
+        the prefill bucket at admission, then to min(seq_len + horizon,
+        max_len) each chunk, with seq_len < len(prompt) + max_new_tokens at
+        the last sync before the slot is released."""
+        bucket = self._bucket(len(prompt))
+        worst = min(
+            max(bucket, len(prompt) + max_new_tokens + self.horizon),
+            self.max_len,
+        )
+        return -(-worst // self.page_size)
+
+    def _unreserved_free_pages(self) -> int:
+        """Free pages not spoken for by running sequences' worst cases."""
+        outstanding = 0
+        for i, s in enumerate(self.slots):
+            if s.rid is not None:
+                held = len(self.alloc.tables.get(i, ()))
+                outstanding += max(0, self._worst_pages[i] - held)
+        return len(self.alloc.free) - outstanding
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -297,4 +351,5 @@ class ServingEngine:
             self.alloc.release(slot)
             self.tables[slot] = self.trash_page
             self.slots[slot] = _Slot()
+            self._worst_pages[slot] = 0
         return (req.rid, token, done)

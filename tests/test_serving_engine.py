@@ -151,6 +151,74 @@ def test_engine_rejects_oversized(tiny_llm):
         ServingEngine(model, params, max_len=8, prompt_buckets=(16,))
 
 
+def test_engine_admission_gated_on_pages(tiny_llm):
+    """A pool too small for two concurrent requests must queue the second
+    (page-gated admission), never crash PageAllocator.ensure mid-run —
+    pre-fix this exact shape raised "paged cache out of pages" after the
+    second request's bucket prefill left no room for growth."""
+    model, params = tiny_llm
+    rng = np.random.default_rng(4)
+    # 4 pages of 4 = 16 tokens; each request's worst case is 3 pages
+    # (min(max(8, 7+4+1), 16) = 12 tokens), so only one fits at a time
+    eng = ServingEngine(
+        model, params, max_batch=2, page_size=4, num_pages=4,
+        max_len=16, prompt_buckets=(8,),
+    )
+    free0 = len(eng.alloc.free)
+    prompts = [rng.integers(1, 97, size=7).astype(np.int32)
+               for _ in range(3)]
+    rids = [eng.submit(p, 4) for p in prompts]
+    outs = eng.run()
+    for rid, prompt in zip(rids, prompts):
+        np.testing.assert_array_equal(
+            outs[rid], _reference_tokens(model, params, prompt, 4)
+        )
+    assert len(eng.alloc.free) == free0
+
+
+def test_engine_reset_reuses_warm_programs(tiny_llm):
+    """reset() clears scheduling state but keeps the page pool + jitted
+    programs; a fresh wave on the reset engine matches generate()."""
+    model, params = tiny_llm
+    rng = np.random.default_rng(5)
+    eng = ServingEngine(
+        model, params, max_batch=2, page_size=4, num_pages=16,
+        max_len=24, prompt_buckets=(8,),
+    )
+    eng.submit(rng.integers(1, 97, size=6).astype(np.int32), 5)
+    eng.run()
+    eng.reset()
+    assert not eng.has_work() and len(eng.alloc.free) == 16
+    prompt = rng.integers(1, 97, size=8).astype(np.int32)
+    rid = eng.submit(prompt, 5)
+    outs = eng.run()
+    np.testing.assert_array_equal(
+        outs[rid], _reference_tokens(model, params, prompt, 5)
+    )
+
+
+def test_engine_submit_validation(tiny_llm):
+    model, params = tiny_llm
+    eng = ServingEngine(
+        model, params, max_batch=1, page_size=4, num_pages=2,
+        max_len=16, prompt_buckets=(8,),
+    )
+    with pytest.raises(ValueError):
+        eng.submit(np.zeros(4, np.int32), 0)  # max_new_tokens < 1
+    with pytest.raises(ValueError):
+        # worst case 3 pages > 2-page pool: can never be admitted
+        eng.submit(np.zeros(7, np.int32), 4)
+
+
+def test_qwen3_2b_mla_mrope_sections_match_rope_dim():
+    """qwen3_2b_mla shrinks qk_rope_head_dim to 64; its mrope_section must
+    sum to 32 (= rope_dim // 2) or mrope_cos_sin asserts at trace time."""
+    from internvideo_tpu.models.presets import qwen3_2b_mla
+
+    cfg = qwen3_2b_mla()
+    assert sum(cfg.mrope_section) == cfg.mla.qk_rope_head_dim // 2
+
+
 def test_engine_capacity_queues_until_pages_free(tiny_llm):
     """More concurrent work than pages: requests queue in `pending` and
     still complete correctly once earlier sequences release pages."""

@@ -78,7 +78,10 @@ def main():
 
     eng = make_engine()
     run_load(eng, 2, lengths=[100, 200])  # compile BOTH buckets + chunk
-    toks, dt = run_load(make_engine(), args.requests)
+    eng.reset()  # same engine for the measured load: its jitted partials
+    # stay warm (a fresh engine would retrace + reload the compile cache
+    # inside the timed region, deflating tok/s)
+    toks, dt = run_load(eng, args.requests)
     tps = toks / dt
     print(f"engine: {toks} tokens over {args.requests} reqs in {dt:.2f}s "
           f"-> {tps:,.0f} tok/s (horizon={args.horizon}, "
