@@ -170,3 +170,42 @@ def logical_to_sharding(
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for host-fed batches: batch dim over all data-parallel axes."""
     return NamedSharding(mesh, PartitionSpec(("replica", "fsdp")))
+
+
+def current_mesh() -> Optional[Mesh]:
+    """The mesh active at trace time, from either mesh-context flavor:
+    `jax.sharding.set_mesh`/`use_mesh` (abstract mesh) or the legacy
+    `with mesh:` (thread-resources physical mesh). None if neither."""
+    m = jax.sharding.get_abstract_mesh()
+    if m is not None and not m.empty:
+        return m
+    try:
+        from jax._src.mesh import thread_resources
+
+        pm = thread_resources.env.physical_mesh
+        if not pm.empty:
+            return pm
+    except Exception:
+        pass
+    return None
+
+
+def constrain(x: jax.Array, logical_axes: Sequence[Optional[str]]) -> jax.Array:
+    """Activation sharding constraint by LOGICAL axis names; no-op outside a
+    mesh + flax logical-axis-rules context.
+
+    flax's `nn.with_logical_constraint` silently no-ops under the legacy
+    `with mesh:` context on jax>=0.8 (it only looks at the abstract mesh
+    that `jax.sharding.set_mesh` installs), so model code that must pin an
+    activation layout — e.g. to stop GSPMD's involuntary-full-remat fallback
+    on batched gathers — goes through this helper instead."""
+    from flax.linen import spmd
+
+    rules = spmd.get_logical_axis_rules()
+    if not rules:
+        return x
+    mesh = current_mesh()
+    if mesh is None:
+        return x
+    spec = logical_to_spec(logical_axes, rules)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

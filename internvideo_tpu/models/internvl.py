@@ -104,7 +104,7 @@ class InternVLChat(nn.Module):
         with_logits: bool = True,
     ) -> LLMOutput:
         cfg = self.config
-        embeds = self.language_model.embed_tokens(input_ids)
+        embeds = self.language_model.embed(input_ids)
         if images is not None:
             vis = self.encode_images(images)  # (B, n_tok, D)
             mask = input_ids == cfg.image_token_id

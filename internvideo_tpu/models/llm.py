@@ -190,6 +190,23 @@ class MLATransformer(nn.Module):
             return self.embed_tokens.attend(h)
         return self.lm_head(h)
 
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        """Token lookup for the sharded training path. The table's embed dim
+        is constrained replicated at the lookup: its parameter sharding
+        ("vocab", "embed"→fsdp) conflicts with batch-over-fsdp activations,
+        and GSPMD's fallback for that batched gather is an involuntary full
+        rematerialization of the (B, S, D) output every step. With the table
+        ("vocab", None) the partitioner keeps the vocab-sharded mask+psum
+        gather and emits the output directly in (batch, seq) layout. No-op
+        outside a mesh context."""
+        from internvideo_tpu.core.mesh import constrain
+
+        table = constrain(self.embed_tokens.embedding, ("vocab", None))
+        out = jnp.take(table, input_ids, axis=0)
+        return constrain(
+            out.astype(jnp.dtype(self.cfg.dtype)), ("batch", "seq_act", None)
+        )
+
     def __call__(
         self,
         input_ids: Optional[jax.Array] = None,  # (B, S)
@@ -199,7 +216,7 @@ class MLATransformer(nn.Module):
         segment_ids: Optional[jax.Array] = None,  # (B, S) packed; <0 = pad
         with_logits: bool = True,
     ) -> LLMOutput:
-        x = input_embeds if input_embeds is not None else self.embed_tokens(
+        x = input_embeds if input_embeds is not None else self.embed(
             input_ids
         )
         b, s, _ = x.shape

@@ -236,6 +236,17 @@ class GQATransformer(nn.Module):
             return self.embed_tokens.attend(h)
         return self.lm_head(h)
 
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        """Sharding-aware token lookup (see MLATransformer.embed: avoids
+        GSPMD involuntary full remat on the embed-dim-sharded table)."""
+        from internvideo_tpu.core.mesh import constrain
+
+        table = constrain(self.embed_tokens.embedding, ("vocab", None))
+        out = jnp.take(table, input_ids, axis=0)
+        return constrain(
+            out.astype(jnp.dtype(self.cfg.dtype)), ("batch", "seq_act", None)
+        )
+
     def __call__(
         self,
         input_ids: Optional[jax.Array] = None,
@@ -245,7 +256,7 @@ class GQATransformer(nn.Module):
         segment_ids: Optional[jax.Array] = None,
         with_logits: bool = True,
     ) -> LLMOutput:
-        x = input_embeds if input_embeds is not None else self.embed_tokens(
+        x = input_embeds if input_embeds is not None else self.embed(
             input_ids
         )
         b, s, _ = x.shape

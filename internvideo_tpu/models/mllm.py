@@ -28,6 +28,7 @@ import numpy as np
 from flax import linen as nn
 from flax import struct
 
+from internvideo_tpu.core.mesh import constrain
 from internvideo_tpu.models.llm import LLMConfig, LLMOutput, MLATransformer
 from internvideo_tpu.models.vision_tower import (
     PatchMerger,
@@ -58,15 +59,26 @@ def scatter_visual(text_embeds, visual_embeds, visual_mask):
     Static-shape scatter: position j in the sequence takes visual row
     (cumsum of mask up to j) - 1. Rows beyond the real visual count are never
     selected as long as mask.sum() == Nv per sample.
+
+    Sharding: the merger leaves `visual_embeds` feature-sharded (tensor) with
+    a replicated batch, while the gather's output is consumed batch+seq
+    sharded — GSPMD cannot transition a batched gather between those layouts
+    and falls back to "involuntary full rematerialization" (replicate, then
+    repartition, every step). Constraining the small operand to the output's
+    batch sharding with a replicated feature dim keeps the gather trivially
+    partitionable: each device gathers its own batch shard, the index/seq
+    dim shards freely. No-op outside a logical-axis-rules/mesh context.
     """
+    visual_embeds = constrain(visual_embeds, ("batch", None, None))
     idx = jnp.cumsum(visual_mask.astype(jnp.int32), axis=1) - 1
     idx = jnp.clip(idx, 0, visual_embeds.shape[1] - 1)
     gathered = jnp.take_along_axis(
         visual_embeds, idx[..., None], axis=1
     )
-    return jnp.where(
+    out = jnp.where(
         visual_mask[..., None], gathered.astype(text_embeds.dtype), text_embeds
     )
+    return constrain(out, ("batch", "seq_act", None))
 
 
 class VideoMLLM(nn.Module):
@@ -129,7 +141,7 @@ class VideoMLLM(nn.Module):
         with_logits: bool = True,
     ) -> LLMOutput:
         cfg = self.config
-        embeds = self.language_model.embed_tokens(input_ids)
+        embeds = self.language_model.embed(input_ids)
         deepstack_scattered = None
         if video is not None:
             visual, deepstack = self.encode_video(video)
@@ -171,7 +183,7 @@ class VideoMLLM(nn.Module):
     ) -> LLMOutput:
         cfg = self.config
         lm = self.language_model
-        embeds = lm.embed_tokens(input_ids)
+        embeds = lm.embed(input_ids)
         deepstack_scattered = None
         if video is not None:
             visual, deepstack = self.encode_video(video)
@@ -227,7 +239,7 @@ class VideoMLLM(nn.Module):
 
         cfg = self.config
         lm = self.language_model
-        embeds = lm.embed_tokens(input_ids)
+        embeds = lm.embed(input_ids)
         deepstack_scattered = None
         if video is not None:
             visual, deepstack = self.encode_video(video)
