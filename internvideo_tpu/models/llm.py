@@ -23,7 +23,7 @@ from flax import struct
 from internvideo_tpu.nn.mla import MLAConfig, MLAttention
 from internvideo_tpu.nn.paged_cache import paged_write
 from internvideo_tpu.nn.norms import RMSNorm
-from internvideo_tpu.nn.rope import mrope_cos_sin, rope_cos_sin
+from internvideo_tpu.nn.rope import YarnConfig, mrope_cos_sin, rope_cos_sin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,11 +35,16 @@ class LLMConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 5_000_000.0
     mrope_section: Optional[tuple[int, int, int]] = (24, 20, 20)
+    # YaRN long-context rescaling (DeepSeek-V3); applies to 1-D RoPE only
+    rope_scaling: Optional[YarnConfig] = None
     mla: MLAConfig = dataclasses.field(default_factory=MLAConfig)
     # MoE feed-forward (Qwen3-MoE / DeepSeek-V3 / Intern-S1 class): when
     # set, every layer's MLP is a routed MoEMlp; the per-layer aux loss is
     # sown into the "intermediates" collection (moe_aux_losses() sums it)
     moe: "object | None" = None  # nn/moe.py MoEConfig
+    # DeepSeek-V3 first_k_dense_replace (deepseek_v3.py:59): the first k
+    # layers keep a dense SwiGLU (intermediate_size) instead of the MoE
+    moe_first_k_dense: int = 0
     tie_word_embeddings: bool = False
     # fp8 feed-forward GEMMs (reference float8_handler.py:38-230): "fwd"
     # = e4m3 forward only, "full" = fp8 backward too (e5m2 gradients)
@@ -93,6 +98,7 @@ class SwiGLU(nn.Module):
 
 class _DecoderLayer(nn.Module):
     cfg: LLMConfig
+    dense_mlp: bool = False  # first_k_dense layers of a MoE model
 
     def setup(self):
         cfg = self.cfg
@@ -105,7 +111,7 @@ class _DecoderLayer(nn.Module):
         self.post_attention_layernorm = RMSNorm(
             eps=cfg.rms_norm_eps, dtype=dtype
         )
-        if cfg.moe is not None:
+        if cfg.moe is not None and not self.dense_mlp:
             from internvideo_tpu.nn.moe import MoEMlp
 
             self.mlp_moe = MoEMlp(
@@ -120,7 +126,7 @@ class _DecoderLayer(nn.Module):
             )
 
     def _mlp(self, x):
-        if self.cfg.moe is None:
+        if self.cfg.moe is None or self.dense_mlp:
             return self.mlp(x)
         out = self.mlp_moe(x)
         # surface the load-balancing loss without changing call signatures
@@ -163,7 +169,13 @@ class MLATransformer(nn.Module):
         layer_cls = _DecoderLayer
         if cfg.remat:
             layer_cls = nn.remat(_DecoderLayer)
-        self.layers = [layer_cls(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)]
+        self.layers = [
+            layer_cls(
+                cfg, dense_mlp=(i < cfg.moe_first_k_dense),
+                name=f"layers_{i}",
+            )
+            for i in range(cfg.num_layers)
+        ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(
@@ -183,7 +195,9 @@ class MLATransformer(nn.Module):
             )
         if position_ids.ndim == 3:
             position_ids = position_ids[0]
-        return rope_cos_sin(position_ids, rope_dim, cfg.rope_theta)
+        return rope_cos_sin(
+            position_ids, rope_dim, cfg.rope_theta, cfg.rope_scaling
+        )
 
     def _head(self, h):
         if self.cfg.tie_word_embeddings:

@@ -163,6 +163,67 @@ def intern_s1(**overrides):
     return dataclasses.replace(cfg, **overrides)
 
 
+def deepseek_v3(**overrides) -> LLMConfig:
+    """DeepSeek-V3 671B (xtuner model/moe/deepseek_v3.py:53-100): 61 layers
+    (first 3 dense, SwiGLU 18432), hidden 7168, MLA kv_lora 512 / q_lora
+    1536 / 128 nope / 64 rope / 128 v over 128 heads, YaRN x40 rope,
+    256 routed experts top-8 (sigmoid NoAux router, 8 groups topk 4,
+    scaling 2.5) + 1 shared expert, moe_intermediate 2048."""
+    from internvideo_tpu.nn.moe import MoEConfig
+    from internvideo_tpu.nn.rope import YarnConfig
+
+    cfg = LLMConfig(
+        vocab_size=129280, hidden_size=7168, num_layers=61,
+        intermediate_size=18432, rope_theta=10_000.0, mrope_section=None,
+        rope_scaling=YarnConfig(
+            factor=40.0, original_max_position_embeddings=4096,
+            beta_fast=32.0, beta_slow=1.0, mscale=1.0, mscale_all_dim=1.0,
+        ),
+        mla=MLAConfig(
+            hidden_size=7168, num_heads=128, kv_lora_rank=512,
+            q_lora_rank=1536, qk_rope_head_dim=64, qk_nope_head_dim=128,
+            v_head_dim=128, qkv_bias=False,
+        ),
+        moe=MoEConfig(
+            num_experts=256, top_k=8, intermediate_size=2048,
+            scoring_func="sigmoid", router_scaling_factor=2.5,
+            norm_topk_prob=True, n_group=8, topk_group=4,
+            num_shared_experts=1, router_bias_balancing=True,
+            dispatch="dropless",
+        ),
+        moe_first_k_dense=3,
+        dtype="bfloat16", param_dtype="bfloat16", remat=True,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+def gpt_oss_moe_text(**overrides) -> LLMConfig:
+    """GPT-OSS-class MoE text config (xtuner model/moe/gpt_oss.py:120-170):
+    greedy softmax router, clipped-SwiGLU experts (alpha 1.702, limit 7)
+    WITH per-expert biases, no shared experts. Attention here is the M²LA
+    flavor (the reference composes GQA+sinks; dense-GQA ckpts bridge via
+    models/mla_convert)."""
+    from internvideo_tpu.nn.moe import MoEConfig
+
+    cfg = LLMConfig(
+        vocab_size=201088, hidden_size=2880, num_layers=24,
+        intermediate_size=2880, rope_theta=150_000.0, mrope_section=None,
+        mla=MLAConfig(
+            hidden_size=2880, num_heads=64, kv_lora_rank=512,
+            qk_rope_head_dim=64, qk_nope_head_dim=0, v_head_dim=64,
+            qkv_bias=True,
+        ),
+        moe=MoEConfig(
+            num_experts=32, top_k=4, intermediate_size=2880,
+            scoring_func="softmax", norm_topk_prob=True,
+            act_fn="clipped_swiglu", clip_alpha=1.702, clip_limit=7.0,
+            expert_bias=True, dispatch="dropless",
+        ),
+        dtype="bfloat16", param_dtype="bfloat16", remat=True,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def qwen3_8b_dense(**overrides):
     """Stock dense-GQA Qwen3-8B (HF config: 36 layers, hidden 4096,
     32 q / 8 kv heads, head_dim 128, SwiGLU 12288, qk-norm, rope 1e6) —

@@ -50,6 +50,31 @@ class MoEConfig:
     #   needs `mesh` set
     dispatch: str = "capacity"
     ep_buffer_factor: float = 2.0
+    # --- router scoring (xtuner module/router/{greedy,noaux_router}.py) ---
+    # "softmax": greedy router (Qwen3-MoE / GPT-OSS). "sigmoid": the
+    # DeepSeek-V3 NoAux router — sigmoid scores, correction bias added for
+    # CHOICE only, gates taken from the unbiased scores.
+    scoring_func: str = "softmax"
+    router_scaling_factor: float = 1.0  # multiplies the final gates
+    norm_topk_prob: bool = True  # normalize gates over the chosen k
+    # node-limited (grouped) routing, noaux_router.py:96-115: experts are
+    # split into n_group groups, each token may only use experts from its
+    # topk_group best groups (group score = sum of the group's top-2
+    # choice scores). n_group == topk_group disables the restriction.
+    n_group: int = 1
+    topk_group: int = 1
+    # always-on shared experts (DeepSeek-V3: one SwiGLU of
+    # num_shared_experts * intermediate_size added to the routed output —
+    # moe_decoder_layer.py:224-237,386-394)
+    num_shared_experts: int = 0
+    # expert activation (xtuner ops/act_fn.py): "swiglu" or GPT-OSS's
+    # "clipped_swiglu" (gate clamped to <=limit, up to [-limit,limit],
+    # glu = gate*sigmoid(alpha*gate), out = (up+1)*glu)
+    act_fn: str = "swiglu"
+    clip_alpha: float = 1.702
+    clip_limit: float = 7.0
+    # per-expert biases on the three projections (GPT-OSS moe_bias=True)
+    expert_bias: bool = False
 
 
 @struct.dataclass
@@ -64,6 +89,83 @@ class MoEOutput:
     dropped_fraction: jax.Array = struct.field(
         default_factory=lambda: jnp.zeros(())
     )
+
+
+def route_tokens(
+    router_logits: jax.Array,  # (N, E) float
+    cfg: MoEConfig,
+    router_bias: Optional[jax.Array] = None,  # (E,) non-grad balancing
+):
+    """Token routing for both reference router families.
+
+    Returns (top_idx (N, k), top_gate (N, k), router_weights (N, E)) where
+    router_weights is the normalized per-expert distribution used by the
+    balancing loss.
+
+    scoring_func="softmax" — greedy router (xtuner module/router/greedy.py:
+    66-99): softmax scores, top-k, gates normalized over the chosen k.
+    scoring_func="sigmoid" — DeepSeek-V3 NoAux router (noaux_router.py:
+    79-140): sigmoid scores; the e-score correction bias biases the CHOICE
+    only, gates come from the unbiased scores; optional node-limited
+    grouping masks all but the topk_group best groups (group score = sum of
+    the group's top-2 biased scores); gates are normalized with the
+    reference's 1e-20 epsilon and multiplied by router_scaling_factor.
+    """
+    e, k = cfg.num_experts, cfg.top_k
+    n = router_logits.shape[0]
+    if cfg.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(router_logits)
+        choice = scores
+        if router_bias is not None:
+            choice = choice + jax.lax.stop_gradient(router_bias)[None, :]
+        if cfg.n_group > 1 and cfg.topk_group < cfg.n_group:
+            g = cfg.n_group
+            if e % g:
+                raise ValueError(f"num_experts {e} % n_group {g} != 0")
+            cg = choice.reshape(n, g, e // g)
+            group_scores = jnp.sum(
+                jax.lax.top_k(cg, min(2, e // g))[0], axis=-1
+            )  # (N, g)
+            _, gidx = jax.lax.top_k(group_scores, cfg.topk_group)
+            gmask = jnp.sum(jax.nn.one_hot(gidx, g), axis=1) > 0  # (N, g)
+            choice = jnp.where(gmask[..., None], cg, 0.0).reshape(n, e)
+        _, top_idx = jax.lax.top_k(choice, k)
+        top_gate = jnp.take_along_axis(scores, top_idx, axis=-1)
+        if cfg.norm_topk_prob and k > 1:
+            top_gate = top_gate / (
+                jnp.sum(top_gate, axis=-1, keepdims=True) + 1e-20
+            )
+        top_gate = top_gate * cfg.router_scaling_factor
+        router_weights = choice / jnp.maximum(
+            jnp.sum(choice, axis=-1, keepdims=True), 1e-20
+        )
+        return top_idx, top_gate, router_weights
+
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    scores = router_logits
+    if router_bias is not None:
+        scores = scores + jax.lax.stop_gradient(router_bias)[None, :]
+    _, top_idx = jax.lax.top_k(scores, k)
+    top_gate = jnp.take_along_axis(probs, top_idx, axis=-1)
+    if cfg.norm_topk_prob:
+        top_gate = top_gate / jnp.maximum(
+            jnp.sum(top_gate, axis=-1, keepdims=True), 1e-9
+        )
+    top_gate = top_gate * cfg.router_scaling_factor
+    return top_idx, top_gate, probs
+
+
+def moe_act(cfg: MoEConfig, gate: jax.Array, up: jax.Array) -> jax.Array:
+    """Expert activation (xtuner ops/act_fn.py:7-24): SwiGLU, or GPT-OSS
+    clipped SwiGLU — gate clamped above, up clamped both sides, and the
+    (up + 1) form."""
+    if cfg.act_fn == "clipped_swiglu":
+        gate = jnp.minimum(gate, cfg.clip_limit)
+        up = jnp.clip(up, -cfg.clip_limit, cfg.clip_limit)
+        return (up + 1.0) * (gate * jax.nn.sigmoid(cfg.clip_alpha * gate))
+    if cfg.act_fn != "swiglu":
+        raise ValueError(f"unknown act_fn {cfg.act_fn}")
+    return nn.silu(gate) * up
 
 
 class MoEMlp(nn.Module):
@@ -94,15 +196,8 @@ class MoEMlp(nn.Module):
             ),
             name="router",
         )(xt.astype(jnp.dtype(cfg.router_dtype)))  # (N, E)
-        probs = jax.nn.softmax(router_logits, axis=-1)
-
-        scores = router_logits
-        if router_bias is not None:
-            scores = scores + jax.lax.stop_gradient(router_bias)[None, :]
-        _, top_idx = jax.lax.top_k(scores, k)  # (N, k)
-        top_gate = jnp.take_along_axis(probs, top_idx, axis=-1)
-        top_gate = top_gate / jnp.maximum(
-            jnp.sum(top_gate, axis=-1, keepdims=True), 1e-9
+        top_idx, top_gate, router_weights = route_tokens(
+            router_logits, cfg, router_bias
         )
 
         def expert_param(name, shape, logical):
@@ -119,12 +214,20 @@ class MoEMlp(nn.Module):
         w_gate = expert_param("w_gate", (e, d, i), ("expert", "embed", "expert_mlp"))
         w_up = expert_param("w_up", (e, d, i), ("expert", "embed", "expert_mlp"))
         w_down = expert_param("w_down", (e, i, d), ("expert", "expert_mlp", "embed"))
+        if cfg.expert_bias:  # GPT-OSS moe_bias=True (gpt_oss.py:121-125)
+            b_gate = expert_param("b_gate", (e, i), ("expert", "expert_mlp"))
+            b_up = expert_param("b_up", (e, i), ("expert", "expert_mlp"))
+            b_down = expert_param("b_down", (e, d), ("expert", "embed"))
 
         if cfg.dispatch == "dropless_ep":
             from internvideo_tpu.parallel.ep import ep_dropless_moe
 
             if self.mesh is None:
                 raise ValueError("dispatch='dropless_ep' needs mesh=")
+            if cfg.expert_bias or cfg.act_fn != "swiglu":
+                raise NotImplementedError(
+                    "dropless_ep supports bias-free SwiGLU experts only"
+                )
             out, dropped = ep_dropless_moe(
                 xt, top_idx, top_gate, w_gate, w_up, w_down,
                 mesh=self.mesh, axis="expert",
@@ -140,7 +243,13 @@ class MoEMlp(nn.Module):
             group_sizes = jnp.bincount(flat_e, length=e)
             h = jax.lax.ragged_dot(xs, w_gate, group_sizes)
             u = jax.lax.ragged_dot(xs, w_up, group_sizes)
-            ys = jax.lax.ragged_dot(nn.silu(h) * u, w_down, group_sizes)
+            if cfg.expert_bias:
+                slot_e = flat_e[order]  # expert id per sorted slot
+                h = h + b_gate[slot_e]
+                u = u + b_up[slot_e]
+            ys = jax.lax.ragged_dot(moe_act(cfg, h, u), w_down, group_sizes)
+            if cfg.expert_bias:
+                ys = ys + b_down[slot_e]
             gate_sorted = top_gate.reshape(-1)[order]
             out = jnp.zeros((n, d), ys.dtype).at[src_tok].add(
                 ys * gate_sorted[:, None]
@@ -178,7 +287,12 @@ class MoEMlp(nn.Module):
             # expert SwiGLU, batched over E — one grouped GEMM per projection
             h = jnp.einsum("ecd,edi->eci", disp, w_gate)
             u = jnp.einsum("ecd,edi->eci", disp, w_up)
-            out_e = jnp.einsum("eci,eid->ecd", nn.silu(h) * u, w_down)
+            if cfg.expert_bias:
+                h = h + b_gate[:, None, :]
+                u = u + b_up[:, None, :]
+            out_e = jnp.einsum("eci,eid->ecd", moe_act(cfg, h, u), w_down)
+            if cfg.expert_bias:
+                out_e = out_e + b_down[:, None, :]
             out_e = nn.with_logical_constraint(out_e, ("expert", None, "embed"))
 
             # combine: gather back each token's k slots
@@ -187,6 +301,29 @@ class MoEMlp(nn.Module):
             out = jnp.sum(gathered * combine_w[..., None], axis=1)
             dropped = 1.0 - jnp.mean(keep.astype(jnp.float32))
 
+        # always-on shared experts (DeepSeek-V3 n_shared_experts: one SwiGLU
+        # of num_shared * intermediate_size whose output is ADDED to the
+        # routed output — moe_decoder_layer.py:69-77,224-237,386-394)
+        if cfg.num_shared_experts > 0:
+            i_sh = cfg.intermediate_size * cfg.num_shared_experts
+
+            def shared_dense(feats, name, logical):
+                return nn.Dense(
+                    feats, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    kernel_init=nn.with_logical_partitioning(
+                        nn.initializers.truncated_normal(0.02), logical
+                    ),
+                    name=name,
+                )
+
+            sg = shared_dense(i_sh, "shared_gate_proj", ("embed", "mlp"))(xt)
+            su = shared_dense(i_sh, "shared_up_proj", ("embed", "mlp"))(xt)
+            sh_out = shared_dense(d, "shared_down_proj", ("mlp", "embed"))(
+                moe_act(cfg, sg, su)
+            )
+            out = out + sh_out.astype(out.dtype)
+
         # load-balancing aux loss (Switch): E * Σ_e f_e · p_e
         load = jnp.mean(
             jax.nn.one_hot(top_idx, e).sum(1), axis=0
@@ -194,7 +331,7 @@ class MoEMlp(nn.Module):
         if cfg.router_bias_balancing:
             aux = jnp.zeros(())
         else:
-            imp = jnp.mean(probs, axis=0)
+            imp = jnp.mean(router_weights, axis=0)
             aux = cfg.aux_loss_weight * e * jnp.sum(load * imp)
 
         return MoEOutput(
