@@ -192,5 +192,7 @@ def build_datasets(
                 img_size=img_size,
                 max_length=spec.max_txt_l or max_length,
                 cache_dir=cache_dir, media_root=spec.root(),
+                media_type=spec.media_type,
+                read_audio_from_video=spec.read_audio_from_video,
             )
     return out

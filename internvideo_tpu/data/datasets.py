@@ -124,7 +124,18 @@ class CsvVideoDataset:
 
 
 class JsonlVideoTextDataset:
-    """jsonl of {"video": path, "caption": str} with tokenize caching."""
+    """jsonl of {"video": path, "caption": str} with tokenize caching.
+
+    media_type extends the row contract (reference av_utils.py +
+    pt_dataset.py audio branches):
+      "video"/"image":  row needs "video"
+      "audio":          row needs "audio" (a wav/container path), or
+                        "video" with read_audio_from_video=True (demux)
+      "audio_video":    row needs "video"; the audio track is demuxed from
+                        it (read_audio_from_video) or read from "audio"
+    Audio rows yield "audio" (B, audio_frames, 64) BEATs fbanks plus
+    "audio_padding_mask".
+    """
 
     def __init__(
         self,
@@ -137,6 +148,10 @@ class JsonlVideoTextDataset:
         cache_dir: Optional[str] = None,
         seed: int = 0,
         media_root: str = "",
+        media_type: str = "video",
+        read_audio_from_video: bool = False,
+        audio_frames: int = 998,
+        audio_seconds: int = 10,
     ):
         self.items = []
         with open(jsonl_path) as f:
@@ -144,15 +159,22 @@ class JsonlVideoTextDataset:
                 line = line.strip()
                 if line:
                     it = json.loads(line)
-                    p = it.get("video", "")
-                    if media_root and p and not os.path.isabs(p):
-                        it["video"] = os.path.join(media_root, p)
+                    for key in ("video", "audio"):
+                        p = it.get(key, "")
+                        if media_root and p and not os.path.isabs(p):
+                            it[key] = os.path.join(media_root, p)
                     self.items.append(it)
         self.tokenizer = tokenizer
         self.num_frames = num_frames
         self.img_size = img_size
         self.max_length = max_length
         self.seed = seed
+        if media_type not in ("video", "image", "audio", "audio_video"):
+            raise ValueError(f"unknown media_type {media_type!r}")
+        self.media_type = media_type
+        self.read_audio_from_video = read_audio_from_video
+        self.audio_frames = audio_frames
+        self.audio_seconds = audio_seconds
 
         self._tok_cache = None
         if cache_dir is not None:
@@ -188,34 +210,67 @@ class JsonlVideoTextDataset:
             max_length=self.max_length,
         )
 
+    def _audio_path(self, item: dict) -> str:
+        if "audio" in item and not self.read_audio_from_video:
+            return item["audio"]
+        if self.read_audio_from_video and "video" in item:
+            return item["video"]
+        if "audio" in item:
+            return item["audio"]
+        raise KeyError(
+            f"media_type {self.media_type!r} row has neither 'audio' nor a "
+            "demuxable 'video'"
+        )
+
+    def load_audio(self, i: int, rng: np.random.Generator) -> tuple:
+        from internvideo_tpu.data.audio import load_fbank
+
+        return load_fbank(
+            self._audio_path(self.items[i]),
+            max_audio_length=self.audio_seconds,
+            target_frames=self.audio_frames,
+            rng=rng,
+        )
+
     def batches(self, batch_size: int, train: bool = True) -> Iterator[dict]:
         it = iter(StatefulIterator(len(self), seed=self.seed, shuffle=train))
         rng = np.random.default_rng(self.seed + 1)
+        want_video = self.media_type in ("video", "image", "audio_video")
+        want_audio = self.media_type in ("audio", "audio_video")
         while True:
             idxs = [next(it) for _ in range(batch_size)]
-            clips = []
-            for i in idxs:
-                clip = read_video(
-                    self.items[i]["video"], self.num_frames,
-                    sample="rand" if train else "middle", rng=rng,
-                )
-                clip = (
-                    transforms.random_resized_crop(
-                        clip, self.img_size, rng, scale=(0.5, 1.0)
+            out = {"idx": np.asarray(idxs, np.int32)}
+            if want_video:
+                clips = []
+                for i in idxs:
+                    clip = read_video(
+                        self.items[i]["video"], self.num_frames,
+                        sample="rand" if train else "middle", rng=rng,
                     )
-                    if train else transforms.center_crop(
-                        transforms.resize_short_side(clip, self.img_size),
-                        self.img_size,
+                    clip = (
+                        transforms.random_resized_crop(
+                            clip, self.img_size, rng, scale=(0.5, 1.0)
+                        )
+                        if train else transforms.center_crop(
+                            transforms.resize_short_side(
+                                clip, self.img_size),
+                            self.img_size,
+                        )
                     )
-                )
-                clips.append(transforms.normalize(np.ascontiguousarray(clip)))
+                    clips.append(
+                        transforms.normalize(np.ascontiguousarray(clip))
+                    )
+                out["video"] = np.stack(clips)
+            if want_audio:
+                fbanks, masks = zip(*(
+                    self.load_audio(i, rng if train else None) for i in idxs
+                ))
+                out["audio"] = np.stack(fbanks)
+                out["audio_padding_mask"] = np.stack(masks)
             toks = self.tokens(idxs)
-            yield {
-                "video": np.stack(clips),
-                "input_ids": toks["input_ids"],
-                "attention_mask": toks["attention_mask"],
-                "idx": np.asarray(idxs, np.int32),
-            }
+            out["input_ids"] = toks["input_ids"]
+            out["attention_mask"] = toks["attention_mask"]
+            yield out
 
 
 def answers_with_weights(raw_answers, eos: str = "[SEP]"):

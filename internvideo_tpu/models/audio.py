@@ -192,9 +192,12 @@ def kaldi_fbank(
 
 
 def beats_preprocess(
-    wav: np.ndarray, *, fbank_mean: float = 15.41663, fbank_std: float = 6.55582
+    wav: np.ndarray, *, fbank_mean: float = 15.41663,
+    fbank_std: float = 6.55582, n_mels: int = 128,
 ) -> np.ndarray:
     """Waveform -> normalized fbank exactly as BEATs.preprocess
-    (BEATs.py:124-141): x2^15 scaling then (fbank - mean) / (2 * std)."""
-    fb = kaldi_fbank(np.asarray(wav, np.float64) * 2 ** 15)
+    (BEATs.py:124-141): x2^15 scaling then (fbank - mean) / (2 * std).
+    n_mels=128 is the BEATs tokenizer/encoder geometry; the stage-2 AV
+    data path uses the same recipe at 64 mels (av_utils.py:116-123)."""
+    fb = kaldi_fbank(np.asarray(wav, np.float64) * 2 ** 15, n_mels=n_mels)
     return (fb - fbank_mean) / (2 * fbank_std)
