@@ -223,6 +223,10 @@ class VideoMLLM(nn.Module):
             token_ids, caches, cache_len, position_ids=position_ids
         )
 
+    def _head(self, h):
+        """LM-head delegate (the ServingEngine samples from it directly)."""
+        return self.language_model._head(h)
+
     # --- paged generation (video serving path) ---------------------------
     # Page pools are the language model's latent pools (llm.py paged
     # machinery); the prompt pass scatters visual tokens into the embeds

@@ -24,14 +24,22 @@ TPU-idiomatic contract — everything the compiler sees is static:
   * Page tables grow lazily (PageAllocator.ensure) and recycle on finish;
     admission is host control flow, not compute.
 
-Greedy decoding (the deterministic serving mode; sampling belongs to
-models/generation.py's single-program generate). Token-level parity with
-`generate()` is pinned by tests/test_serving_engine.py.
+Decoding is greedy by default (the deterministic serving mode; token-level
+parity with `generate()` is pinned by tests/test_serving_engine.py).
+`temperature > 0` switches to categorical sampling — the RL rollout mode
+(train/rl_trainer.py routes GRPO rollouts through this engine the way the
+reference routes them to vLLM, ray/rollout/controller.py:163).
+
+Multimodal prompts: when the model's `prefill_paged` takes a `video`
+operand (models/mllm.VideoMLLM), `submit(..., video=pixels)` runs the
+vision tower + placeholder scatter inside the prefill program; decode is
+text-only either way (the visual tokens live in the prompt's KV pages).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import inspect
 from functools import partial
 from typing import Optional
 
@@ -47,6 +55,7 @@ class Request:
     rid: int
     prompt: np.ndarray  # (L,) int32
     max_new_tokens: int
+    video: Optional[np.ndarray] = None  # (T, H, W, 3) pixels or None
     tokens: list = dataclasses.field(default_factory=list)  # generated
     finished: bool = False
 
@@ -75,6 +84,9 @@ class ServingEngine:
         per-token scheduling; larger values amortize the host round-trip
         (dominant on a remote/tunneled TPU) at the cost of admitting new
         requests only every `horizon` tokens.
+      temperature: 0 = greedy (deterministic, generate()-parity); > 0 =
+        categorical sampling at that temperature (RL rollouts).
+      seed: sampling stream seed (ignored when temperature == 0).
     """
 
     def __init__(
@@ -91,8 +103,12 @@ class ServingEngine:
         impl: Optional[str] = None,  # auto | pallas | xla
         interpret: bool = False,
         decode_horizon: int = 1,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
-        cfg = model.cfg
+        # text-tower config: bare LMs carry `cfg`; VideoMLLM nests it under
+        # `config.text` (the page pool is the text tower's latent cache)
+        cfg = model.cfg if hasattr(model, "cfg") else model.config.text
         self.model, self.params = model, params
         self.max_batch, self.page_size = max_batch, page_size
         self.max_len = max_len
@@ -130,16 +146,38 @@ class ServingEngine:
         self.pending: list[Request] = []
         self.requests: dict[int, Request] = {}
         self._next_rid = 0
+        self.temperature = float(temperature)
+        self._rng = jax.random.key(seed)
+        # the model is multimodal iff its paged prompt pass takes pixels
+        # (VideoMLLM.prefill_paged(ids, video, ...) vs the text-only
+        # MLATransformer/GQATransformer surface)
+        self._multimodal = "video" in inspect.signature(
+            model.prefill_paged
+        ).parameters
+        temp = self.temperature
 
-        def _prefill(m, ids, pages, table_row, last_idx):
-            out = m.prefill_paged(ids, pages, table_row, page_size)
+        def _sample(logits, key):
+            logits = logits.astype(jnp.float32)
+            if temp > 0:  # static: one program per engine
+                return jax.random.categorical(
+                    key, logits / temp, axis=-1
+                ).astype(jnp.int32)
+            return logits.argmax(-1).astype(jnp.int32)
+
+        def _prefill(m, ids, video, pages, table_row, last_idx, key):
+            if self._multimodal:
+                out = m.prefill_paged(
+                    ids, video, pages, table_row, page_size
+                )
+            else:
+                out = m.prefill_paged(ids, pages, table_row, page_size)
             # logits at the true last prompt token, not the padded tail
             h = jnp.take_along_axis(
                 out.hidden, last_idx[:, None, None], axis=1
             )
-            return m._head(h)[:, -1].argmax(-1).astype(jnp.int32), out.caches
+            return _sample(m._head(h)[:, -1], key), out.caches
 
-        def _decode(m, tok, pages, tables, seq_lens):
+        def _decode(m, tok, pages, tables, seq_lens, key):
             # decode_horizon steps in ONE device program (lax.scan): on a
             # tunneled/remote TPU the per-step host round-trip dominates a
             # ~0.1 ms decode step, so the scheduler syncs every `horizon`
@@ -147,34 +185,44 @@ class ServingEngine:
             # its eos/budget inside a chunk are discarded host-side; their
             # cache writes land in pages that are released with the slot.
             def body(carry, _):
-                t, pg, sl = carry
+                t, pg, sl, k = carry
+                k, sub = jax.random.split(k)
                 out = m.decode_step_paged(
                     t[:, None], pg, tables, sl, page_size,
                     impl=impl, interpret=interpret,
                 )
-                nxt = out.logits[:, -1].argmax(-1).astype(jnp.int32)
-                return (nxt, out.caches, sl + 1), nxt
+                nxt = _sample(out.logits[:, -1], sub)
+                return (nxt, out.caches, sl + 1, k), nxt
 
-            (_, pages, _), toks = jax.lax.scan(
-                body, (tok, pages, seq_lens), length=decode_horizon
+            (_, pages, _, _), toks = jax.lax.scan(
+                body, (tok, pages, seq_lens, key), length=decode_horizon
             )
             return toks.T, pages  # (B, horizon)
 
         # pages are donated: the pool updates in place instead of copying
         # num_layers × (P, page, C) every step
         self._prefill_fn = jax.jit(
-            partial(model.apply, method=_prefill), donate_argnums=(2,)
+            partial(model.apply, method=_prefill), donate_argnums=(3,)
         )
         self._decode_fn = jax.jit(
             partial(model.apply, method=_decode), donate_argnums=(2,)
         )
 
+    def _next_key(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
     # -- public API ---------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int) -> int:
+    def submit(self, prompt, max_new_tokens: int, *, video=None) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        if video is not None and not self._multimodal:
+            raise ValueError(
+                "video prompts need a multimodal model (prefill_paged "
+                "with a `video` operand, e.g. models/mllm.VideoMLLM)"
+            )
         if len(prompt) > self.buckets[-1]:
             raise ValueError(
                 f"prompt ({len(prompt)}) exceeds the largest bucket "
@@ -190,7 +238,10 @@ class ServingEngine:
             )
         rid = self._next_rid
         self._next_rid += 1
-        req = Request(rid, prompt, max_new_tokens)
+        req = Request(
+            rid, prompt, max_new_tokens,
+            video=None if video is None else np.asarray(video),
+        )
         self.requests[rid] = req
         self.pending.append(req)
         return rid
@@ -247,7 +298,8 @@ class ServingEngine:
             [s.seq_len for s in self.slots], jnp.int32
         )
         nxt, self.pages = self._decode_fn(
-            self.params, tok, self.pages, jnp.asarray(self.tables), seq_lens
+            self.params, tok, self.pages, jnp.asarray(self.tables), seq_lens,
+            self._next_key(),
         )
         nxt, firsts = jax.device_get(
             (nxt, [f for _, f in admitted])
@@ -275,10 +327,14 @@ class ServingEngine:
             for rid, r in self.requests.items()
         }
 
-    def reset(self):
+    def reset(self, seed: Optional[int] = None):
         """Clear all scheduling state but keep the compiled programs and the
-        device page pool — lets benchmarks reuse a warmed engine for a fresh
-        load without retracing/reloading the jitted partials."""
+        device page pool — lets benchmarks (and RL rollout waves) reuse a
+        warmed engine for a fresh load without retracing/reloading the
+        jitted partials. `seed` restarts the sampling stream; None keeps it
+        running."""
+        if seed is not None:
+            self._rng = jax.random.key(seed)
         self.alloc = PageAllocator(self.num_pages, self.page_size)
         self.tables[:] = self.trash_page
         self.slots = [_Slot() for _ in range(self.max_batch)]
@@ -327,12 +383,15 @@ class ServingEngine:
         self._sync_table(slot, bucket)  # pad entries must land in-table
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :real] = req.prompt
+        video = None if req.video is None else jnp.asarray(req.video)[None]
         first, self.pages = self._prefill_fn(
             self.params,
             jnp.asarray(ids),
+            video,
             self.pages,
             jnp.asarray(self.tables[slot: slot + 1]),
             jnp.asarray([real - 1], jnp.int32),
+            self._next_key(),
         )
         s = self.slots[slot]
         # prompt entries are in the cache; the first generated token is not

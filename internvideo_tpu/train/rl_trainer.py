@@ -4,16 +4,36 @@ Counterpart of xtuner's RLTrainer (InternVideo3_sft/xtuner/v1/train/
 rl_trainer.py:122, alternating `_rollout_step`:510 / `_train_step`:534) and
 its ray dataflow/replay plumbing (ray/rollout/controller.py:163, dataflow,
 judger). TPU-native restructuring: the rollout "engine" is not a separate
-vLLM/SGLang process pool — the policy itself runs a compiled
-prefill + lax.scan sample-decode loop on the same mesh, so the reference's
-trainer↔rollout weight synchronization step is free (one params pytree),
-and the replay buffer is plain host numpy (allocation decisions are control
-flow, not compute).
+vLLM/SGLang process pool — rollouts run on the SAME params pytree the
+trainer updates, so the reference's trainer↔rollout weight-synchronization
+step (controller.py NCCL broadcast of every tensor) is a host pointer
+assignment, and the replay buffer is plain host numpy (allocation decisions
+are control flow, not compute).
+
+Two rollout backends:
+
+  * compiled (default): one XLA program — prefill + lax.scan sample-decode
+    over a dense cache. Lowest overhead for fixed-shape, text-only groups.
+  * ServingEngine (pass `engine=`): continuous batching over the paged KV
+    pool (serve/engine.py), the production serving path — ragged prompt
+    lengths, eos early-exit recycling pages mid-wave, and video prompts
+    (VideoMLLM policies) via the engine's multimodal prefill. This is the
+    counterpart of the reference's vLLM-backed rollout controller
+    (ray/rollout/controller.py:163-500) collapsed onto the training chips.
+
+Sharding: pass `mesh=` to run rollout/logp/update as GSPMD programs over
+the step mesh — the batch dimension shards over the data-parallel axes
+(replica, fsdp) and params take `param_shardings` (default: replicated =
+DDP; pass train/state.param_shardings(...) output for FSDP). Parity of the
+sharded update with the single-device update is pinned by
+tests/test_rl_trainer.py and the driver dryrun (__graft_entry__._dryrun_rl).
 
 Loop shape per iteration:
   1. rollout: each prompt is expanded into `group_size` samples, decoded
      with temperature sampling; behavior log-probs are recorded under the
-     rollout-time params
+     rollout-time params (teacher-forced — exact trainer numerics, so the
+     reference's rollout-vs-trainer importance correction, rollout_is.py,
+     is unnecessary by construction)
   2. reward: host `reward_fn(prompt_ids, response_ids) -> float` (the
      "judger" seam — plug rule-based or model judges here)
   3. advantages: group-relative normalization (GRPO)
@@ -30,6 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec
 
 from internvideo_tpu.train.rl import (
     GRPOConfig,
@@ -47,6 +68,7 @@ class RLTrainerConfig:
     ppo_epochs: int = 1
     lr: float = 1e-3
     eos_token_id: Optional[int] = None
+    pad_token_id: int = 0  # pads ragged engine responses to max_new_tokens
     cache_dtype: str = "float32"
 
 
@@ -69,7 +91,17 @@ class ReplayBuffer:
 
 class RLTrainer:
     """model: an LM module exposing __call__/init_cache/prefill/decode_step
-    (models/llm.MLATransformer interface). reward_fn runs on host."""
+    (models/llm.MLATransformer interface) or a VideoMLLM (video prompts
+    need `engine=`). reward_fn runs on host.
+
+    mesh: optional jax.sharding.Mesh — rollout, logp and update become
+      GSPMD programs with the batch sharded over (replica, fsdp).
+    param_shardings: pytree of NamedShardings for params/opt-state leaves
+      (default: fully replicated on `mesh`).
+    engine: optional serve.ServingEngine built on the SAME model; must be
+      constructed with temperature == cfg.rollout_temperature. The trainer
+      points engine.params at its own updated pytree before each wave.
+    """
 
     def __init__(
         self,
@@ -78,20 +110,46 @@ class RLTrainer:
         cfg: RLTrainerConfig,
         reward_fn: Callable[[np.ndarray, np.ndarray], float],
         optimizer: Optional[optax.GradientTransformation] = None,
+        *,
+        mesh=None,
+        param_shardings=None,
+        engine=None,
     ):
         self.model = model
-        self.params = params
         self.cfg = cfg
         self.reward_fn = reward_fn
         self.tx = optimizer or optax.adam(cfg.lr)
-        self.opt_state = self.tx.init(params)
+        self.mesh = mesh
+        self.engine = engine
+        if engine is not None and (
+            abs(engine.temperature - cfg.rollout_temperature) > 1e-9
+        ):
+            raise ValueError(
+                f"engine.temperature ({engine.temperature}) must match "
+                f"cfg.rollout_temperature ({cfg.rollout_temperature})"
+            )
+        if mesh is not None:
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._param_sh = param_shardings if param_shardings is not None \
+                else jax.tree.map(lambda _: replicated, params)
+            params = jax.device_put(params, self._param_sh)
+            # opt-state leaves inherit their params' shardings via GSPMD
+            # propagation through the jitted init
+            self.opt_state = jax.jit(self.tx.init)(params)
+            self._batch_sh = NamedSharding(
+                mesh, PartitionSpec(("replica", "fsdp"))
+            )
+        else:
+            self.opt_state = self.tx.init(params)
+            self._batch_sh = None
+        self.params = params
         # frozen reference policy for the KL penalty (rl_trainer keeps a
         # separate ref worker; here it is just the initial params pytree)
         self.ref_params = params if cfg.grpo.kl_beta > 0 else None
         self.buffer = ReplayBuffer()
 
         self._rollout = jax.jit(self._rollout_fn)
-        self._logp = jax.jit(self._logp_fn)
+        self._logp = jax.jit(self._logp_fn, static_argnames=("has_video",))
         self._update = jax.jit(self._update_fn)
 
     # ---- compiled pieces -------------------------------------------------
@@ -136,18 +194,31 @@ class RLTrainer:
         )
         return jnp.concatenate([first[None], tokens]).T  # (B, T)
 
-    def _logp_fn(self, params, full_ids):
+    def _logp_fn(self, params, full_ids, video=None, *, has_video=False):
         """(B, L) -> (B, L-1) next-token log-probs under `params`."""
-        out = self.model.apply(params, full_ids, with_logits=True)
+        if has_video:
+            out = self.model.apply(
+                params, full_ids, video, with_logits=True
+            )
+        else:
+            out = self.model.apply(params, full_ids, with_logits=True)
         return token_logprobs(out.logits[:, :-1], full_ids[:, 1:])
 
     def _update_fn(self, params, opt_state, batch, ref_params):
+        has_video = "video" in batch
+        video = batch.get("video")
+
         def loss_fn(p):
-            logp = self._logp_fn(p, batch["full_ids"])
+            logp = self._logp_fn(
+                p, batch["full_ids"], video, has_video=has_video
+            )
             logp_ref = None
             if ref_params is not None:
                 logp_ref = jax.lax.stop_gradient(
-                    self._logp_fn(ref_params, batch["full_ids"])
+                    self._logp_fn(
+                        ref_params, batch["full_ids"], video,
+                        has_video=has_video,
+                    )
                 )
             return grpo_policy_loss(
                 logp, batch["logp_old"], batch["advantages"],
@@ -164,32 +235,100 @@ class RLTrainer:
 
     # ---- host orchestration ----------------------------------------------
 
-    def rollout_step(self, prompt_ids: np.ndarray, rng) -> dict:
+    def _put_batch(self, arr):
+        """Shard a rollout array over the data-parallel mesh axes."""
+        arr = jnp.asarray(arr)
+        if self._batch_sh is None:
+            return arr
+        dp = int(np.prod([
+            self.mesh.shape[a] for a in ("replica", "fsdp")
+        ]))
+        if arr.shape[0] % dp:
+            raise ValueError(
+                f"rollout batch {arr.shape[0]} (prompts x group_size) must "
+                f"be divisible by the data-parallel size {dp}"
+            )
+        return jax.device_put(arr, self._batch_sh)
+
+    def _engine_rollout(self, expanded: np.ndarray, videos) -> np.ndarray:
+        """Continuous-batching rollout: submit every (prompt, video) sample
+        to the ServingEngine, drain, pad ragged responses (eos early-exits)
+        to max_new_tokens with pad_token_id."""
+        cfg = self.cfg
+        eng = self.engine
+        eng.params = self.params  # weight sync = pointer swap (same chips)
+        eng.reset()
+        rids = [
+            eng.submit(
+                expanded[i], cfg.max_new_tokens,
+                video=None if videos is None else videos[i],
+            )
+            for i in range(expanded.shape[0])
+        ]
+        outs = eng.run()
+        gen = np.full(
+            (expanded.shape[0], cfg.max_new_tokens), cfg.pad_token_id,
+            np.int32,
+        )
+        lengths = np.zeros(expanded.shape[0], np.int32)
+        for i, rid in enumerate(rids):
+            toks = outs[rid]
+            gen[i, : len(toks)] = toks
+            lengths[i] = len(toks)
+        return gen, lengths
+
+    def rollout_step(self, prompt_ids: np.ndarray, rng, videos=None) -> dict:
         """Expand prompts × group_size, sample, judge, store in the buffer.
 
-        prompt_ids: (P, Lp) int32. Returns summary metrics (mean reward).
+        prompt_ids: (P, Lp) int32. videos: optional (P, T, H, W, 3) pixels
+        aligned with prompts (VideoMLLM policies; needs `engine=`).
+        Returns summary metrics (mean reward).
         """
         cfg = self.cfg
         g = cfg.grpo.group_size
         p, lp = prompt_ids.shape
-        expanded = jnp.asarray(np.repeat(prompt_ids, g, axis=0))  # (P*G, Lp)
-        gen = np.asarray(self._rollout(self.params, expanded, rng))
+        expanded = np.repeat(np.asarray(prompt_ids), g, axis=0)  # (P*G, Lp)
+        vid_expanded = None
+        if videos is not None:
+            if self.engine is None:
+                raise ValueError(
+                    "video prompts need the ServingEngine rollout backend "
+                    "(pass engine=)"
+                )
+            vid_expanded = np.repeat(np.asarray(videos), g, axis=0)
+        lengths = None
+        if self.engine is not None:
+            gen, lengths = self._engine_rollout(expanded, vid_expanded)
+        else:
+            gen = np.asarray(
+                self._rollout(
+                    self.params, self._put_batch(expanded), rng
+                )
+            )
 
         # response mask over next-token positions (L-1 slots): slot i
         # predicts full_ids[i+1], so response slots start at lp-1; truncate
-        # after the first eos (inclusive).
+        # after the first eos (inclusive). Engine responses carry their true
+        # lengths (already eos-truncated, pad_token_id-padded).
         t = gen.shape[1]
         mask = np.zeros((p * g, lp + t - 1), np.float32)
         for row in range(p * g):
-            end = t
-            if cfg.eos_token_id is not None:
+            end = t if lengths is None else int(lengths[row])
+            if lengths is None and cfg.eos_token_id is not None:
                 hits = np.nonzero(gen[row] == cfg.eos_token_id)[0]
                 if hits.size:
                     end = int(hits[0]) + 1
             mask[row, lp - 1 : lp - 1 + end] = 1.0
 
-        full_ids = np.concatenate([np.asarray(expanded), gen], axis=1)
-        logp_old = np.asarray(self._logp(self.params, jnp.asarray(full_ids)))
+        full_ids = np.concatenate([expanded, gen], axis=1)
+        logp_args = (self._put_batch(full_ids),)
+        if vid_expanded is not None:
+            logp_args += (self._put_batch(vid_expanded),)
+        logp_old = np.asarray(
+            self._logp(
+                self.params, *logp_args, has_video=vid_expanded is not None
+            )
+        )
         rewards = np.asarray(
             [
                 self.reward_fn(np.asarray(prompt_ids[row // g]), gen[row])
@@ -202,14 +341,15 @@ class RLTrainer:
                 jnp.asarray(rewards), g, cfg.grpo.adv_eps
             )
         )
-        self.buffer.add(
-            {
-                "full_ids": full_ids,
-                "logp_old": logp_old,
-                "advantages": advantages,
-                "mask": mask,
-            }
-        )
+        batch = {
+            "full_ids": full_ids,
+            "logp_old": logp_old,
+            "advantages": advantages,
+            "mask": mask,
+        }
+        if vid_expanded is not None:
+            batch["video"] = vid_expanded
+        self.buffer.add(batch)
         return {"reward_mean": float(rewards.mean())}
 
     def train_step(self) -> dict:
@@ -218,7 +358,7 @@ class RLTrainer:
         metrics = {}
         for _ in range(self.cfg.ppo_epochs):
             for b in batches:
-                jb = {k: jnp.asarray(v) for k, v in b.items()}
+                jb = {k: self._put_batch(v) for k, v in b.items()}
                 self.params, self.opt_state, m = self._update(
                     self.params, self.opt_state, jb, self.ref_params
                 )
@@ -227,12 +367,17 @@ class RLTrainer:
 
     def fit(self, prompt_batches, iterations: int, *, seed: int = 0):
         """Alternate rollout/train (rl_trainer.py fit:652). prompt_batches:
-        callable(i) -> (P, Lp) prompts for iteration i. Returns history."""
+        callable(i) -> (P, Lp) prompts, or (prompts, videos) for VideoMLLM
+        policies, for iteration i. Returns history."""
         history = []
         rng = jax.random.key(seed)
         for i in range(iterations):
             rng, sub = jax.random.split(rng)
-            r = self.rollout_step(np.asarray(prompt_batches(i)), sub)
+            batch = prompt_batches(i)
+            videos = None
+            if isinstance(batch, tuple):
+                batch, videos = batch
+            r = self.rollout_step(np.asarray(batch), sub, videos=videos)
             m = self.train_step()
             history.append({**r, **m, "iter": i})
         return history

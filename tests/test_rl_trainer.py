@@ -106,3 +106,174 @@ def test_rl_trainer_with_gqa_model():
     history = trainer.fit(lambda i: prompts, iterations=2, seed=0)
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_rl_engine_rollout_reward_improves():
+    """ServingEngine-backed rollout (continuous batching over paged KV,
+    the production serving path — reference routes rollouts to vLLM,
+    ray/rollout/controller.py:163): reward still improves, weight sync is
+    the trainer->engine pointer swap."""
+    from internvideo_tpu.serve import ServingEngine
+
+    model, params = _tiny_model()
+    cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=4, kl_beta=0.01),
+        max_new_tokens=8, rollout_temperature=1.0, ppo_epochs=2, lr=3e-2,
+    )
+    eng = ServingEngine(
+        model, params, max_batch=4, page_size=4, num_pages=64,
+        max_len=16, prompt_buckets=(4,), temperature=1.0, seed=7,
+    )
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    trainer = RLTrainer(model, params, cfg, reward_fn, engine=eng)
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))
+    history = trainer.fit(lambda i: prompts, iterations=10, seed=0)
+
+    first = np.mean([h["reward_mean"] for h in history[:3]])
+    last = np.mean([h["reward_mean"] for h in history[-3:]])
+    assert last > first + 0.1, (first, last)
+
+
+def test_rl_engine_temperature_mismatch_rejected():
+    from internvideo_tpu.serve import ServingEngine
+
+    model, params = _tiny_model()
+    eng = ServingEngine(
+        model, params, max_batch=2, page_size=4, num_pages=16,
+        max_len=16, prompt_buckets=(4,), temperature=0.7,
+    )
+    cfg = RLTrainerConfig(rollout_temperature=1.0)
+    with np.testing.assert_raises(ValueError):
+        RLTrainer(model, params, cfg, lambda p, r: 1.0, engine=eng)
+
+
+def test_rl_sharded_update_parity():
+    """One GRPO update sharded over the 8-device mesh (dp batch, replicated
+    params) matches the single-device update — VERDICT r3 done-criterion."""
+    from internvideo_tpu.core.mesh import MeshConfig, create_mesh
+
+    model, params = _tiny_model()
+    cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=2, kl_beta=0.05),
+        max_new_tokens=6, rollout_temperature=1.0, lr=1e-2,
+    )
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    single = RLTrainer(model, params, cfg, reward_fn)
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))  # 4x2=8
+    single.rollout_step(prompts, jax.random.key(3))
+    batch = {k: v.copy() for k, v in single.buffer.items[0].items()}
+
+    mesh = create_mesh(
+        MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1, expert=1),
+        devices=jax.devices()[:8],
+    )
+    sharded = RLTrainer(model, params, cfg, reward_fn, mesh=mesh)
+    sharded.buffer.add(batch)
+
+    m_single = single.train_step()
+    m_sharded = sharded.train_step()
+    assert abs(m_single["loss"] - m_sharded["loss"]) < 1e-5, (
+        m_single["loss"], m_sharded["loss"],
+    )
+    for a, b in zip(
+        jax.tree.leaves(single.params), jax.tree.leaves(sharded.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_rl_sharded_engine_reward_improves():
+    """Multi-device RL loop closure: engine rollout + dp-sharded GRPO
+    updates on the 8-device mesh; reward goes up."""
+    from internvideo_tpu.core.mesh import MeshConfig, create_mesh
+    from internvideo_tpu.serve import ServingEngine
+
+    model, params = _tiny_model()
+    cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=4, kl_beta=0.01),
+        max_new_tokens=8, rollout_temperature=1.0, ppo_epochs=2, lr=3e-2,
+    )
+    eng = ServingEngine(
+        model, params, max_batch=4, page_size=4, num_pages=64,
+        max_len=16, prompt_buckets=(4,), temperature=1.0, seed=11,
+    )
+    mesh = create_mesh(
+        MeshConfig(replica=1, fsdp=-1, seq=1, tensor=1, expert=1),
+        devices=jax.devices()[:8],
+    )
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    trainer = RLTrainer(
+        model, params, cfg, reward_fn, mesh=mesh, engine=eng
+    )
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))
+    history = trainer.fit(lambda i: prompts, iterations=8, seed=0)
+    first = np.mean([h["reward_mean"] for h in history[:3]])
+    last = np.mean([h["reward_mean"] for h in history[-3:]])
+    assert last > first + 0.05, (first, last)
+
+
+def test_rl_video_grpo_smoke():
+    """Video-prompt GRPO (VideoMLLM policy through the multimodal engine
+    prefill): loop closes, loss finite, buffer batches carry pixels."""
+    from internvideo_tpu.models.llm import LLMConfig
+    from internvideo_tpu.models.mllm import MLLMConfig, VideoMLLM
+    from internvideo_tpu.models.vision_tower import VisionTowerConfig
+    from internvideo_tpu.nn.mla import MLAConfig
+    from internvideo_tpu.serve import ServingEngine
+
+    cfg = MLLMConfig(
+        vision=VisionTowerConfig(
+            hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32, patch_size=8, temporal_patch_size=2,
+            spatial_merge_size=2, pos_embed_grid=4,
+            deepstack_indexes=(0,), text_hidden_size=32, attn_impl="xla",
+        ),
+        text=LLMConfig(
+            vocab_size=32, hidden_size=32, num_layers=1,
+            intermediate_size=64, mrope_section=None,
+            mla=MLAConfig(
+                hidden_size=32, num_heads=2, kv_lora_rank=16,
+                qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+            ),
+            attn_impl="xla",
+        ),
+        image_token_id=30, video_token_id=31,
+    )
+    model = VideoMLLM(cfg)
+    videos = np.random.default_rng(0).standard_normal(
+        (2, 2, 16, 16, 3)
+    ).astype(np.float32)
+    # 4 merged visual tokens -> 4 placeholders per prompt
+    prompts = np.full((2, 6), 5, np.int32)
+    prompts[:, 1:5] = 31
+    params = model.init(
+        jax.random.key(0), jnp.asarray(prompts), jnp.asarray(videos)
+    )
+
+    rl_cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=2, kl_beta=0.0),
+        max_new_tokens=4, rollout_temperature=1.0, lr=1e-2,
+    )
+    eng = ServingEngine(
+        model, params, max_batch=2, page_size=4, num_pages=32,
+        max_len=16, prompt_buckets=(8,), temperature=1.0, seed=5,
+    )
+    trainer = RLTrainer(
+        model, params, rl_cfg, lambda p, r: float(np.mean(r == TARGET)),
+        engine=eng,
+    )
+    history = trainer.fit(
+        lambda i: (prompts, videos), iterations=2, seed=0
+    )
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
