@@ -31,14 +31,23 @@ _TLS = threading.local()
 
 
 @contextlib.contextmanager
-def ulysses_context(mesh, axis: str = "seq"):
-    """Route dot_product_attention through Ulysses SP inside this trace."""
+def sequence_parallel_context(mesh, axis: str = "seq", impl: str = "ulysses"):
+    """Route dot_product_attention through sequence parallelism inside this
+    trace. impl="ulysses" (all-to-all, full-sequence KV per rank during
+    attention) or "ring" (parallel/ring.py: permanently sharded KV rotating
+    over ppermute, O(S/sp) memory per rank)."""
+    assert impl in ("ulysses", "ring"), impl
     prev = getattr(_TLS, "ulysses", None)
-    _TLS.ulysses = (mesh, axis) if mesh.shape[axis] > 1 else None
+    _TLS.ulysses = (mesh, axis, impl) if mesh.shape[axis] > 1 else None
     try:
         yield
     finally:
         _TLS.ulysses = prev
+
+
+def ulysses_context(mesh, axis: str = "seq"):
+    """Back-compat alias for sequence_parallel_context(impl="ulysses")."""
+    return sequence_parallel_context(mesh, axis, "ulysses")
 
 
 def fused_qkv_attention_or_none(
@@ -94,12 +103,24 @@ def dot_product_attention(
     ulysses = getattr(_TLS, "ulysses", None)
     if ulysses is not None:
         assert q_position_offset == 0, (
-            "q_position_offset is incompatible with Ulysses sequence "
-            "sharding (offsets would differ per shard)"
+            "q_position_offset is incompatible with sequence sharding "
+            "(offsets would differ per shard)"
         )
-        from internvideo_tpu.parallel.ulysses import ulysses_attention
+        mesh, axis, sp_impl = ulysses
+        if sp_impl == "ring":
+            assert window is None, (
+                "sliding-window attention is not supported under ring "
+                "sequence parallelism — use Ulysses"
+            )
+            from internvideo_tpu.parallel.ring import ring_attention
 
-        mesh, axis = ulysses
+            return ring_attention(
+                q, k, v, mesh=mesh, axis=axis, causal=causal,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                softmax_scale=softmax_scale,
+            )
+        from internvideo_tpu.parallel.ulysses import ulysses_attention
         inner = "pallas" if (
             impl == "auto" and jax.default_backend() == "tpu"
         ) else ("xla" if impl == "auto" else impl)

@@ -9,9 +9,31 @@ against one KV shard at a time while KV shards rotate around the ring
 log-sum-exp trick. Memory per rank is O(S/sp), enabling contexts Ulysses
 cannot reach.
 
-Causal handling is block-granular: a KV shard strictly in the future of the
-Q shard is skipped (its partial lse is -inf), the diagonal shard runs with
-the causal flag, past shards run dense.
+Reachable from model code via `ops.attention.sequence_parallel_context`
+(impl="ring") — the same injection point Ulysses uses — and from the SFT
+engine via `SFTConfig.sp_impl="ring"`.
+
+Design notes:
+  * the inner attention is a blockwise online-softmax scan (`lax.scan` over
+    KV blocks): memory O(Sq_shard x block_k), never the (Sq, Sk) score
+    matrix, and plain-XLA differentiable so the ring backward is autodiff
+    through the forward ring (a second round of ppermutes, scheduled by
+    XLA). Matmuls land on the MXU; the unfused softmax pays one extra HBM
+    round-trip per block vs the Pallas flash kernel — the measured gap and
+    the Ulysses-vs-ring decision record live in PERF.md ("Ring vs Ulysses").
+  * causal handling is block-granular AND branch-free in FLOPs: a
+    `lax.switch` on the rotating shard's position runs exactly one of
+    {skip (future), causal inner (diagonal), dense inner (past)} — the old
+    implementation computed causal + dense on every shard (2x FLOPs).
+    Ranks still advance in ppermute lockstep, so causal work is imbalanced
+    across ranks (rank r has r+1 live shards); a zigzag layout would fix
+    that at the cost of an interleaved sequence order contract with the
+    data layer — rejected for now, see PERF.md.
+  * packed sequences: kv segment ids rotate around the ring with K/V, so
+    the inner mask sees the true (q_seg, kv_seg) pair — ring composes with
+    the packing data path like the flash kernel does.
+  * GQA: KV travel the ring thin (Hkv heads) and are expanded to Hq only
+    inside the inner matmuls, so ppermute bytes stay O(Hkv).
 """
 
 from __future__ import annotations
@@ -25,30 +47,110 @@ from jax.sharding import Mesh, PartitionSpec as P
 from internvideo_tpu.ops.attention_xla import NEG_INF
 
 
-def _attention_with_lse(q, k, v, *, causal, scale):
-    """(B, S, H, D) attention returning (out, lse (B, H, Sq)). XLA impl —
-    per-shard sequences are short (S/sp), so materializing scores is fine;
-    a Pallas inner kernel can swap in via the same contract."""
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if causal:
-        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-        logits = jnp.where((qi >= ki)[None, None], logits, NEG_INF)
-    m = jnp.max(logits, axis=-1)
-    p = jnp.exp(logits - m[..., None])
-    l = jnp.sum(p, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
+def _blockwise_attention_lse(
+    q,  # (B, Sq, Hq, D)
+    k,  # (B, Sk, Hkv, D)
+    v,  # (B, Sk, Hkv, D)
+    *,
+    causal: bool,
+    scale: float,
+    q_seg=None,  # (B, Sq) int; <0 = padding
+    kv_seg=None,  # (B, Sk)
+    q_offset=0,  # q row i sits at global key position i + q_offset
+    block_k: int = 1024,
+):
+    """Online-softmax attention returning (out (B,Sq,Hq,D) in q.dtype,
+    lse (B,Hq,Sq) natural-log). Never materializes (Sq, Sk); autodiff
+    through the `lax.scan` gives the backward."""
+    b, sq, hq, d = q.shape
+    sk, hkv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    block_k = min(block_k, sk)
+    n_blocks = -(-sk // block_k)
+    pad = n_blocks * block_k - sk
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kv_seg = jnp.pad(
+            kv_seg if kv_seg is not None
+            else jnp.zeros((b, sk), jnp.int32),
+            ((0, 0), (0, pad)), constant_values=-2,
+        )
+    elif kv_seg is None and q_seg is not None:
+        kv_seg = jnp.zeros((b, sk), jnp.int32)
+    if q_seg is None and kv_seg is not None:
+        q_seg = jnp.zeros((b, sq), jnp.int32)
+
+    kb = k.reshape(b, n_blocks, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, n_blocks, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
+    sb = (
+        kv_seg.reshape(b, n_blocks, block_k).transpose(1, 0, 2)
+        if kv_seg is not None else None
     )
-    l_safe = jnp.maximum(l, 1e-30)
-    out = out / jnp.transpose(l_safe, (0, 2, 1))[..., None]
-    lse = m + jnp.log(l_safe)
+    qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, block_k), 0)
+
+    def body(carry, blk):
+        acc, m_run, l_run = carry
+        kc, vc, seg_c, start = blk
+        if group > 1:
+            kc = jnp.repeat(kc, group, axis=2)
+            vc = jnp.repeat(vc, group, axis=2)
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, kc, preferred_element_type=jnp.float32
+        ) * scale
+        mask = None
+        if causal:
+            ki = start + jax.lax.broadcasted_iota(
+                jnp.int32, (sq, block_k), 1
+            )
+            mask = (qi >= ki)[None, None]
+        if seg_c is not None:
+            segm = (q_seg[:, :, None] == seg_c[:, None, :]) & (
+                q_seg[:, :, None] >= 0
+            )
+            segm = segm[:, None]
+            mask = segm if mask is None else jnp.logical_and(mask, segm)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+        m_blk = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_run, m_blk)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe[..., None])
+        p = jnp.where(s <= NEG_INF, 0.0, p)
+        alpha = jnp.where(jnp.isfinite(m_run), jnp.exp(m_run - m_safe), 0.0)
+        l_new = l_run * alpha + jnp.sum(p, axis=-1)
+        pv = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(vc.dtype), vc,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * jnp.transpose(alpha, (0, 2, 1))[..., None] + pv
+        return (acc, m_new, l_new), None
+
+    acc0 = jnp.zeros((b, sq, hq, d), jnp.float32)
+    m0 = jnp.full((b, hq, sq), -jnp.inf)
+    l0 = jnp.zeros((b, hq, sq))
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_k
+    if sb is None:
+        (acc, m_run, l_run), _ = jax.lax.scan(
+            lambda c, x: body(c, (x[0], x[1], None, x[2])),
+            (acc0, m0, l0), (kb, vb, starts),
+        )
+    else:
+        (acc, m_run, l_run), _ = jax.lax.scan(
+            body, (acc0, m0, l0), (kb, vb, sb, starts)
+        )
+    l_safe = jnp.maximum(l_run, 1e-30)
+    out = acc / jnp.transpose(l_safe, (0, 2, 1))[..., None]
+    lse = jnp.where(
+        l_run > 0.0, m_run + jnp.log(l_safe), -jnp.inf
+    )
     return out.astype(q.dtype), lse
+
+
+def _attention_with_lse(q, k, v, *, causal, scale):
+    """Back-compat alias used by tests: dense (out, lse) via the blockwise
+    scan (single block when Sk <= block_k)."""
+    return _blockwise_attention_lse(q, k, v, causal=causal, scale=scale)
 
 
 def ring_attention(
@@ -59,43 +161,62 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "seq",
     causal: bool = False,
+    q_segment_ids: Optional[jax.Array] = None,  # (B, S), sharded like q
+    kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     batch_axes: tuple[str, ...] = ("replica", "fsdp"),
     head_axis: Optional[str] = "tensor",
+    block_k: int = 1024,
 ) -> jax.Array:
     sp = mesh.shape[axis]
     scale = softmax_scale if softmax_scale is not None else q.shape[-1] ** -0.5
     if sp == 1:
-        return _attention_with_lse(q, k, v, causal=causal, scale=scale)[0]
+        return _blockwise_attention_lse(
+            q, k, v, causal=causal, scale=scale,
+            q_seg=q_segment_ids, kv_seg=kv_segment_ids, block_k=block_k,
+        )[0]
     batch_axes = tuple(a for a in batch_axes if a in mesh.axis_names)
     if head_axis is not None and head_axis not in mesh.axis_names:
         head_axis = None
+    has_segs = q_segment_ids is not None or kv_segment_ids is not None
+    b, _s_local, h, d = q.shape
+    if kv_segment_ids is None and has_segs:
+        kv_segment_ids = q_segment_ids
 
-    def local(q, k, v):
+    def local(q, k, v, q_seg, kv_seg):
         my = jax.lax.axis_index(axis)
         perm = [(i, (i + 1) % sp) for i in range(sp)]
+        b, sq, h, d = q.shape  # LOCAL shard shapes, not the global ones
 
-        def body(carry, step):
-            k_cur, v_cur, acc, m_run, l_run = carry
-            src = (my - step) % sp  # whose KV shard we hold this step
+        def partial_attn(kc, vc, seg_c, diag: bool):
+            return _blockwise_attention_lse(
+                q, kc, vc, causal=(causal and diag), scale=scale,
+                q_seg=q_seg, kv_seg=seg_c, block_k=block_k,
+            )
+
+        def body(carry, _step):
+            k_cur, v_cur, kseg_cur, acc, m_run, l_run = carry
+            src = (my - _step) % sp  # whose KV shard we hold this step
             if causal:
-                # future shard: skip; diagonal: causal; past: dense
-                is_future = src > my
-                is_diag = src == my
-                out_c, lse_c = _attention_with_lse(
-                    q, k_cur, v_cur, causal=True, scale=scale
+                # exactly one branch runs: 0 = future shard (skip, zero
+                # cost), 1 = diagonal (causal), 2 = past (dense)
+                case = jnp.where(
+                    src > my, 0, jnp.where(src == my, 1, 2)
                 )
-                out_d, lse_d = _attention_with_lse(
-                    q, k_cur, v_cur, causal=False, scale=scale
+                out, lse = jax.lax.switch(
+                    case,
+                    [
+                        lambda kc, vc, sc: (
+                            jnp.zeros((b, sq, h, d), q.dtype),
+                            jnp.full((b, h, sq), -jnp.inf),
+                        ),
+                        lambda kc, vc, sc: partial_attn(kc, vc, sc, True),
+                        lambda kc, vc, sc: partial_attn(kc, vc, sc, False),
+                    ],
+                    k_cur, v_cur, kseg_cur,
                 )
-                out = jnp.where(is_diag, out_c, out_d)
-                lse = jnp.where(is_diag, lse_c, lse_d)
-                lse = jnp.where(is_future, -jnp.inf, lse)
-                out = jnp.where(is_future, 0.0, out)
             else:
-                out, lse = _attention_with_lse(
-                    q, k_cur, v_cur, causal=False, scale=scale
-                )
+                out, lse = partial_attn(k_cur, v_cur, kseg_cur, False)
             # merge partials: running logsumexp
             m_new = jnp.maximum(m_run, lse)
             m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
@@ -105,6 +226,7 @@ def ring_attention(
             w_cur = jnp.where(
                 jnp.isfinite(lse), jnp.exp(lse - m_safe), 0.0
             )
+
             # weights are per (B,H,Sq); out is (B,Sq,H,D)
             def bcast(w):
                 return jnp.transpose(w, (0, 2, 1))[..., None]
@@ -113,23 +235,36 @@ def ring_attention(
             l_new = l_run * w_old + w_cur
             k_nxt = jax.lax.ppermute(k_cur, axis, perm)
             v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return (k_nxt, v_nxt, acc, m_new, l_new), None
+            kseg_nxt = (
+                jax.lax.ppermute(kseg_cur, axis, perm)
+                if kseg_cur is not None else None
+            )
+            return (k_nxt, v_nxt, kseg_nxt, acc, m_new, l_new), None
 
-        b, sq, h, d = q.shape
-        # initial carries must be marked device-varying inside shard_map
-        # (only over the axes the inputs are actually sharded on)
-        all_axes = batch_axes + (axis,) + ((head_axis,) if head_axis else ())
-        acc0 = jax.lax.pvary(jnp.zeros((b, sq, h, d), jnp.float32), all_axes)
-        m0 = jax.lax.pvary(jnp.full((b, h, sq), -jnp.inf), all_axes)
-        l0 = jax.lax.pvary(jnp.zeros((b, h, sq)), all_axes)
-        (k_f, v_f, acc, m_run, l_run), _ = jax.lax.scan(
-            body, (k, v, acc0, m0, l0), jnp.arange(sp)
+        acc0 = jnp.zeros((b, sq, h, d), jnp.float32)
+        m0 = jnp.full((b, h, sq), -jnp.inf)
+        l0 = jnp.zeros((b, h, sq))
+        carry0 = (k, v, kv_seg if has_segs else None, acc0, m0, l0)
+        (k_f, v_f, _s, acc, m_run, l_run), _ = jax.lax.scan(
+            body, carry0, jnp.arange(sp)
         )
         l_safe = jnp.maximum(l_run, 1e-30)
         out = acc / jnp.transpose(l_safe, (0, 2, 1))[..., None]
         return out.astype(q.dtype)
 
     spec = P(batch_axes if batch_axes else None, axis, head_axis, None)
+    seg_spec = P(batch_axes if batch_axes else None, axis)
+    # check_vma=False: the varying-axes analysis cannot see through the
+    # online-softmax scan carries (zeros/-inf inits are device-invariant
+    # literals); the out_specs are the ground truth here.
+    if has_segs:
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec, seg_spec, seg_spec),
+            out_specs=spec, check_vma=False,
+        )(q, k, v, q_segment_ids, kv_segment_ids)
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        lambda q, k, v: local(q, k, v, None, None),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )(q, k, v)

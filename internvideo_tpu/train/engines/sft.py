@@ -13,7 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from internvideo_tpu.ops.attention import ulysses_context
+from internvideo_tpu.ops.attention import sequence_parallel_context
 from internvideo_tpu.train.chunked_ce import chunked_cross_entropy
 from internvideo_tpu.train.step import make_accum_step
 
@@ -21,6 +21,10 @@ from internvideo_tpu.train.step import make_accum_step
 @dataclasses.dataclass(frozen=True)
 class SFTConfig:
     ce_chunk_size: int = 2048
+    # sequence-parallel attention over the mesh's `seq` axis: "ulysses"
+    # (all-to-all; full-sequence KV per rank during attention) or "ring"
+    # (parallel/ring.py; O(S/sp) memory — contexts beyond Ulysses' reach)
+    sp_impl: str = "ulysses"
 
 
 def make_sft_step(model, cfg: SFTConfig, mesh=None, *, grad_accum: int = 1):
@@ -41,7 +45,7 @@ def make_sft_step(model, cfg: SFTConfig, mesh=None, *, grad_accum: int = 1):
             return out.hidden
 
         if mesh is not None and "seq" in mesh.axis_names and mesh.shape["seq"] > 1:
-            with ulysses_context(mesh, "seq"):
+            with sequence_parallel_context(mesh, "seq", cfg.sp_impl):
                 hidden = run()
         else:
             hidden = run()

@@ -281,3 +281,157 @@ def test_6b_shaped_tower_under_sp4():
         out = run(params, video)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_packed_segments():
+    """Packed sequences under ring: kv segment ids rotate with K/V, so the
+    inner mask sees true (q_seg, kv_seg) pairs on every shard."""
+    from internvideo_tpu.parallel.ring import ring_attention
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 64, 4, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    # three segments of irregular lengths crossing shard boundaries
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(21), np.ones(30), np.full(13, 2)])[None]
+        .repeat(b, 0).astype(np.int32)
+    )
+    sh = NamedSharding(mesh, P(("replica", "fsdp"), "seq", None, None))
+    sh_seg = NamedSharding(mesh, P(("replica", "fsdp"), "seq"))
+    for causal in (False, True):
+        ref = xla_attention(q, k, v, causal=causal, q_segment_ids=seg,
+                            kv_segment_ids=seg)
+        out = jax.jit(
+            lambda q, k, v, sg, c=causal: ring_attention(
+                q, k, v, mesh=mesh, axis="seq", causal=c,
+                q_segment_ids=sg, block_k=8,
+            )
+        )(jax.device_put(q, sh), jax.device_put(k, sh),
+          jax.device_put(v, sh), jax.device_put(seg, sh_seg))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"causal={causal}",
+        )
+
+
+def test_ring_attention_gqa_blockwise():
+    """GQA KV travel the ring thin; blockwise inner at block_k smaller than
+    the shard exercises the online-softmax merge."""
+    from internvideo_tpu.parallel.ring import ring_attention
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, hq, hkv, d = 2, 64, 8, 2, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, hq, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, hkv, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, hkv, d))
+    ref = xla_attention(q, k, v, causal=True)
+    sh = NamedSharding(mesh, P(("replica", "fsdp"), "seq", None, None))
+    out = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh=mesh, axis="seq", causal=True, block_k=4,
+        )
+    )(jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_ring_reachable_via_sequence_parallel_context():
+    """dot_product_attention routes through ring under
+    sequence_parallel_context(impl="ring") — the model-code injection point
+    (same as Ulysses), so ring is a configurable capability, not a shelf
+    component."""
+    from internvideo_tpu.ops.attention import (
+        dot_product_attention,
+        sequence_parallel_context,
+    )
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    b, s, h, d = 2, 64, 4, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    ref = xla_attention(q, k, v, causal=True)
+    sh = NamedSharding(mesh, P(("replica", "fsdp"), "seq", None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    with sequence_parallel_context(mesh, "seq", "ring"):
+        out = jax.jit(
+            lambda q, k, v: dot_product_attention(q, k, v, causal=True)
+        )(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_sft_step_ring_matches_ulysses():
+    """The SFT engine's sp_impl="ring" produces the same loss as Ulysses on
+    the same packed batch (LLM-only model, seq axis sharded)."""
+    import optax
+
+    from internvideo_tpu.models.llm import LLMConfig
+    from internvideo_tpu.models.mllm import MLLMConfig, VideoMLLM
+    from internvideo_tpu.models.vision_tower import VisionTowerConfig
+    from internvideo_tpu.nn.mla import MLAConfig
+    from internvideo_tpu.train.engines.sft import SFTConfig, make_sft_step
+    from internvideo_tpu.train.state import TrainState
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=2, seq=4, tensor=1))
+    cfg = MLLMConfig(
+        vision=VisionTowerConfig(
+            hidden_size=16, num_layers=1, num_heads=4, intermediate_size=32,
+            patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
+            pos_embed_grid=6, deepstack_indexes=(0,), text_hidden_size=32,
+            attn_impl="xla",
+        ),
+        text=LLMConfig(
+            vocab_size=64, hidden_size=32, num_layers=2,
+            intermediate_size=64, mrope_section=None,
+            mla=MLAConfig(hidden_size=32, num_heads=4, kv_lora_rank=16,
+                          qk_rope_head_dim=8, qk_nope_head_dim=8,
+                          v_head_dim=8),
+            attn_impl="xla",
+        ),
+        image_token_id=60, video_token_id=61,
+    )
+    model = VideoMLLM(cfg)
+    b, s = 2, 64
+    ids = jnp.full((b, s), 7, jnp.int32)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros(40), np.ones(24)])[None]
+        .repeat(b, 0).astype(np.int32)
+    )
+    pos = jnp.asarray(
+        np.concatenate([np.arange(40), np.arange(24)])[None]
+        .repeat(b, 0).astype(np.int32)
+    )
+    batch = {
+        "input_ids": ids, "segment_ids": seg, "position_ids": pos,
+        "labels": jnp.full((b, s), 3, jnp.int32),
+    }
+    from flax import linen as fnn
+
+    params = fnn.unbox(model.init(jax.random.key(0), ids)["params"])
+    tx = optax.sgd(0.0)
+
+    losses = {}
+    for impl in ("ulysses", "ring"):
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+        )
+        step = make_sft_step(
+            model, SFTConfig(ce_chunk_size=16, sp_impl=impl), mesh=mesh
+        )
+        shardings = {
+            k: NamedSharding(mesh, P(("replica", "fsdp"), "seq"))
+            for k in batch
+        }
+        sharded = {k: jax.device_put(v, shardings[k])
+                   for k, v in batch.items()}
+        with mesh:
+            _, metrics = jax.jit(step)(state, sharded, jax.random.key(1))
+        losses[impl] = float(metrics["loss"])
+    assert abs(losses["ring"] - losses["ulysses"]) < 1e-4, losses
