@@ -424,6 +424,42 @@ def main():
         extra["llm_decode_tokens_per_sec"] = round(lb * (ln - 1) / ddt)
         del lparams, pages
         gc.collect()
+
+        # int8 weight-only serving (LLMConfig.quant="int8_wo"): the decode
+        # step is weight-stream bound, so int8 kernels ~halve it. Timing is
+        # data-independent — zero-init int8 params measure the same step a
+        # quantize_params_like checkpoint would.
+        import dataclasses as _dc
+
+        qmodel = MLATransformer(_dc.replace(lcfg, quant="int8_wo"))
+        qparams = jax.jit(qmodel.init)(jax.random.key(0), lids[:, :8])
+        qpages, _ = init_paged_cache(
+            lcfg, lb, lctx + lsteps, lpage, jnp.bfloat16
+        )
+
+        @_partial(jax.jit, donate_argnums=(2,))
+        def _serve_decode_q(p, token, pages, seq_lens):
+            out = qmodel.apply(p, token[:, None], pages, tables, seq_lens,
+                               lpage, method="decode_step_paged")
+            return out.logits[:, -1].argmax(-1).astype(jnp.int32), out.caches
+
+        tok = jnp.zeros((lb,), jnp.int32)
+        tok, qpages = _serve_decode_q(qparams, tok, qpages, lseq)
+        _sync(tok)
+        tok, qpages = _serve_decode_q(qparams, tok, qpages, lseq + 1)
+        _sync(tok)
+        t0 = time.perf_counter()
+        tok, qpages = _serve_decode_q(qparams, tok, qpages, lseq + 2)
+        _sync(tok)
+        dbase = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(ln):
+            tok, qpages = _serve_decode_q(qparams, tok, qpages, lseq + 3 + i)
+        _sync(tok)
+        ddt = max(time.perf_counter() - t0 - dbase, 1e-9)
+        extra["llm_decode_int8_tokens_per_sec"] = round(lb * (ln - 1) / ddt)
+        del qparams, qpages
+        gc.collect()
     except Exception as e:  # noqa: BLE001
         extra["llm_serve_error"] = type(e).__name__
 

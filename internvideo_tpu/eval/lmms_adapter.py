@@ -43,18 +43,19 @@ try:  # pragma: no cover - exercised only when lmms_eval is installed
 
     _HAVE_LMMS_EVAL = True
 except ImportError:
+    # vendored harness (eval/lmms_harness.py): the same Instance/task_dict/
+    # registry contract, runnable end-to-end in this image — see
+    # tests/test_lmms_adapter.py::test_vendored_harness_end_to_end
+    from internvideo_tpu.eval.lmms_harness import (
+        register_model as _register_model,
+    )
+
     _HAVE_LMMS_EVAL = False
 
-    class _LmmsBase:  # minimal stand-in with the harness's expectations
+    class _LmmsBase:  # harness model base: rank/world for sharded eval
         def __init__(self) -> None:
             self._rank = 0
             self._world_size = 1
-
-    def _register_model(*names):
-        def deco(cls):
-            return cls
-
-        return deco
 
 
 @dataclasses.dataclass

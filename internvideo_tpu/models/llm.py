@@ -49,6 +49,11 @@ class LLMConfig:
     # fp8 feed-forward GEMMs (reference float8_handler.py:38-230): "fwd"
     # = e4m3 forward only, "full" = fp8 backward too (e5m2 gradients)
     fp8: Optional[str] = None  # None | "fwd" | "full"
+    # serving-time weight quantization: "int8_wo" stores MLP/attention/
+    # lm_head kernels as int8 + per-out-channel scales (ops/quant.py
+    # Int8WoDense) — decode is weight-stream bound, so int8 bytes ≈ halve
+    # the step; populate params via ops.quant.quantize_params_like
+    quant: Optional[str] = None  # None | "int8_wo"
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
@@ -67,12 +72,21 @@ class SwiGLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     fp8: Optional[str] = None  # None | "fwd" | "full" (e5m2 backward)
+    quant: Optional[str] = None  # None | "int8_wo" (serving weight-only)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
 
         def dense(feats, name, logical):
+            if self.quant == "int8_wo":
+                from internvideo_tpu.ops.quant import Int8WoDense
+
+                return Int8WoDense(
+                    feats, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, logical=logical,
+                    name=name,
+                )
             if self.fp8 is not None:
                 from internvideo_tpu.ops.fp8 import Fp8Dense
 
@@ -106,7 +120,7 @@ class _DecoderLayer(nn.Module):
         self.input_layernorm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
         self.self_attn = MLAttention(
             cfg.mla, dtype=dtype, param_dtype=jnp.dtype(cfg.param_dtype),
-            attn_impl=cfg.attn_impl,
+            attn_impl=cfg.attn_impl, quant=cfg.quant,
         )
         self.post_attention_layernorm = RMSNorm(
             eps=cfg.rms_norm_eps, dtype=dtype
@@ -122,7 +136,7 @@ class _DecoderLayer(nn.Module):
             self.mlp = SwiGLU(
                 cfg.intermediate_size, dtype=dtype,
                 param_dtype=jnp.dtype(cfg.param_dtype),
-                fp8=cfg.fp8,
+                fp8=cfg.fp8, quant=cfg.quant,
             )
 
     def _mlp(self, x):
@@ -178,13 +192,22 @@ class MLATransformer(nn.Module):
         ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
         if not cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=dtype,
-                param_dtype=pdtype,
-                kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.truncated_normal(0.02), ("embed", "vocab")
-                ),
-            )
+            if cfg.quant == "int8_wo":
+                from internvideo_tpu.ops.quant import Int8WoDense
+
+                self.lm_head = Int8WoDense(
+                    cfg.vocab_size, use_bias=False, dtype=dtype,
+                    param_dtype=pdtype, logical=("embed", "vocab"),
+                )
+            else:
+                self.lm_head = nn.Dense(
+                    cfg.vocab_size, use_bias=False, dtype=dtype,
+                    param_dtype=pdtype,
+                    kernel_init=nn.with_logical_partitioning(
+                        nn.initializers.truncated_normal(0.02),
+                        ("embed", "vocab"),
+                    ),
+                )
 
     def _rope(self, position_ids):
         cfg = self.cfg

@@ -74,11 +74,23 @@ class MLAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # serving weight quantization for the projection GEMVs ("int8_wo"):
+    # q/kv_a/o kernels live as int8 + scales; kv_b stays a raw bf16 param
+    # (it feeds the absorbed-decode einsums and is ~13% of attn bytes)
+    quant: Optional[str] = None
 
     def setup(self):
         cfg = self.cfg
 
         def dense(feats, name, use_bias, logical):
+            if self.quant == "int8_wo":
+                from internvideo_tpu.ops.quant import Int8WoDense
+
+                return Int8WoDense(
+                    feats, use_bias=use_bias, dtype=self.dtype,
+                    param_dtype=self.param_dtype, logical=logical,
+                    name=name,
+                )
             return nn.Dense(
                 feats, use_bias=use_bias, dtype=self.dtype,
                 param_dtype=self.param_dtype,

@@ -182,3 +182,58 @@ def quantize_params_like(abstract_int8_params, params):
         return jnp.asarray(source, dtype=abstract.dtype)
 
     return walk(abstract_int8_params, params)
+
+
+class Int8WoDense(nn.Module):
+    """Weight-only int8 serving linear (decode path).
+
+    Decode GEMVs are weight-stream bound: at batch≈8 the MXU is idle and
+    the step time is params-bytes / HBM-bandwidth, so halving the bytes
+    halves the step (measured 864 GB/s of int8 vs 732 GB/s of bf16 on the
+    2B MLP stack — tools_r4/decode_profile2.py, PERF.md "Serving").
+    Unlike Int8Dense (dynamic activation quant for int8×int8 MXU compute),
+    activations stay bf16: the int8→bf16 convert fuses into the dot as an
+    operand, and the per-out-channel scale is applied AFTER the GEMM so the
+    weight never materializes in bf16.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32  # bias dtype
+    logical: tuple = ("embed", "mlp")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), self.logical
+            ),
+            (k, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(
+                nn.initializers.ones_init(), (self.logical[1],)
+            ),
+            (1, self.features),
+            jnp.float32,
+        )
+        y = jnp.dot(
+            x.astype(self.dtype), kernel_q.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (self.logical[1],)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias
+        return y.astype(self.dtype)

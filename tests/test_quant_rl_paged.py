@@ -238,3 +238,121 @@ def test_int8_encoder_serving_accuracy():
         a, b = getattr(ref, name), getattr(out, name)
         rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
         assert rel < 5e-3, f"{name} rel={rel}"
+
+
+def test_paged_decode_kernel_group_fuzz():
+    """Multi-page grid steps (pages_per_block G > 1): fuzz sequence lengths
+    against the masked-softmax reference for G that divides, doesn't divide,
+    and exceeds max_pages — group boundaries, clamped tails, empty steps."""
+    from internvideo_tpu.ops.paged_decode import paged_mla_decode
+
+    rng = np.random.default_rng(7)
+    b, h, r, p_dim, page_size, max_pages = 4, 4, 16, 8, 4, 11
+    num_pages = b * max_pages
+    pages = jnp.asarray(
+        rng.standard_normal((num_pages, page_size, r + p_dim)), jnp.float32
+    )
+    q_lat = jnp.asarray(rng.standard_normal((b, h, r)), jnp.float32)
+    q_pe = jnp.asarray(rng.standard_normal((b, h, p_dim)), jnp.float32)
+
+    for trial in range(3):
+        seq_lens = rng.integers(1, max_pages * page_size + 1, b).astype(
+            np.int32
+        )
+        tables = np.zeros((b, max_pages), np.int32)
+        for s in range(b):
+            n = -(-int(seq_lens[s]) // page_size)
+            # shuffled page ownership: the walk must follow the table
+            own = rng.permutation(max_pages)[:n]
+            tables[s, :n] = s * max_pages + own
+
+        gathered = np.asarray(pages)[tables].reshape(b, -1, r + p_dim)
+        c, pe = gathered[..., :r], gathered[..., r:]
+        sc = (
+            np.einsum("bhr,bsr->bhs", np.asarray(q_lat), c)
+            + np.einsum("bhp,bsp->bhs", np.asarray(q_pe), pe)
+        ) * 0.25
+        mask = (
+            np.arange(gathered.shape[1])[None, None, :]
+            < seq_lens[:, None, None]
+        )
+        sc = np.where(mask, sc, -1e30)
+        probs = np.exp(sc - sc.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        ref = np.einsum("bhs,bsr->bhr", probs, c)
+
+        for g in (1, 3, 4, 16):
+            out = paged_mla_decode(
+                q_lat, q_pe, pages, jnp.asarray(tables),
+                jnp.asarray(seq_lens), softmax_scale=0.25,
+                pages_per_block=g, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), ref, atol=1e-4, rtol=1e-4,
+                err_msg=f"trial={trial} group={g} lens={seq_lens}",
+            )
+
+
+def test_int8_wo_decode_parity():
+    """Weight-only int8 serving model (LLMConfig.quant='int8_wo'): params
+    mapped by quantize_params_like; paged decode matches the bf16 model
+    running the dequantized weights (weight-only => only weight rounding
+    separates them)."""
+    import dataclasses
+
+    from internvideo_tpu.models.llm import (
+        LLMConfig, MLATransformer, init_paged_cache,
+    )
+    from internvideo_tpu.nn.mla import MLAConfig
+    from flax import linen as nn
+
+    from internvideo_tpu.ops.quant import quantize_params_like
+
+    cfg = LLMConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, intermediate_size=48,
+        mrope_section=None,
+        mla=MLAConfig(hidden_size=32, num_heads=2, kv_lora_rank=16,
+                      qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8),
+        attn_impl="xla",
+    )
+    model = MLATransformer(cfg)
+    qmodel = MLATransformer(dataclasses.replace(cfg, quant="int8_wo"))
+    b, s, page = 2, 12, 4
+    ids = jnp.ones((b, s), jnp.int32)
+    params = nn.unbox(model.init(jax.random.key(0), ids))
+    qabstract = nn.unbox(jax.eval_shape(qmodel.init, jax.random.key(0), ids))
+    qparams = quantize_params_like(qabstract, params)
+
+    # dequantize the int8 tree back into a bf16-model tree so the reference
+    # runs the SAME effective weights
+    def deq(ab, src):
+        if isinstance(ab, dict):
+            out = {}
+            for k2, sub in ab.items():
+                if k2 == "kernel":
+                    srcq = src  # same path in the quant tree
+                    if "kernel_q" in srcq:
+                        out[k2] = (
+                            srcq["kernel_q"].astype(jnp.float32)
+                            * srcq["scale"]
+                        ).astype(jnp.float32)
+                        continue
+                out[k2] = deq(sub, src[k2] if k2 in src else src)
+            return out
+        return src
+
+    deq_params = deq(params, qparams)
+
+    pages, tables = init_paged_cache(cfg, b, 16, page, jnp.float32)
+    qpages = jax.tree.map(lambda x: x.copy(), pages)
+    seq = jnp.full((b,), 0, jnp.int32)
+    tok = jnp.zeros((b, 1), jnp.int32)
+
+    out_ref = model.apply(deq_params, tok, pages, tables, seq, page,
+                          method="decode_step_paged")
+    out_q = qmodel.apply(qparams, tok, qpages, tables, seq, page,
+                         method="decode_step_paged")
+    np.testing.assert_allclose(
+        np.asarray(out_q.logits), np.asarray(out_ref.logits),
+        atol=2e-2, rtol=2e-2,
+    )
