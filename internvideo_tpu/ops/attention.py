@@ -24,6 +24,7 @@ from internvideo_tpu.ops.attention_xla import xla_attention
 from internvideo_tpu.ops.flash_attention import (
     flash_attention,
     fused_qkv_eligible,
+    fused_qkv_large_eligible,
     fused_qkv_rmsnorm_attention,
 )
 
@@ -59,12 +60,15 @@ def fused_qkv_attention_or_none(
     eps: float = 1e-6,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
+    allow_large: bool = True,
 ) -> Optional[jax.Array]:
-    """Fused qkv+QK-RMSNorm+attention when the small-S Pallas path applies.
+    """Fused qkv+QK-RMSNorm+attention when a fused Pallas path applies.
 
     Returns (B, S, W) or None when the caller must run the unfused path
     (non-TPU backend, Ulysses sequence sharding active, or shapes outside
-    the small-S envelope). Model code calls this first and falls back.
+    the fused envelopes). Model code calls this first and falls back.
+    `allow_large=False` keeps training off the blocked-K large-S variant,
+    whose VJP recomputes the unfused composition (see nn/transformer.py).
     """
     if getattr(_TLS, "ulysses", None) is not None:
         return None
@@ -77,8 +81,15 @@ def fused_qkv_attention_or_none(
     if w % num_heads != 0:
         return None
     d = w // num_heads
-    if not fused_qkv_eligible(s, num_heads, d, jnp.dtype(qkv.dtype).itemsize):
+    # Only the small-S fused variant routes automatically. The blocked-K
+    # large-S variant (fused_qkv_large_eligible / _fused_qkv_large) is
+    # correct but MEASURED SLOWER than the unfused chain at the dense
+    # encoder shape (18.46 vs 13.96 ms/layer at S=4097 — PERF.md "Fused
+    # qkv at dense S"), so callers must opt in explicitly.
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    if not fused_qkv_eligible(s, num_heads, d, itemsize):
         return None
+    del allow_large
     return fused_qkv_rmsnorm_attention(
         qkv, q_weight, k_weight,
         num_heads=num_heads, eps=eps, softmax_scale=softmax_scale,

@@ -1300,12 +1300,221 @@ def fused_qkv_rmsnorm_attention(
     w = w3 // 3
     assert w3 == 3 * w and w % num_heads == 0
     d = w // num_heads
-    assert fused_qkv_eligible(s, num_heads, d, jnp.dtype(qkv.dtype).itemsize)
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    assert fused_qkv_eligible(s, num_heads, d, itemsize) or (
+        fused_qkv_large_eligible(s, num_heads, d, itemsize)
+    )
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
-    return _fused_qkv_small_s(
+    if 0 < s <= _SMALL_S_MAX and _ss_fits(
+        s, s, w, jnp.dtype(qkv.dtype).itemsize
+    ):
+        return _fused_qkv_small_s(
+            qkv, q_weight.astype(jnp.float32), k_weight.astype(jnp.float32),
+            num_heads, d, scale, eps, interpret,
+        )
+    return _fused_qkv_large(
         qkv, q_weight.astype(jnp.float32), k_weight.astype(jnp.float32),
         num_heads, d, scale, eps, interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused qkv + whole-dim QK-RMSNorm, blocked-K (large-S forward)
+# ---------------------------------------------------------------------------
+#
+# The small-S fused path stops at S<=1024 because it holds the WHOLE K/V in
+# VMEM for an exact single-pass softmax. The dense encoder runs S=4097
+# (4096 patches + CLS), where the unfused path pays the QK-norm + v-slice
+# materializations, four (B,S,H,D)<->(B,H,S,D) transposes, AND the
+# ragged-tail decomposition's tail/combine overhead (~1.6 ms/layer).
+#
+# This kernel extends the fused design with K-blocking + an online softmax:
+#   * grid (B, nq, nk), nk innermost; q/k/v are three column-block views of
+#     the SAME (B, S, 3W) projection output (zero-copy)
+#   * block edge is chosen per-shape to make in-kernel masked raggedness
+#     CHEAP: S=4097 with bq=688 pads to 4128 -> +1.5% FLOPs, vs the 1.56x
+#     a 1024-block pad costs or the tail-einsum/LSE-merge machinery the
+#     general path needs. Garbage key rows (reads past S) are masked to
+#     -inf BEFORE the max (jnp.where drops NaN garbage); garbage q rows
+#     produce garbage in output rows that the partial out block discards.
+#   * whole-dim RMSNorms run in-kernel: q once per q-block into scratch,
+#     k per (iq, ik) visit — recomputing the k-norm nq times costs VPU
+#     FLOPs but saves the two full-tensor HBM write+read passes
+#   * per-head running max / denominator live in (bq, 128) scratch lanes
+#
+# Backward VJPs the unfused composition (slice -> rms_norm -> general
+# flash), so gradients are exactly the production path's; under remat —
+# how the 1B/6B encoders train — the recomputed forward inside the VJP is
+# work the step does anyway.
+
+_FUSED_LARGE_MAX = 8192
+# The static estimate in _fused_large_block undercounts Mosaic's real
+# scoped allocation by ~2.4x (bq=1376 estimated 63M, compiled to 153M >
+# the 128M physical vmem). 64M keeps the picker at block edges whose real
+# footprint compiles (bq=688 at the encoder shape).
+_FUSED_LARGE_VMEM_LIMIT = 64 * 1024 * 1024
+_FUSED_LARGE_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=_FUSED_LARGE_VMEM_LIMIT
+)
+
+
+def _fused_large_block(s: int, w: int, itemsize: int):
+    """Block edge (multiple of 16 rows) minimizing padded-FLOPs waste, then
+    maximizing block size, under the scoped-vmem budget. None = no fit."""
+    best = None
+    for bq in range(256, 1440 + 1, 16):
+        padded = -(-s // bq) * bq
+        est = (3 * 2 + 2) * bq * w * itemsize  # q/k/v/out double-buffered
+        est += 2 * bq * w * itemsize           # qn, kn staging
+        est += bq * w * 4                      # acc f32
+        est += 2 * bq * bq * 4                 # scores/probs f32
+        est += 2 * bq * 128 * 4                # m, l
+        if est > _FUSED_LARGE_VMEM_LIMIT - 8 * 1024 * 1024:
+            continue
+        key = (round((padded / s) ** 2, 4), -bq)
+        if best is None or key < best[0]:
+            best = (key, bq)
+    return None if best is None else best[1]
+
+
+def _fused_large_fwd_kernel(
+    q_ref, k_ref, v_ref, qw_ref, kw_ref, o_ref,
+    qn_ref, acc_ref, m_ref, l_ref,
+    *, scale, h, d, eps, s_total, block,
+):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    def _norm(x, w_row):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+        return (w_row * normed.astype(jnp.float32)).astype(x.dtype)
+
+    @pl.when(ik == 0)
+    def _init():
+        qn_ref[...] = _norm(q_ref[0], qw_ref[0][None, :])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    kn = _norm(k_ref[0], kw_ref[0][None, :])  # (bk, W)
+    kvalid = (
+        ik * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    ) < s_total
+    # garbage rows past S are masked out of the scores, but the p @ V dot
+    # contracts over key rows — 0 * garbage(NaN) = NaN, so V garbage must
+    # be zeroed, not just masked. Column-vector iota (not a reshape of the
+    # row mask: Mosaic can't minor-dim-insert i1 vectors).
+    kvalid_col = (
+        ik * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    ) < s_total
+    vb = jnp.where(kvalid_col, v_ref[0], 0)
+    for i in range(h):
+        sl = slice(i * d, (i + 1) * d)
+        s = jax.lax.dot_general(
+            qn_ref[:, sl], kn[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)  # (bq, bk)
+        s = jnp.where(kvalid, s, DEFAULT_MASK_VALUE)
+        m_prev = m_ref[:, i]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        p = jnp.exp2(s - m_cur[:, None])
+        p = jnp.where(s <= DEFAULT_MASK_VALUE, 0.0, p)
+        alpha = jnp.exp2(m_prev - m_cur)
+        alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
+        l_ref[:, i] = l_ref[:, i] * alpha + jnp.sum(p, axis=1)
+        m_ref[:, i] = m_cur
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, None] + jax.lax.dot(
+            p.astype(vb.dtype), vb[:, sl], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            l = l_ref[:, i]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl] / l_safe[:, None]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_qkv_large(qkv, qw, kw, h, d, scale, eps, interpret):
+    """qkv: (B, S, 3W) off the projection GEMM; qw/kw: (W,) f32."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    bq = _fused_large_block(s, w, jnp.dtype(qkv.dtype).itemsize)
+    assert bq is not None, (s, w)
+    col = pl.BlockSpec((1, w), lambda bi, qi, ki: (0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _fused_large_fwd_kernel, scale=scale, h=h, d=d, eps=eps,
+            s_total=s, block=bq,
+        ),
+        grid=(b, pl.cdiv(s, bq), pl.cdiv(s, bq)),
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, bq, w), lambda bi, qi, ki: (bi, ki, 1)),
+            pl.BlockSpec((1, bq, w), lambda bi, qi, ki: (bi, ki, 2)),
+            col, col,
+        ],
+        out_specs=pl.BlockSpec((1, bq, w), lambda bi, qi, ki: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, w), qkv.dtype),      # normalized q staging
+            pltpu.VMEM((bq, w), jnp.float32),    # latent accumulator
+            pltpu.VMEM((bq, 128), jnp.float32),  # per-head running max
+            pltpu.VMEM((bq, 128), jnp.float32),  # per-head denominator
+        ],
+        compiler_params=_FUSED_LARGE_PARAMS,
+        interpret=interpret,
+    )(qkv, qkv, qkv, qw.reshape(1, w), kw.reshape(1, w))
+
+
+def _fused_large_unfused_ref(qkv, qw, kw, h, d, scale, eps, interpret):
+    from internvideo_tpu.ops.rmsnorm import rms_norm
+
+    w = h * d
+    b, s, _ = qkv.shape
+    q = rms_norm(qkv[..., :w], qw, eps=eps).reshape(b, s, h, d)
+    k = rms_norm(qkv[..., w:2 * w], kw, eps=eps).reshape(b, s, h, d)
+    v = qkv[..., 2 * w:].reshape(b, s, h, d)
+    out = flash_attention(
+        q, k, v, softmax_scale=scale, interpret=interpret
+    )
+    return out.reshape(b, s, w)
+
+
+def _fused_large_fwd_rule(qkv, qw, kw, h, d, scale, eps, interpret):
+    out = _fused_qkv_large(qkv, qw, kw, h, d, scale, eps, interpret)
+    return out, (qkv, qw, kw)
+
+
+def _fused_large_bwd_rule(h, d, scale, eps, interpret, res, g):
+    qkv, qw, kw = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _fused_large_unfused_ref(
+            a, b, c, h, d, scale, eps, interpret
+        ),
+        qkv, qw, kw,
+    )
+    return vjp(g)
+
+
+_fused_qkv_large.defvjp(_fused_large_fwd_rule, _fused_large_bwd_rule)
+
+
+def fused_qkv_large_eligible(s: int, num_heads: int, head_dim: int,
+                             itemsize: int) -> bool:
+    """Can (B, S, 3W) self-attention take the fused blocked-K path?"""
+    w = num_heads * head_dim
+    if not (_SMALL_S_MAX < s <= _FUSED_LARGE_MAX):
+        return False
+    if w % 128 or num_heads > 128:
+        return False
+    return _fused_large_block(s, w, itemsize) is not None
 
 
 def flash_attention(
@@ -1354,6 +1563,15 @@ def flash_attention(
     # Blocks are chosen to minimize total padded work: large blocks run the
     # MXU harder, but an S just over a block boundary (e.g. 4097 = 4096+CLS)
     # would waste a whole extra block per axis.
+    if (causal and window is None and q_segment_ids is None
+            and sq == sk and 1024 < sq <= 2048 and sq % 512 == 0
+            and block_q == 1024 and block_k == 1024):
+        # Measured at the MLA prefill shape (B=8 S=2048 H=20 d=192):
+        # 2048x512 blocks run 5.11 ms vs 6.13 at the 1024^2 default —
+        # one whole-column q block kills cross-block revisits and 512-wide
+        # k blocks tighten the causal skip granularity. Only kicks in at
+        # small causal shapes where the 1024^2 grid has <=2 q blocks.
+        block_q, block_k = sq, 512
     block_q_eff, block_k_eff = _pick_blocks(sq, sk, block_q, block_k)
     sq_p = _round_up(sq, block_q_eff)
     sk_p = _round_up(sk, block_k_eff)

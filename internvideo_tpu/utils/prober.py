@@ -88,3 +88,142 @@ def compare_activations(
         report[k] = {"max_rel_err": rel, "ok": rel <= rtol}
     report["__missing__"] = sorted(set(a) ^ set(b))
     return report
+
+
+# ---------------------------------------------------------------------------
+# Step-scoped dump-to-disk workflow (xtuner prober.py:29-966 parity):
+# capture chosen steps/micro-batches, write per-rank npz dumps + a
+# manifest.jsonl of summary stats, diff whole dump trees across
+# implementations without holding 40 layers of activations in memory.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class ProberConfig:
+    dump_dir: str
+    steps: Sequence[int] = ()  # global steps to capture (empty = never)
+    filter_patterns: Optional[Sequence[str]] = None
+    rank: int = 0  # process index in multi-host runs
+    save_tensors: bool = True  # False: manifest stats only (cheap sweeps)
+
+
+class Prober:
+    """Numeric-debug workflow driver.
+
+    Usage (cross-impl diffing, the reference's Prober loop):
+
+        prober = Prober(ProberConfig("/dumps/jax", steps=(0, 100)))
+        ...inside the debug loop...
+        if prober.should_capture(step):
+            prober.capture(model, {"params": params}, batch["x"],
+                           step=step, tag="micro0")
+        # later: compare_dumps("/dumps/jax", "/dumps/torch", step=100)
+    """
+
+    def __init__(self, config: ProberConfig):
+        self.config = config
+
+    def should_capture(self, step: int) -> bool:
+        return step in set(self.config.steps)
+
+    def capture(
+        self, model, variables, *args,
+        step: int, tag: str = "fwd", method=None, **kwargs,
+    ):
+        """Run the forward with intermediates captured and dump them.
+
+        `tag` scopes within a step (micro-batch index, 'fwd'/'ref', ...).
+        Returns the model output so the caller's control flow is unchanged.
+        """
+        out, acts = capture_activations(
+            model, variables, *args,
+            filter_patterns=self.config.filter_patterns,
+            method=method, **kwargs,
+        )
+        self.dump(step, tag, acts)
+        return out
+
+    def dump(self, step: int, tag: str, acts: dict) -> str:
+        cfg = self.config
+        step_dir = os.path.join(cfg.dump_dir, f"step_{step:06d}")
+        os.makedirs(step_dir, exist_ok=True)
+        base = f"{tag}_rank{cfg.rank}"
+        entries = []
+        for k, v in acts.items():
+            arr = np.asarray(v)
+            ent = {"path": k, "shape": list(arr.shape),
+                   "dtype": str(arr.dtype)}
+            if arr.dtype != object and np.issubdtype(arr.dtype, np.number):
+                f = arr.astype(np.float64)
+                ent.update(
+                    mean=float(f.mean()) if f.size else 0.0,
+                    std=float(f.std()) if f.size else 0.0,
+                    absmax=float(np.abs(f).max()) if f.size else 0.0,
+                    nan=int(np.isnan(f).sum()),
+                    inf=int(np.isinf(f).sum()),
+                )
+            entries.append(ent)
+        if cfg.save_tensors:
+            np.savez(os.path.join(step_dir, base + ".npz"), **acts)
+        manifest = os.path.join(step_dir, base + "_manifest.jsonl")
+        with open(manifest, "w") as fh:
+            for ent in entries:
+                fh.write(json.dumps(ent) + "\n")
+        return manifest
+
+
+def load_dump(dump_dir: str, step: int, tag: str = "fwd", rank: int = 0):
+    path = os.path.join(
+        dump_dir, f"step_{step:06d}", f"{tag}_rank{rank}.npz"
+    )
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def load_manifest(dump_dir: str, step: int, tag: str = "fwd", rank: int = 0):
+    path = os.path.join(
+        dump_dir, f"step_{step:06d}", f"{tag}_rank{rank}_manifest.jsonl"
+    )
+    return [json.loads(line) for line in open(path)]
+
+
+def compare_dumps(
+    dir_a: str, dir_b: str, *,
+    step: int, tag: str = "fwd", rank: int = 0,
+    rtol: float = 1e-2, atol: float = 1e-4,
+) -> dict:
+    """Diff two implementations' dumps of the same step/tag/rank.
+
+    Tensor-level compare when both sides saved tensors; falls back to
+    manifest summary-stat compare (mean/std/absmax within rtol) when
+    either side ran stats-only. Returns the compare_activations report
+    (plus 'stats_only': True in the fallback)."""
+    try:
+        a, b = load_dump(dir_a, step, tag, rank), load_dump(
+            dir_b, step, tag, rank
+        )
+        return compare_activations(a, b, rtol=rtol, atol=atol)
+    except FileNotFoundError:
+        ma = {e["path"]: e for e in load_manifest(dir_a, step, tag, rank)}
+        mb = {e["path"]: e for e in load_manifest(dir_b, step, tag, rank)}
+        report: dict = {"stats_only": True}
+        for k in sorted(set(ma) & set(mb)):
+            ea, eb = ma[k], mb[k]
+            if ea["shape"] != eb["shape"]:
+                report[k] = {"shape_mismatch": (ea["shape"], eb["shape"])}
+                continue
+            errs = {}
+            for stat in ("mean", "std", "absmax"):
+                if stat in ea and stat in eb:
+                    denom = max(abs(eb[stat]), atol)
+                    errs[stat] = abs(ea[stat] - eb[stat]) / denom
+            report[k] = {
+                "stat_rel_err": errs,
+                "ok": all(e <= rtol for e in errs.values()),
+                "nan": ea.get("nan", 0) + eb.get("nan", 0),
+            }
+        report["__missing__"] = sorted(set(ma) ^ set(mb))
+        return report

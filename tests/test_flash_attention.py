@@ -445,3 +445,64 @@ def test_fused_qkv_rmsnorm_attention_parity():
     big = jnp.zeros((1, fa._SMALL_S_MAX + 1, 3 * 64), jnp.float32)
     assert fused_qkv_attention_or_none(
         big, jnp.ones(64), jnp.ones(64), num_heads=4, impl="pallas") is None
+
+
+def test_fused_qkv_large_matches_unfused():
+    """Blocked-K fused qkv path (1024 < S <= 8192): in-kernel masked
+    raggedness + online softmax + in-kernel whole-dim RMSNorms match the
+    unfused slice->rms_norm->attention composition; gradients flow through
+    the unfused-composition VJP."""
+    import numpy as np
+
+    from internvideo_tpu.ops.attention_xla import xla_attention
+    from internvideo_tpu.ops.flash_attention import (
+        fused_qkv_large_eligible,
+        fused_qkv_rmsnorm_attention,
+    )
+    from internvideo_tpu.ops.rmsnorm import rms_norm
+
+    b, h, d = 1, 2, 64
+    w = h * d
+    for s in (1100, 1040):  # non-divisible and near-divisible block tails
+        assert fused_qkv_large_eligible(s, h, d, 4)
+        key = jax.random.key(s)
+        qkv = jax.random.normal(key, (b, s, 3 * w), jnp.float32)
+        qw = 1.0 + 0.1 * jax.random.normal(jax.random.key(1), (w,))
+        kw = 1.0 - 0.1 * jax.random.normal(jax.random.key(2), (w,))
+
+        out = fused_qkv_rmsnorm_attention(
+            qkv, qw, kw, num_heads=h, interpret=True
+        )
+        q = rms_norm(qkv[..., :w], qw).reshape(b, s, h, d)
+        k = rms_norm(qkv[..., w:2 * w], kw).reshape(b, s, h, d)
+        v = qkv[..., 2 * w:].reshape(b, s, h, d)
+        ref = xla_attention(q, k, v).reshape(b, s, w)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"s={s}",
+        )
+
+    # gradients: the custom VJP re-runs the unfused composition
+    s = 1100
+    qkv = jax.random.normal(jax.random.key(3), (b, s, 3 * w), jnp.float32)
+    qw = jnp.ones((w,))
+    kw = jnp.ones((w,))
+
+    def loss_fused(qkv, qw, kw):
+        return jnp.sum(jnp.square(fused_qkv_rmsnorm_attention(
+            qkv, qw, kw, num_heads=h, interpret=True
+        )))
+
+    def loss_ref(qkv, qw, kw):
+        q = rms_norm(qkv[..., :w], qw).reshape(b, s, h, d)
+        k = rms_norm(qkv[..., w:2 * w], kw).reshape(b, s, h, d)
+        v = qkv[..., 2 * w:].reshape(b, s, h, d)
+        return jnp.sum(jnp.square(xla_attention(q, k, v)))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, qw, kw)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, qw, kw)
+    for a, bb, name in zip(g_f, g_r, ("qkv", "qw", "kw")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )

@@ -168,3 +168,73 @@ def test_prober_capture_and_compare():
     assert any(
         not v.get("ok", True) for k, v in report.items() if k != "__missing__"
     )
+
+
+def test_prober_step_scoped_dump_and_compare(tmp_path):
+    """Step-scoped Prober workflow (xtuner prober.py parity): capture at
+    chosen steps with micro-batch tags, per-rank npz + manifest.jsonl on
+    disk, tensor-level and stats-only cross-impl diffing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from internvideo_tpu.utils.prober import (
+        Prober,
+        ProberConfig,
+        compare_dumps,
+        load_dump,
+        load_manifest,
+    )
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(8, name="fc1")(x)
+            x = nn.silu(x)
+            return nn.Dense(4, name="fc2")(x)
+
+    m = M()
+    x = jnp.ones((2, 8))
+    params = m.init(jax.random.key(0), x)
+
+    pr_a = Prober(ProberConfig(str(tmp_path / "a"), steps=(0, 5)))
+    assert pr_a.should_capture(5) and not pr_a.should_capture(3)
+    out = pr_a.capture(m, params, x, step=5, tag="micro0")
+    assert out.shape == (2, 4)
+
+    # same params -> identical dump from a "second implementation"
+    pr_b = Prober(ProberConfig(str(tmp_path / "b"), steps=(5,)))
+    pr_b.capture(m, params, x, step=5, tag="micro0")
+
+    dump = load_dump(str(tmp_path / "a"), 5, "micro0")
+    assert any("fc1" in k for k in dump)
+    man = load_manifest(str(tmp_path / "a"), 5, "micro0")
+    assert all({"path", "shape", "dtype"} <= set(e) for e in man)
+    assert all(e["nan"] == 0 for e in man if "nan" in e)
+
+    rep = compare_dumps(str(tmp_path / "a"), str(tmp_path / "b"), step=5,
+                        tag="micro0")
+    assert all(v["ok"] for k, v in rep.items()
+               if isinstance(v, dict) and "ok" in v)
+    assert rep["__missing__"] == []
+
+    # perturbed params -> flagged mismatch
+    bad = jax.tree.map(lambda p: p + 0.5, params)
+    pr_c = Prober(ProberConfig(str(tmp_path / "c"), steps=(5,)))
+    pr_c.capture(m, bad, x, step=5, tag="micro0")
+    rep = compare_dumps(str(tmp_path / "a"), str(tmp_path / "c"), step=5,
+                        tag="micro0")
+    assert any(not v["ok"] for k, v in rep.items()
+               if isinstance(v, dict) and "ok" in v)
+
+    # stats-only mode: manifest written, no npz, compare falls back
+    pr_d = Prober(ProberConfig(str(tmp_path / "d"), steps=(5,),
+                               save_tensors=False))
+    pr_d.capture(m, params, x, step=5, tag="micro0")
+    assert not (tmp_path / "d" / "step_000005" / "micro0_rank0.npz").exists()
+    rep = compare_dumps(str(tmp_path / "a"), str(tmp_path / "d"), step=5,
+                        tag="micro0")
+    assert rep.get("stats_only") is True
+    assert all(v["ok"] for k, v in rep.items()
+               if isinstance(v, dict) and "ok" in v)
