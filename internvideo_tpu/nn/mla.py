@@ -173,29 +173,34 @@ class MLAttention(nn.Module):
         q_nope, q_pe = self._project_q(x)
         ckv, k_pe = self._compress_kv(x)
 
+        # Decompress straight into kernel-ready layouts: pad the WEIGHT
+        # slices (tiny) instead of the activations, so k arrives with room
+        # for the rope tail and v arrives already at q_head_dim — this
+        # replaces two strided (B,S,H,·) activation slices of the fused
+        # expansion, the (B,S,H,P) rope broadcast+concat, and the v pad
+        # pass (4 full-tensor HBM round-trips per layer at prefill shapes)
+        # with two einsums and one fused broadcast add.
         kv_b = self.kv_b_kernel.astype(self.dtype)  # (R, H, nope+v)
-        kv = jnp.einsum("bsr,rhd->bshd", ckv, kv_b)
-        k_nope = kv[..., : cfg.qk_nope_head_dim]
-        v = kv[..., cfg.qk_nope_head_dim:]
+        w_k = kv_b[..., : cfg.qk_nope_head_dim]
+        w_v = kv_b[..., cfg.qk_nope_head_dim:]
+        rope_pad = cfg.q_head_dim - cfg.qk_nope_head_dim
+        k = jnp.einsum(
+            "bsr,rhd->bshd", ckv,
+            jnp.pad(w_k, ((0, 0), (0, 0), (0, rope_pad))),
+        )
+        k_pe = apply_rope(k_pe[:, :, None, :], cos, sin)  # (B,S,1,P)
+        k = k + jnp.pad(
+            k_pe.astype(k.dtype),
+            ((0, 0), (0, 0), (0, 0), (cfg.qk_nope_head_dim, 0)),
+        )
+        v_pad = max(cfg.q_head_dim - cfg.v_head_dim, 0)
+        v = jnp.einsum(
+            "bsr,rhd->bshd", ckv,
+            jnp.pad(w_v, ((0, 0), (0, 0), (0, v_pad))),
+        )
 
         q_pe = apply_rope(q_pe, cos, sin)
-        k_pe = apply_rope(k_pe[:, :, None, :], cos, sin)  # (B,S,1,P)
-
         q = jnp.concatenate([q_nope, q_pe], axis=-1)
-        k = jnp.concatenate(
-            [
-                k_nope,
-                jnp.broadcast_to(
-                    k_pe, k_nope.shape[:-1] + (cfg.qk_rope_head_dim,)
-                ),
-            ],
-            axis=-1,
-        )
-        if cfg.q_head_dim != cfg.v_head_dim:
-            v = jnp.pad(
-                v,
-                ((0, 0), (0, 0), (0, 0), (0, cfg.q_head_dim - cfg.v_head_dim)),
-            )
         out = dot_product_attention(
             q, k, v,
             causal=causal,
