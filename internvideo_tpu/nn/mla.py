@@ -193,11 +193,10 @@ class MLAttention(nn.Module):
             k_pe.astype(k.dtype),
             ((0, 0), (0, 0), (0, 0), (cfg.qk_nope_head_dim, 0)),
         )
-        v_pad = max(cfg.q_head_dim - cfg.v_head_dim, 0)
-        v = jnp.einsum(
-            "bsr,rhd->bshd", ckv,
-            jnp.pad(w_v, ((0, 0), (0, 0), (0, v_pad))),
-        )
+        # v stays at v_head_dim: the flash kernels carry separate q/k and
+        # v/o lane widths, so the 128->192 pad (and its 1.5x pV FLOPs) the
+        # reference's CUDA flash-attn forces is not paid here.
+        v = jnp.einsum("bsr,rhd->bshd", ckv, w_v)
 
         q_pe = apply_rope(q_pe, cos, sin)
         q = jnp.concatenate([q_nope, q_pe], axis=-1)
@@ -210,9 +209,7 @@ class MLAttention(nn.Module):
             impl=self.attn_impl,
             window=cfg.window,
         )
-        out = out[..., : cfg.v_head_dim].reshape(
-            b, s, cfg.num_heads * cfg.v_head_dim
-        )
+        out = out.reshape(b, s, cfg.num_heads * cfg.v_head_dim)
         return self.o_proj(out)
 
     def prefill(self, x, cos, sin, cache, cache_len: int, *, causal=True):
@@ -263,11 +260,8 @@ class MLAttention(nn.Module):
             ],
             axis=-1,
         )
-        if cfg.q_head_dim != cfg.v_head_dim:
-            v = jnp.pad(
-                v,
-                ((0, 0), (0, 0), (0, 0), (0, cfg.q_head_dim - cfg.v_head_dim)),
-            )
+        # v rides at v_head_dim — the flash kernels carry separate q/k and
+        # v/o lane widths (see __call__).
         out = dot_product_attention(
             q, k, v,
             causal=causal,
@@ -276,9 +270,7 @@ class MLAttention(nn.Module):
             window=cfg.window,
             q_position_offset=cache_len,
         )
-        out = out[..., : cfg.v_head_dim].reshape(
-            b, s, cfg.num_heads * cfg.v_head_dim
-        )
+        out = out.reshape(b, s, cfg.num_heads * cfg.v_head_dim)
         return self.o_proj(out), cache
 
     def decode(

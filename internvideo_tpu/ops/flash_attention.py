@@ -72,6 +72,68 @@ def _mask_block(
 # ---------------------------------------------------------------------------
 
 
+def _segs_overlap(q_ids, k_ids):
+    """Conservative packed-segment block visibility: a (q-block, k-block)
+    pair can only contain matching segment ids if the id RANGES intersect.
+    Packed rows carry monotonic ids (pads: q=-1, kv=-2), so disjoint ranges
+    => no q row attends any k row in the pair and the whole block is dead.
+    At 8 packed segments this skips ~7/8 of the blocks the masked walk used
+    to compute (segment masking zeroes FLOPs results, not FLOPs). Sound for
+    arbitrary ids: range intersection over-approximates equality."""
+    return jnp.logical_and(
+        jnp.min(q_ids) <= jnp.max(k_ids),
+        jnp.min(k_ids) <= jnp.max(q_ids),
+    )
+
+
+def _block_seg_minmax(ids, blk):
+    """Per-block (min, max) of segment ids. ids: (b, s) with s % blk == 0."""
+    b, s = ids.shape
+    r = ids.reshape(b, s // blk, blk)
+    return r.min(axis=2), r.max(axis=2)
+
+
+def _build_remap(a_min, a_max, s_min, s_max, causal_vis):
+    """Live-block remap tables for the packed-segment kernels.
+
+    The in-kernel `_segs_overlap` skip predicates COMPUTE off dead
+    (q-block, k-block) pairs, but their HBM block fetches still stream —
+    at 8 packed segments that is ~7/8 of the streamed operand's traffic
+    for nothing. This computes the same visibility once in XLA (segment
+    range intersection at block granularity, ANDed with the causal
+    whole-block test) and produces, per batch row and per anchor block,
+    the ascending indices of the LIVE streamed blocks; dead tail entries
+    REPEAT the last live index. The kernels walk streamed blocks through
+    these tables via scalar prefetch: Pallas elides a block copy whenever
+    the index map output is unchanged from the previous grid step, so the
+    dead blocks' DMAs vanish (compute is predicated off with j < n_live).
+
+    a_min/a_max: (b, na) anchor-block segment-id ranges.
+    s_min/s_max: (b, ns) streamed-block ranges.
+    causal_vis:  (na, ns) bool or None.
+    Returns (idx_map (b, na, ns) int32, n_live (b, na) int32).
+    """
+    vis = jnp.logical_and(
+        a_min[:, :, None] <= s_max[:, None, :],
+        s_min[:, None, :] <= a_max[:, :, None],
+    )
+    if causal_vis is not None:
+        vis = jnp.logical_and(vis, causal_vis[None])
+    # Stable ascending argsort of (not visible) puts live indices first in
+    # original (ascending) order — consecutive live steps then fetch
+    # consecutive HBM blocks.
+    order = jnp.argsort(
+        jnp.logical_not(vis), axis=-1, stable=True
+    ).astype(jnp.int32)
+    n_live = vis.sum(axis=-1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(n_live - 1, 0)[..., None], axis=-1
+    )
+    j = jnp.arange(order.shape[-1], dtype=jnp.int32)
+    idx = jnp.where(j[None, None, :] < n_live[..., None], order, last)
+    return idx, n_live
+
+
 def _block_visible(iq, ik, *, causal, block_q, block_k, q_pos, window):
     """Whether k-block ik can contribute to q-block iq (whole-block skip)."""
     visible = True
@@ -92,6 +154,7 @@ def _fwd_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
     kv_pad: int = 0, window=None, q_pos: int = 0, unroll: int = 1,
+    remap: bool = False,
 ):
     # Softmax runs entirely in the base-2 domain: log2(e) is folded into the
     # score scale, so the per-element work is just sub+exp2 (no multiply),
@@ -107,13 +170,25 @@ def _fwd_kernel(
     # 9.4 -> 7.9 ms at 4096x4096 with unroll=4. (A cross-grid-step pipeline
     # via a lagged-V scratch was tried first and measured SLOWER: spilling
     # p through VMEM adds a write+read pass per element.)
-    if has_segs:
+    if remap:
+        (kmap_ref, nvis_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+         o_ref, lse_ref, acc_ref, m_ref) = refs
+    elif has_segs:
         q_ref, k_ref, v_ref, qseg_ref, kseg_ref, o_ref, lse_ref, acc_ref, m_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref = refs
         qseg_ref = kseg_ref = None
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
+    if remap:
+        # The streamed k block is kmap[b, iq, ik]; dead steps repeat a live
+        # index (DMA elided), so compute MUST gate on `live`, not on the
+        # seg-overlap test (the refetched live block would pass it twice).
+        ib = pl.program_id(0)
+        ik_eff = kmap_ref[ib, iq, ik]
+        live = ik < nvis_ref[ib, iq]
+    else:
+        ik_eff = ik
 
     @pl.when(ik == 0)
     def _init():
@@ -125,12 +200,19 @@ def _fwd_kernel(
         # so if the first sub-block is above the diagonal the step is dead;
         # partially-visible (diagonal) steps mask per sub-block.
         assert window is None
-        step_visible = True
-        if causal:
-            step_visible = _block_visible(
-                iq, ik * unroll, causal=True, block_q=block_q,
-                block_k=block_k, q_pos=q_pos, window=None,
-            )
+        if remap:
+            step_visible = live
+        else:
+            step_visible = True
+            if causal:
+                step_visible = _block_visible(
+                    iq, ik * unroll, causal=True, block_q=block_q,
+                    block_k=block_k, q_pos=q_pos, window=None,
+                )
+            if qseg_ref is not None:
+                step_visible = jnp.logical_and(step_visible, _segs_overlap(
+                    qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+                ))
 
         @pl.when(step_visible)
         def _compute_unrolled():
@@ -154,7 +236,7 @@ def _fwd_kernel(
                     s = _mask_block(
                         s, causal=causal, q_seg=q_seg, k_seg=k_seg,
                         q_offset=q_pos + iq * block_q,
-                        k_offset=(ik * unroll + u) * block_k,
+                        k_offset=(ik_eff * unroll + u) * block_k,
                     )
                 m_cur = jnp.maximum(m_run, jnp.max(s, axis=1))
                 p = jnp.exp2(s - m_cur[:, None])
@@ -169,10 +251,17 @@ def _fwd_kernel(
             m_ref[:, 0] = m_run
             acc_ref[:] = acc
     else:
-        block_visible = _block_visible(
-            iq, ik, causal=causal, block_q=block_q, block_k=block_k,
-            q_pos=q_pos, window=window,
-        )
+        if remap:
+            block_visible = live
+        else:
+            block_visible = _block_visible(
+                iq, ik, causal=causal, block_q=block_q, block_k=block_k,
+                q_pos=q_pos, window=window,
+            )
+            if qseg_ref is not None:
+                block_visible = jnp.logical_and(block_visible, _segs_overlap(
+                    qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+                ))
 
         @pl.when(block_visible)
         def _compute():
@@ -192,7 +281,7 @@ def _fwd_kernel(
                 k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
             s = _mask_block(
                 s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-                q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+                q_offset=q_pos + iq * block_q, k_offset=ik_eff * block_k,
                 window=window,
             )
 
@@ -236,6 +325,7 @@ def _fwd(
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    dv = v.shape[-1]  # MLA runs d_v < d_qk (128 vs 192) — no v padding
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     # sub-block unroll (see _fwd_kernel): largest of 4/2/1 dividing the
@@ -244,7 +334,7 @@ def _fwd(
     unroll = 1
     if window is None and sk % block_k == 0:
         nk_total = sk // block_k
-        u_cap = 4 if d <= 96 else 2
+        u_cap = 4 if max(d, dv) <= 96 else 2
         for u in (4, 2):
             if u <= u_cap and nk_total % u == 0:
                 unroll = u
@@ -260,14 +350,93 @@ def _fwd(
     v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=1)
 
     has_segs = q_seg is not None
+    # Packed-segment runs walk the k blocks through a live-block remap
+    # table (scalar prefetch): dead blocks' DMAs are elided entirely, not
+    # just their compute (see _build_remap). Windowed paths keep the
+    # in-kernel skip (window visibility is cheap and rarely combined with
+    # packing).
+    remap = has_segs and window is None
     kb = unroll * block_k
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, dv), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq, dv), q.dtype),
+        # LSE broadcast over 8 sublanes to satisfy TPU tiling
+        jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, dv + 1), jnp.float32),  # acc (+denominator)
+        pltpu.VMEM((block_q, 128), jnp.float32),     # running max
+    ]
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, has_segs=has_segs,
+        kv_pad=kv_pad, window=window, q_pos=q_pos, unroll=unroll,
+        remap=remap,
+    )
+    if remap:
+        qmin, qmax = _block_seg_minmax(q_seg[:, :, 0], block_q)
+        kmin, kmax = _block_seg_minmax(kv_seg[:, 0, :], kb)
+        cv = None
+        if causal:
+            cv = (
+                q_pos
+                + (jnp.arange(sq // block_q)[:, None] + 1) * block_q
+                > jnp.arange(sk // kb)[None, :] * kb
+            )
+        kmap, nvis = _build_remap(qmin, qmax, kmin, kmax, cv)
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, iq, ik, km, nv: (b, h, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, kb, d),
+                lambda b, h, iq, ik, km, nv: (b, h // group, km[b, iq, ik], 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, kb, dv + 1),
+                lambda b, h, iq, ik, km, nv: (b, h // group, km[b, iq, ik], 0),
+            ),
+            pl.BlockSpec(
+                (1, block_q, 128), lambda b, h, iq, ik, km, nv: (b, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 8, kb), lambda b, h, iq, ik, km, nv: (b, 0, km[b, iq, ik])
+            ),
+        ]
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[  # out index maps also get the scalar refs
+                    pl.BlockSpec(
+                        (1, 1, block_q, dv),
+                        lambda b, h, iq, ik, km, nv: (b, h, iq, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 8, block_q),
+                        lambda b, h, iq, ik, km, nv: (b, h, 0, iq),
+                    ),
+                ],
+                scratch_shapes=scratch_shapes,
+            ),
+            compiler_params=_main_params(max(d, dv)),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(kmap, nvis, q, k, v, q_seg, kv_seg)
+        return out, lse
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
         pl.BlockSpec(
             (1, 1, kb, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
         pl.BlockSpec(
-            (1, 1, kb, d + 1), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            (1, 1, kb, dv + 1), lambda b, h, iq, ik: (b, h // group, ik, 0)
         ),
     ]
     args = [q, k, v]
@@ -278,29 +447,14 @@ def _fwd(
         ]
         args += [q_seg, kv_seg]
 
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, has_segs=has_segs,
-        kv_pad=kv_pad, window=window, q_pos=q_pos, unroll=unroll,
-    )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        compiler_params=_main_params(d),
+        compiler_params=_main_params(max(d, dv)),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
-            # LSE broadcast over 8 sublanes to satisfy TPU tiling
-            jax.ShapeDtypeStruct((b, h, 8, sq), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d + 1), jnp.float32),   # acc (+denominator)
-            pltpu.VMEM((block_q, 128), jnp.float32),     # running max
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
     return out, lse
@@ -315,8 +469,12 @@ def _bwd_dq_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
     kv_pad: int = 0, window=None, q_pos: int = 0, unroll: int = 1,
+    remap: bool = False,
 ):
-    if has_segs:
+    if remap:
+        (kmap_ref, nvis_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         qseg_ref, kseg_ref, dq_ref, dq_acc) = refs
+    elif has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
          dq_ref, dq_acc) = refs
     else:
@@ -324,6 +482,13 @@ def _bwd_dq_kernel(
         qseg_ref = kseg_ref = None
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
+    if remap:
+        # See _fwd_kernel: dead steps refetch a live block, gate on `live`.
+        ib = pl.program_id(0)
+        ik_eff = kmap_ref[ib, iq, ik]
+        live = ik < nvis_ref[ib, iq]
+    else:
+        ik_eff = ik
 
     @pl.when(ik == 0)
     def _init():
@@ -334,12 +499,19 @@ def _bwd_dq_kernel(
         # VPU p/ds math with the next's MXU dots. Fully-masked rows need no
         # guard here: their saved LSE is huge, so p underflows to 0.
         assert window is None
-        step_visible = True
-        if causal:
-            step_visible = _block_visible(
-                iq, ik * unroll, causal=True, block_q=block_q,
-                block_k=block_k, q_pos=q_pos, window=None,
-            )
+        if remap:
+            step_visible = live
+        else:
+            step_visible = True
+            if causal:
+                step_visible = _block_visible(
+                    iq, ik * unroll, causal=True, block_q=block_q,
+                    block_k=block_k, q_pos=q_pos, window=None,
+                )
+            if qseg_ref is not None:
+                step_visible = jnp.logical_and(step_visible, _segs_overlap(
+                    qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+                ))
 
         @pl.when(step_visible)
         def _compute_unrolled():
@@ -365,7 +537,7 @@ def _bwd_dq_kernel(
                     s = _mask_block(
                         s, causal=causal, q_seg=q_seg, k_seg=k_seg,
                         q_offset=q_pos + iq * block_q,
-                        k_offset=(ik * unroll + u) * block_k,
+                        k_offset=(ik_eff * unroll + u) * block_k,
                     )
                 p = jnp.exp2(s - lse)
                 dp = jax.lax.dot_general(
@@ -384,17 +556,24 @@ def _bwd_dq_kernel(
 
         return
 
-    block_visible = True
-    if causal:
-        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
-    if window is not None:
-        in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
-        if not causal:
-            in_window = jnp.logical_and(
-                in_window,
-                ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
-            )
-        block_visible = jnp.logical_and(block_visible, in_window)
+    if remap:
+        block_visible = live
+    else:
+        block_visible = True
+        if causal:
+            block_visible = q_pos + (iq + 1) * block_q > ik * block_k
+        if window is not None:
+            in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
+            if not causal:
+                in_window = jnp.logical_and(
+                    in_window,
+                    ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
+                )
+            block_visible = jnp.logical_and(block_visible, in_window)
+        if qseg_ref is not None:
+            block_visible = jnp.logical_and(block_visible, _segs_overlap(
+                qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+            ))
 
     @pl.when(block_visible)
     def _compute():
@@ -414,7 +593,7 @@ def _bwd_dq_kernel(
             k_seg = kseg_ref[0, 0, :].reshape(1, block_k)
         s = _mask_block(
             s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-            q_offset=q_pos + iq * block_q, k_offset=ik * block_k,
+            q_offset=q_pos + iq * block_q, k_offset=ik_eff * block_k,
             window=window,
         )
         p = jnp.exp2(s - lse)
@@ -435,11 +614,14 @@ def _bwd_dkv_kernel(
     *refs,
     scale: float, causal: bool, block_q: int, block_k: int, has_segs: bool,
     kv_pad: int = 0, window=None, q_pos: int = 0, nq_blocks: int = 1,
-    unroll: int = 1,
+    unroll: int = 1, remap: bool = False,
 ):
     # Innermost grid dim enumerates (q_head_in_group, q_block) pairs so a
     # single (kv_head, k_block) accumulator sums over the whole GQA group.
-    if has_segs:
+    if remap:
+        (qmap_ref, nqv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         qseg_ref, kseg_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    elif has_segs:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
     else:
@@ -449,6 +631,12 @@ def _bwd_dkv_kernel(
     ik, j = pl.program_id(2), pl.program_id(3)
     iq = j % nq_blocks
     nq = pl.num_programs(3)
+    if remap:
+        # The streamed q block is qmap[b, ik, j % nq_blocks]; dead steps
+        # refetch a live block (DMA elided), gate compute on `live`.
+        ib = pl.program_id(0)
+        iq = qmap_ref[ib, ik, iq]
+        live = (j % nq_blocks) < nqv_ref[ib, ik]
 
     @pl.when(j == 0)
     def _init():
@@ -461,12 +649,19 @@ def _bwd_dkv_kernel(
         # Causal visibility GROWS with the q index, so the step is dead only
         # if its LAST q sub-block is above the diagonal.
         assert window is None
-        step_visible = True
-        if causal:
-            step_visible = _block_visible(
-                j * unroll + unroll - 1, ik, causal=True, block_q=block_q,
-                block_k=block_k, q_pos=q_pos, window=None,
-            )
+        if remap:
+            step_visible = live
+        else:
+            step_visible = True
+            if causal:
+                step_visible = _block_visible(
+                    j * unroll + unroll - 1, ik, causal=True, block_q=block_q,
+                    block_k=block_k, q_pos=q_pos, window=None,
+                )
+            if qseg_ref is not None:
+                step_visible = jnp.logical_and(step_visible, _segs_overlap(
+                    qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+                ))
 
         @pl.when(step_visible)
         def _compute_unrolled():
@@ -496,7 +691,9 @@ def _bwd_dkv_kernel(
                 if causal or q_seg is not None:
                     s = _mask_block(
                         s, causal=causal, q_seg=q_seg, k_seg=k_seg,
-                        q_offset=q_pos + (j * unroll + u) * block_q,
+                        # iq == j in this branch (group == 1) unless
+                        # remapped, in which case it is the actual q block
+                        q_offset=q_pos + (iq * unroll + u) * block_q,
                         k_offset=ik * block_k,
                     )
                 p = jnp.exp2(s - lse)
@@ -523,17 +720,24 @@ def _bwd_dkv_kernel(
 
         return
 
-    block_visible = True
-    if causal:
-        block_visible = q_pos + (iq + 1) * block_q > ik * block_k
-    if window is not None:
-        in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
-        if not causal:
-            in_window = jnp.logical_and(
-                in_window,
-                ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
-            )
-        block_visible = jnp.logical_and(block_visible, in_window)
+    if remap:
+        block_visible = live
+    else:
+        block_visible = True
+        if causal:
+            block_visible = q_pos + (iq + 1) * block_q > ik * block_k
+        if window is not None:
+            in_window = (ik + 1) * block_k > q_pos + iq * block_q - window + 1
+            if not causal:
+                in_window = jnp.logical_and(
+                    in_window,
+                    ik * block_k < q_pos + (iq + 1) * block_q + window - 1,
+                )
+            block_visible = jnp.logical_and(block_visible, in_window)
+        if qseg_ref is not None:
+            block_visible = jnp.logical_and(block_visible, _segs_overlap(
+                qseg_ref[0, :, 0], kseg_ref[0, 0, :]
+            ))
 
     @pl.when(block_visible)
     def _compute():
@@ -582,6 +786,7 @@ def _bwd(
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    dvd = v.shape[-1]  # v/do/o head dim; MLA runs d_v < d_qk
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
@@ -592,48 +797,119 @@ def _bwd(
     def _pick_unroll(total_blocks, enabled=True):
         if window is not None or not enabled:
             return 1
-        u_cap = 4 if d <= 96 else 2
+        u_cap = 4 if max(d, dvd) <= 96 else 2
         for u in (4, 2):
             if u <= u_cap and total_blocks % u == 0:
                 return u
         return 1
 
+    # Packed-segment runs stream blocks through live-block remap tables
+    # (scalar prefetch) so dead blocks' DMAs are elided — see _build_remap.
+    remap = has_segs and window is None
     u_dq = _pick_unroll(sk // block_k if sk % block_k == 0 else 1)
     kbq = u_dq * block_k
-    common_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # q
-        pl.BlockSpec(
-            (1, 1, kbq, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
-        ),  # k
-        pl.BlockSpec(
-            (1, 1, kbq, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
-        ),  # v
-        pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
-        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # lse
-        pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # delta
-    ]
-    seg_specs = [
-        pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
-        pl.BlockSpec((1, 8, kbq), lambda b, h, iq, ik: (b, 0, ik)),
-    ] if has_segs else []
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, has_segs=has_segs,
+        window=window, q_pos=q_pos, unroll=u_dq, remap=remap,
+    )
+    dq_grid = (b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, u_dq * block_k))
+    dq_out_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)
+    )
+    dq_scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
     args = [q, k, v, do, lse, delta]
     if has_segs:
         args += [q_seg, kv_seg]
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window, q_pos=q_pos, unroll=u_dq,
-        ),
-        grid=(b, h, pl.cdiv(sq, block_q), pl.cdiv(sk, u_dq * block_k)),
-        compiler_params=_main_params(d),
-        in_specs=common_specs + seg_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        interpret=interpret,
-    )(*args)
+    if remap:
+        q_ids = q_seg[:, :, 0]
+        kv_ids = kv_seg[:, 0, :]
+        qmin, qmax = _block_seg_minmax(q_ids, block_q)
+        kmin, kmax = _block_seg_minmax(kv_ids, kbq)
+        cv = None
+        if causal:
+            cv = (
+                q_pos
+                + (jnp.arange(sq // block_q)[:, None] + 1) * block_q
+                > jnp.arange(sk // kbq)[None, :] * kbq
+            )
+        kmap, nvis = _build_remap(qmin, qmax, kmin, kmax, cv)
+        dq_specs = [
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda b, h, iq, ik, km, nv: (b, h, iq, 0),
+            ),  # q
+            pl.BlockSpec(
+                (1, 1, kbq, d),
+                lambda b, h, iq, ik, km, nv: (b, h // group, km[b, iq, ik], 0),
+            ),  # k
+            pl.BlockSpec(
+                (1, 1, kbq, dvd),
+                lambda b, h, iq, ik, km, nv: (b, h // group, km[b, iq, ik], 0),
+            ),  # v
+            pl.BlockSpec(
+                (1, 1, block_q, dvd),
+                lambda b, h, iq, ik, km, nv: (b, h, iq, 0),
+            ),  # do
+            pl.BlockSpec(
+                (1, 1, 8, block_q),
+                lambda b, h, iq, ik, km, nv: (b, h, 0, iq),
+            ),  # lse
+            pl.BlockSpec(
+                (1, 1, 8, block_q),
+                lambda b, h, iq, ik, km, nv: (b, h, 0, iq),
+            ),  # delta
+            pl.BlockSpec(
+                (1, block_q, 128), lambda b, h, iq, ik, km, nv: (b, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 8, kbq), lambda b, h, iq, ik, km, nv: (b, 0, km[b, iq, ik])
+            ),
+        ]
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=dq_grid,
+                in_specs=dq_specs,
+                out_specs=pl.BlockSpec(
+                    (1, 1, block_q, d),
+                    lambda b, h, iq, ik, km, nv: (b, h, iq, 0),
+                ),
+                scratch_shapes=dq_scratch,
+            ),
+            compiler_params=_main_params(max(d, dvd)),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            interpret=interpret,
+        )(kmap, nvis, *args)
+    else:
+        common_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, iq, ik: (b, h, iq, 0)),  # q
+            pl.BlockSpec(
+                (1, 1, kbq, d), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            ),  # k
+            pl.BlockSpec(
+                (1, 1, kbq, dvd), lambda b, h, iq, ik: (b, h // group, ik, 0)
+            ),  # v
+            pl.BlockSpec((1, 1, block_q, dvd), lambda b, h, iq, ik: (b, h, iq, 0)),  # do
+            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # lse
+            pl.BlockSpec((1, 1, 8, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),  # delta
+        ]
+        seg_specs = [
+            pl.BlockSpec((1, block_q, 128), lambda b, h, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 8, kbq), lambda b, h, iq, ik: (b, 0, ik)),
+        ] if has_segs else []
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=dq_grid,
+            compiler_params=_main_params(max(d, dvd)),
+            in_specs=common_specs + seg_specs,
+            out_specs=dq_out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=dq_scratch,
+            interpret=interpret,
+        )(*args)
 
     # For the dk/dv pass the grid walks the kv heads on dim 1 and
     # (q_head_in_group, q_block) pairs innermost; the index maps receive
@@ -650,15 +926,114 @@ def _bwd(
     def _qh(hk, j):
         return hk * group + j // nq_blocks
 
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, has_segs=has_segs,
+        window=window, q_pos=q_pos, nq_blocks=nq_blocks,
+        unroll=u_kv, remap=remap,
+    )
+    dkv_grid = (b, h // group, pl.cdiv(sk, block_k), group * nq_blocks)
+    dkv_out_specs = [
+        pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, dvd), lambda b, h, ik, iq: (b, h, ik, 0)),
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((block_k, d), jnp.float32),
+        pltpu.VMEM((block_k, dvd), jnp.float32),
+    ]
+    if remap:
+        # Anchor on k blocks, stream q superblocks (qb = u_kv * block_q).
+        # Dead q blocks repeat their predecessor's index, eliding the
+        # q/do/lse/delta fetches; the head term of the index map changes
+        # only at GQA-group boundaries so elision holds within each group
+        # chunk of the innermost grid dim.
+        kmin_a, kmax_a = _block_seg_minmax(kv_ids, block_k)
+        qmin_s, qmax_s = _block_seg_minmax(q_ids, qb)
+        cv2 = None
+        if causal:
+            cv2 = (
+                q_pos + (jnp.arange(nq_blocks)[None, :] + 1) * qb
+                > jnp.arange(sk // block_k)[:, None] * block_k
+            )
+        qmap, nqv = _build_remap(kmin_a, kmax_a, qmin_s, qmax_s, cv2)
+        dkv_specs = [
+            pl.BlockSpec(
+                (1, 1, qb, d),
+                lambda b, hk, ik, j, qm, nv: (
+                    b, _qh(hk, j), qm[b, ik, j % nq_blocks], 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda b, hk, ik, j, qm, nv: (b, hk, ik, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, dvd),
+                lambda b, hk, ik, j, qm, nv: (b, hk, ik, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, qb, dvd),
+                lambda b, hk, ik, j, qm, nv: (
+                    b, _qh(hk, j), qm[b, ik, j % nq_blocks], 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, qb),
+                lambda b, hk, ik, j, qm, nv: (
+                    b, _qh(hk, j), 0, qm[b, ik, j % nq_blocks]
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, qb),
+                lambda b, hk, ik, j, qm, nv: (
+                    b, _qh(hk, j), 0, qm[b, ik, j % nq_blocks]
+                ),
+            ),
+            pl.BlockSpec(
+                (1, qb, 128),
+                lambda b, hk, ik, j, qm, nv: (b, qm[b, ik, j % nq_blocks], 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, block_k), lambda b, hk, ik, j, qm, nv: (b, 0, ik)
+            ),
+        ]
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=dkv_grid,
+                in_specs=dkv_specs,
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, 1, block_k, d),
+                        lambda b, h, ik, iq, qm, nv: (b, h, ik, 0),
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, block_k, dvd),
+                        lambda b, h, ik, iq, qm, nv: (b, h, ik, 0),
+                    ),
+                ],
+                scratch_shapes=dkv_scratch,
+            ),
+            compiler_params=_main_params(max(d, dvd)),
+            out_shape=dkv_out_shape,
+            interpret=interpret,
+        )(qmap, nqv, *args)
+        return dq, dk, dv
+
     dkv_specs = [
         pl.BlockSpec(
             (1, 1, qb, d),
             lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
         ),
         pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, hk, ik, j: (b, hk, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, dvd), lambda b, hk, ik, j: (b, hk, ik, 0)),
         pl.BlockSpec(
-            (1, 1, qb, d),
+            (1, 1, qb, dvd),
             lambda b, hk, ik, j: (b, _qh(hk, j), j % nq_blocks, 0),
         ),
         pl.BlockSpec(
@@ -678,27 +1053,13 @@ def _bwd(
     ] if has_segs else []
 
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, has_segs=has_segs,
-            window=window, q_pos=q_pos, nq_blocks=nq_blocks,
-            unroll=u_kv,
-        ),
-        grid=(b, h // group, pl.cdiv(sk, block_k), group * nq_blocks),
-        compiler_params=_main_params(d),
+        dkv_kernel,
+        grid=dkv_grid,
+        compiler_params=_main_params(max(d, dvd)),
         in_specs=dkv_specs + dkv_seg_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ik, iq: (b, h, ik, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
+        out_specs=dkv_out_specs,
+        out_shape=dkv_out_shape,
+        scratch_shapes=dkv_scratch,
         interpret=interpret,
     )(*args)
     return dq, dk, dv
@@ -1540,6 +1901,10 @@ def flash_attention(
     """
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
+    dv = v.shape[-1]  # may differ from d: MLA runs d_qk=192, d_v=128 —
+    # the kernels carry separate q/k and v/o lane widths, so callers skip
+    # the v pad-to-d_qk (and its 1.5x pV FLOPs) the reference's CUDA
+    # flash-attn forces (xtuner/v1/module/attention/mla.py:281-351).
     assert hq % hkv == 0, f"GQA heads {hq} not divisible by kv heads {hkv}"
     group = hq // hkv  # kernel index maps share each KV block across a group
     scale = softmax_scale if softmax_scale is not None else d ** -0.5
@@ -1547,7 +1912,7 @@ def flash_attention(
     # Short sequences take the zero-copy single-pass path (see the
     # small-S section above): no pad, no transpose, exact softmax.
     if (q_segment_ids is None and kv_segment_ids is None and not causal
-            and window is None and group == 1
+            and window is None and group == 1 and d == dv
             and 0 < sq <= _SMALL_S_MAX and 0 < sk <= _SMALL_S_MAX
             and _ss_fits(sq, sk, hq * d, jnp.dtype(q.dtype).itemsize)):
         out = _small_s_attention(
@@ -1567,19 +1932,23 @@ def flash_attention(
             and sq == sk and 1024 < sq <= 2048 and sq % 512 == 0
             and block_q == 1024 and block_k == 1024):
         # Measured at the MLA prefill shape (B=8 S=2048 H=20 d=192):
-        # 2048x512 blocks run 5.11 ms vs 6.13 at the 1024^2 default —
-        # one whole-column q block kills cross-block revisits and 512-wide
-        # k blocks tighten the causal skip granularity. Only kicks in at
-        # small causal shapes where the 1024^2 grid has <=2 q blocks.
-        block_q, block_k = sq, 512
-    block_q_eff, block_k_eff = _pick_blocks(sq, sk, block_q, block_k)
+        # 512-wide k blocks tighten the whole-step causal skip granularity
+        # vs the 1024^2 default (6.13 -> 5.7 ms in the r4 sweep). NOTE the
+        # r4 sweep's 2048x512 "5.11 ms" did NOT survive re-measurement once
+        # it actually shipped (_pick_blocks had been silently clamping
+        # block_q to 1024): same-session on-chip, 2048x512 ran 7.10 vs
+        # 1024x512's 6.37 ms (dv=192) and 5.87 vs 5.29 (dv=128) — so the
+        # deliberate choice is 1024x512.
+        block_q_eff, block_k_eff = min(sq, 1024), 512
+    else:
+        block_q_eff, block_k_eff = _pick_blocks(sq, sk, block_q, block_k)
     sq_p = _round_up(sq, block_q_eff)
     sk_p = _round_up(sk, block_k_eff)
     needs_pad = (sq_p != sq) or (sk_p != sk)
     # Small ragged tails (CLS-token shapes like 4097) skip block padding
     # entirely: Pallas on the aligned main region + XLA tails + LSE merge.
     if (needs_pad and q_segment_ids is None and not causal
-            and window is None and group == 1
+            and window is None and group == 1 and d == dv
             and sq >= block_q_eff and sk >= block_k_eff
             and sq % block_q_eff <= _RAGGED_TAIL_MAX
             and sk % block_k_eff <= _RAGGED_TAIL_MAX):

@@ -82,7 +82,9 @@ def _blockwise_attention_lse(
         q_seg = jnp.zeros((b, sq), jnp.int32)
 
     kb = k.reshape(b, n_blocks, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
-    vb = v.reshape(b, n_blocks, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(
+        b, n_blocks, block_k, hkv, v.shape[-1]  # d_v may differ (MLA)
+    ).transpose(1, 0, 2, 3, 4)
     sb = (
         kv_seg.reshape(b, n_blocks, block_k).transpose(1, 0, 2)
         if kv_seg is not None else None
@@ -126,7 +128,7 @@ def _blockwise_attention_lse(
         acc = acc * jnp.transpose(alpha, (0, 2, 1))[..., None] + pv
         return (acc, m_new, l_new), None
 
-    acc0 = jnp.zeros((b, sq, hq, d), jnp.float32)
+    acc0 = jnp.zeros((b, sq, hq, v.shape[-1]), jnp.float32)
     m0 = jnp.full((b, hq, sq), -jnp.inf)
     l0 = jnp.zeros((b, hq, sq))
     starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_k
@@ -207,7 +209,8 @@ def ring_attention(
                     case,
                     [
                         lambda kc, vc, sc: (
-                            jnp.zeros((b, sq, h, d), q.dtype),
+                            # out rides at d_v (may differ from d: MLA)
+                            jnp.zeros((b, sq, h, v.shape[-1]), q.dtype),
                             jnp.full((b, h, sq), -jnp.inf),
                         ),
                         lambda kc, vc, sc: partial_attn(kc, vc, sc, True),
@@ -241,7 +244,7 @@ def ring_attention(
             )
             return (k_nxt, v_nxt, kseg_nxt, acc, m_new, l_new), None
 
-        acc0 = jnp.zeros((b, sq, h, d), jnp.float32)
+        acc0 = jnp.zeros((b, sq, h, v.shape[-1]), jnp.float32)
         m0 = jnp.full((b, h, sq), -jnp.inf)
         l0 = jnp.zeros((b, h, sq))
         carry0 = (k, v, kv_seg if has_segs else None, acc0, m0, l0)

@@ -506,3 +506,149 @@ def test_fused_qkv_large_matches_unfused():
             np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
             err_msg=name,
         )
+
+
+def test_packed_segment_block_skipping_parity():
+    """Segment-aware block skipping: packed segments spanning many blocks
+    (block 64/128 at S=512) make whole (q-block, k-block) pairs dead —
+    they must be SKIPPED (zero contribution), not just masked. Parity of
+    fwd and grads vs the XLA reference, causal and dense, incl. unrolled
+    (dividing) and non-dividing block counts."""
+    import numpy as np
+
+    from internvideo_tpu.ops.attention_xla import xla_attention
+    from internvideo_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 2, 512, 2, 32
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d), jnp.float32)
+    # four segments of irregular lengths — many fully-dead block pairs at
+    # block 64, partially-dead at 128
+    lens = [130, 100, 200, 82]
+    seg = jnp.asarray(np.repeat(np.arange(4), lens)[None].repeat(b, 0)
+                      .astype(np.int32))
+
+    for causal in (False, True):
+        ref = xla_attention(q, k, v, causal=causal, q_segment_ids=seg,
+                            kv_segment_ids=seg)
+        for bq, bk in ((64, 64), (128, 128), (128, 64)):
+            out = flash_attention(
+                q, k, v, causal=causal, q_segment_ids=seg,
+                kv_segment_ids=seg, block_q=bq, block_k=bk,
+                interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+                err_msg=f"causal={causal} blocks={bq}x{bk}",
+            )
+
+    # gradients through the skip predicates
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+            block_q=64, block_k=64, interpret=True,
+        )))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(
+            q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+        )))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_f, g_r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_narrow_v_head_dim(causal):
+    """d_v < d_qk (the MLA layout: q/k at 192, v/o at 128): the kernels
+    carry separate q/k and v/o lane widths so MLA skips the v pad the
+    reference's CUDA flash-attn forces. fwd + grads vs XLA, GQA + padded
+    S included."""
+    b, sq, h, d, dv = 2, 200, 4, 64, 32
+    kq, kk, kv = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(kq, (b, sq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, sq, 2, d), jnp.float32)  # GQA group=2
+    v = jax.random.normal(kv, (b, sq, 2, dv), jnp.float32)
+
+    ref = xla_attention(q, k, v, causal=causal)
+    out = _flash(q, k, v, causal=causal)
+    assert out.shape == (b, sq, h, dv)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(_flash(q, k, v, causal=causal)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v, causal=causal)))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_f, g_r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_segment_remap_dma_elision_parity():
+    """The packed-segment live-block remap (scalar-prefetch index maps;
+    dead blocks repeat their predecessor's index so their DMAs are elided)
+    must be numerically invisible. Exercises the cases the remap tables
+    can get wrong: GQA groups (shared-KV index maps compose with the
+    remap), q pad rows (-1) vs kv pad rows (-2), a q block with ZERO live
+    k blocks (n_live == 0 -> no compute, zero output), S not a block
+    multiple (dispatch adds its own pads), and cross-length sq != sk."""
+    b, s, hq, hkv, d, dv = 2, 640, 4, 2, 64, 32
+    kq, kk, kv = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(kq, (b, s, hq, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, hkv, dv), jnp.float32)
+    # segments 0/1/2 + a 150-row q pad tail on row 1: at block 128 the
+    # pad-tail q blocks see no live k block at all (ids -1 vs {0,1,2,-2})
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 200:] = 1
+    seg[:, 460:] = 2
+    seg[1, -150:] = -1
+    qseg = jnp.asarray(seg)
+    kvseg = jnp.where(qseg < 0, -2, qseg)
+
+    # pad q rows are compared only for the kernel's exact-zero convention
+    # (the XLA reference leaves fully-masked rows at an arbitrary softmax)
+    real = jnp.asarray((seg >= 0)[:, :, None, None].astype(np.float32))
+
+    for causal in (False, True):
+        ref = xla_attention(q, k, v, causal=causal, q_segment_ids=qseg,
+                            kv_segment_ids=kvseg)
+        out = _flash(q, k, v, causal=causal, q_segment_ids=qseg,
+                     kv_segment_ids=kvseg)
+        np.testing.assert_allclose(
+            np.asarray(out * real), np.asarray(ref * real),
+            atol=2e-5, rtol=2e-5, err_msg=f"causal={causal}",
+        )
+        # the all-dead q pad rows must be exactly zero
+        np.testing.assert_array_equal(np.asarray(out[1, -150:]), 0.0)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(real * _flash(
+            q, k, v, causal=True, q_segment_ids=qseg, kv_segment_ids=kvseg,
+        )))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(real * xla_attention(
+            q, k, v, causal=True, q_segment_ids=qseg, kv_segment_ids=kvseg,
+        )))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_f, g_r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )
