@@ -137,7 +137,7 @@ class Attention(nn.Module):
     quant: Optional[str] = None  # "int8" = Int8Dense serving projections
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
         b, s, d = x.shape
         head_dim = d // self.num_heads
         # Flat (D, 3D) projection with lane-aligned [..., i*D:(i+1)*D] slices:
@@ -217,7 +217,6 @@ class Block(nn.Module):
             name="attn",
         )(
             _make_norm(self.norm_type, self.dtype, "norm1", self.norm_eps)(x),
-            deterministic,
         )
         # named for selective-remat policies (save_only_these_names):
         # saving the attention output skips the whole attention fwd in the

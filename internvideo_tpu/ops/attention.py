@@ -60,15 +60,18 @@ def fused_qkv_attention_or_none(
     eps: float = 1e-6,
     softmax_scale: Optional[float] = None,
     impl: str = "auto",
-    allow_large: bool = True,
+    allow_large: bool = False,
 ) -> Optional[jax.Array]:
     """Fused qkv+QK-RMSNorm+attention when a fused Pallas path applies.
 
     Returns (B, S, W) or None when the caller must run the unfused path
     (non-TPU backend, Ulysses sequence sharding active, or shapes outside
     the fused envelopes). Model code calls this first and falls back.
-    `allow_large=False` keeps training off the blocked-K large-S variant,
-    whose VJP recomputes the unfused composition (see nn/transformer.py).
+    `allow_large=True` opts in to the blocked-K large-S variant, which is
+    correct but MEASURED SLOWER than the unfused chain at the dense
+    encoder shape (18.46 vs 13.96 ms/layer at S=4097 — PERF.md "Fused qkv
+    at dense S"), and whose VJP recomputes the unfused composition; it is
+    off by default and no production caller enables it.
     """
     if getattr(_TLS, "ulysses", None) is not None:
         return None
@@ -81,19 +84,26 @@ def fused_qkv_attention_or_none(
     if w % num_heads != 0:
         return None
     d = w // num_heads
-    # Only the small-S fused variant routes automatically. The blocked-K
-    # large-S variant (fused_qkv_large_eligible / _fused_qkv_large) is
-    # correct but MEASURED SLOWER than the unfused chain at the dense
-    # encoder shape (18.46 vs 13.96 ms/layer at S=4097 — PERF.md "Fused
-    # qkv at dense S"), so callers must opt in explicitly.
+    # Only the small-S fused variant routes automatically; the blocked-K
+    # large-S variant requires the explicit allow_large opt-in (see
+    # docstring — measured slower than the unfused chain at dense S).
     itemsize = jnp.dtype(qkv.dtype).itemsize
-    if not fused_qkv_eligible(s, num_heads, d, itemsize):
-        return None
-    del allow_large
-    return fused_qkv_rmsnorm_attention(
-        qkv, q_weight, k_weight,
-        num_heads=num_heads, eps=eps, softmax_scale=softmax_scale,
-    )
+    if fused_qkv_eligible(s, num_heads, d, itemsize):
+        return fused_qkv_rmsnorm_attention(
+            qkv, q_weight, k_weight,
+            num_heads=num_heads, eps=eps, softmax_scale=softmax_scale,
+        )
+    if allow_large and fused_qkv_large_eligible(s, num_heads, d, itemsize):
+        from internvideo_tpu.ops.flash_attention import _fused_qkv_large
+
+        scale = (
+            softmax_scale if softmax_scale is not None else d ** -0.5
+        )
+        return _fused_qkv_large(
+            qkv, q_weight.astype(jnp.float32),
+            k_weight.astype(jnp.float32), num_heads, d, scale, eps, False,
+        )
+    return None
 
 
 def dot_product_attention(

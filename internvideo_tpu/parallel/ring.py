@@ -184,6 +184,10 @@ def ring_attention(
     b, _s_local, h, d = q.shape
     if kv_segment_ids is None and has_segs:
         kv_segment_ids = q_segment_ids
+    if q_segment_ids is None and has_segs:
+        # mirror the fallback _blockwise_attention_lse applies (all-zero q
+        # ids): shard_map needs a real array, not None
+        q_segment_ids = jnp.zeros(kv_segment_ids.shape, jnp.int32)
 
     def local(q, k, v, q_seg, kv_seg):
         my = jax.lax.axis_index(axis)

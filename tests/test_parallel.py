@@ -314,6 +314,18 @@ def test_ring_attention_packed_segments():
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
             err_msg=f"causal={causal}",
         )
+    # kv-only segment ids (q defaults to all-zero): must not crash and must
+    # match the explicit all-zero-q-seg call (advisor r4 asymmetric-None fix)
+    zq = jnp.zeros_like(seg)
+    ref_kv = xla_attention(q, k, v, q_segment_ids=zq, kv_segment_ids=seg)
+    out_kv = jax.jit(
+        lambda q, k, v, sg: ring_attention(
+            q, k, v, mesh=mesh, axis="seq", kv_segment_ids=sg, block_k=8,
+        )
+    )(jax.device_put(q, sh), jax.device_put(k, sh),
+      jax.device_put(v, sh), jax.device_put(seg, sh_seg))
+    np.testing.assert_allclose(
+        np.asarray(out_kv), np.asarray(ref_kv), atol=2e-5, rtol=2e-5)
 
 
 def test_ring_attention_gqa_blockwise():
