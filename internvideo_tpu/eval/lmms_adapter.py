@@ -79,6 +79,9 @@ class InternVideoTPULmms(_LmmsBase):
         self,
         pretrained: str = "",
         generate_fn: Optional[Callable[[str, Optional[str]], str]] = None,
+        loglikelihood_fn: Optional[
+            Callable[[str, str, Optional[str]], tuple]
+        ] = None,
         max_num_frames: int = 1024,
         fps: int = 4,
         batch_size: int = 1,
@@ -88,6 +91,12 @@ class InternVideoTPULmms(_LmmsBase):
         if generate_fn is None:
             generate_fn = self._build_backend(pretrained, **kwargs)
         self.generate_fn = generate_fn
+        # real continuation scorer: (context, continuation, video) ->
+        # (loglikelihood, is_greedy). from_mllm attaches one; without it
+        # loglikelihood falls back to a generate-and-match heuristic.
+        self.loglikelihood_fn = loglikelihood_fn or getattr(
+            generate_fn, "loglikelihood_fn", None
+        )
         self.max_num_frames = max_num_frames
         self.fps = fps
         self.batch_size_per_gpu = int(batch_size)
@@ -122,15 +131,37 @@ class InternVideoTPULmms(_LmmsBase):
         )
 
     def loglikelihood(self, requests: Sequence[Any]):
-        # MCQ suites in the reference run generation-based scoring; rank
-        # continuations by a cheap generate-and-match signal to satisfy
-        # harness tasks that call loglikelihood.
+        """(ll, is_greedy) per request — MCQ-by-likelihood scoring.
+
+        Request args are (context, continuation[, doc_to_visual, doc_id,
+        task, split]); the long form resolves visuals through task_dict
+        exactly like generate_until. With a real `loglikelihood_fn`
+        backend (from_mllm provides one) the continuation is scored by
+        summed next-token log-probs under the model; without one a
+        generate-and-match heuristic keeps text-only backends usable."""
         res = []
         for req in requests:
             contexts, continuation = req.args[0], req.args[1]
-            pred = self.generate_fn(contexts, None)
-            match = continuation.strip().lower() in pred.strip().lower()
-            res.append((0.0 if match else -1.0, match))
+            video = None
+            if len(req.args) >= 6:
+                _, _, doc_to_visual, doc_id, task, split = req.args[:6]
+                doc = doc_id
+                task_dict = getattr(self, "task_dict", None)
+                if task_dict and task in task_dict:
+                    doc = task_dict[task][split][doc_id]
+                visuals = doc_to_visual(doc) if callable(doc_to_visual) \
+                    else []
+                if visuals:
+                    video = visuals[0] if isinstance(
+                        visuals, (list, tuple)) else visuals
+            if self.loglikelihood_fn is not None:
+                res.append(tuple(
+                    self.loglikelihood_fn(contexts, continuation, video)
+                ))
+            else:
+                pred = self.generate_fn(contexts, video)
+                match = continuation.strip().lower() in pred.strip().lower()
+                res.append((0.0 if match else -1.0, match))
         return res
 
     # -- backend ------------------------------------------------------
@@ -213,6 +244,7 @@ def from_mllm(
     runs the cached-generate path with the pixels attached — the actual
     eval surface the reference's lmms-eval fork wraps
     (InternVideo3_eval scripts)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -257,14 +289,17 @@ def from_mllm(
         )
         return np.concatenate([vis, text], axis=1)[:, None, :]
 
+    def _read_pixels(video: str) -> np.ndarray:
+        clip = read_video(str(video), frames, sample="middle")
+        clip = transforms.center_crop(
+            transforms.resize_short_side(clip, side), side
+        )
+        return transforms.normalize(np.ascontiguousarray(clip))[None]
+
     def generate_fn(prompt: str, video: Optional[str]) -> str:
         text_ids = _tok_ids(prompt)
         if video is not None:
-            clip = read_video(str(video), frames, sample="middle")
-            clip = transforms.center_crop(
-                transforms.resize_short_side(clip, side), side
-            )
-            pixels = transforms.normalize(np.ascontiguousarray(clip))[None]
+            pixels = _read_pixels(video)
             ids = np.concatenate([
                 np.full(n_vis, model.config.video_token_id, np.int64),
                 text_ids,
@@ -285,6 +320,61 @@ def from_mllm(
             )
         return _decode(np.asarray(out[0]))
 
+    def loglikelihood_fn(
+        context: str, continuation: str, video: Optional[str]
+    ) -> tuple:
+        """(loglikelihood, is_greedy) of `continuation` given `context`
+        (+ optional video) — the lm-eval continuation-scoring contract:
+        the pair is tokenized JOINTLY and split at the longest common
+        prefix with the context-only encoding, so the scored continuation
+        ids match the joint encoding (robust to trailing pad/sep framing
+        tokenizers append — a plain length split would misalign them)."""
+        pad = getattr(tokenizer, "pad_token_id", None)
+
+        def _strip(ids):
+            ids = list(np.asarray(ids))
+            while pad is not None and ids and ids[-1] == pad:
+                ids.pop()
+            return np.asarray(ids, np.int64)
+
+        ctx_ids = _strip(_tok_ids(context))
+        whole_ids = _strip(_tok_ids(context + continuation))
+        n_ctx = 0
+        while (
+            n_ctx < min(len(ctx_ids), len(whole_ids) - 1)
+            and ctx_ids[n_ctx] == whole_ids[n_ctx]
+        ):
+            n_ctx += 1
+        if n_ctx >= len(whole_ids):  # empty continuation encoding
+            return (0.0, True)
+        if video is not None:
+            pixels = jnp.asarray(_read_pixels(video))
+            ids = np.concatenate([
+                np.full(n_vis, model.config.video_token_id, np.int64),
+                whole_ids,
+            ])
+            pos = (
+                jnp.asarray(_video_positions(len(whole_ids)))
+                if mrope else None
+            )
+            prefix = n_vis
+        else:
+            pixels, pos, prefix = None, None, 0
+            ids = np.asarray(whole_ids)
+        out = model.apply(
+            params, jnp.asarray(ids[None]), pixels, position_ids=pos
+        )
+        logp = jax.nn.log_softmax(
+            out.logits[0].astype(jnp.float32), axis=-1
+        )
+        start = prefix + n_ctx  # first continuation token index in ids
+        tgt = jnp.asarray(ids[start:])
+        rows = logp[start - 1: len(ids) - 1]  # predictors of each tgt token
+        ll = float(jnp.sum(jnp.take_along_axis(rows, tgt[:, None], 1)))
+        greedy = bool(jnp.all(jnp.argmax(rows, axis=-1) == tgt))
+        return (ll, greedy)
+
+    generate_fn.loglikelihood_fn = loglikelihood_fn
     return generate_fn
 
 

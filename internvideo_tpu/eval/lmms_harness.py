@@ -78,15 +78,22 @@ class Instance:
 
 @dataclasses.dataclass
 class LmmsTask:
-    """A resolved task (what a lmms-eval task YAML becomes at runtime)."""
+    """A resolved task (what a lmms-eval task YAML becomes at runtime).
+
+    output_type follows the lmms-eval task schema: "generate_until" scores
+    free generations; "loglikelihood" (a.k.a. multiple_choice) builds one
+    request per (doc, choice) continuation from `doc_to_choice` and hands
+    process_results the per-choice [(loglikelihood, is_greedy)] list —
+    MCQ-by-likelihood, half of lmms-eval's video benchmarks."""
 
     name: str
     docs: Sequence[dict]
     doc_to_text: Callable[[dict], str]
     doc_to_visual: Callable[[dict], list]
     doc_to_target: Callable[[dict], str]
-    # process_results(doc, [prediction]) -> {metric_name: value}
-    process_results: Callable[[dict, Sequence[str]], dict]
+    # generate_until: process_results(doc, [prediction]) -> {metric: value}
+    # loglikelihood: process_results(doc, [(ll, is_greedy), ...]) -> same
+    process_results: Callable[[dict, Sequence], dict]
     gen_kwargs: dict = dataclasses.field(
         default_factory=lambda: {"max_new_tokens": 16, "temperature": 0.0}
     )
@@ -94,10 +101,81 @@ class LmmsTask:
     version: str = "0.0"
     # metric_name -> aggregation over per-doc values (default: mean)
     aggregation: Optional[dict[str, Callable[[list], float]]] = None
+    output_type: str = "generate_until"  # | "loglikelihood"
+    # loglikelihood tasks: doc -> list of continuation strings (choices)
+    doc_to_choice: Optional[Callable[[dict], Sequence[str]]] = None
 
 
 def _mean(xs: list) -> float:
     return float(sum(xs) / max(len(xs), 1))
+
+
+def _dispatch_generate_until(model: Any, task: "LmmsTask") -> list[list]:
+    """One generate_until Instance per doc; returns [[prediction]] per doc."""
+    instances = [
+        Instance(
+            request_type="generate_until",
+            arguments=(
+                task.doc_to_text(doc),
+                dict(task.gen_kwargs),
+                task.doc_to_visual,
+                i,
+                task.name,
+                task.split,
+            ),
+            idx=i,
+            task=task.name,
+            doc_id=i,
+            split=task.split,
+        )
+        for i, doc in enumerate(task.docs)
+    ]
+    preds = model.generate_until(instances)
+    assert len(preds) == len(instances), (
+        f"model returned {len(preds)} predictions for "
+        f"{len(instances)} requests"
+    )
+    return [[p] for p in preds]
+
+
+def _dispatch_loglikelihood(model: Any, task: "LmmsTask") -> list[list]:
+    """One loglikelihood Instance per (doc, choice); returns the per-doc
+    [(ll, is_greedy), ...] lists — the multiple_choice contract lmms-eval
+    hands process_results (evaluator regroups requests by doc)."""
+    assert task.doc_to_choice is not None, (
+        f"loglikelihood task {task.name!r} needs doc_to_choice"
+    )
+    instances, counts = [], []
+    for i, doc in enumerate(task.docs):
+        ctx = task.doc_to_text(doc)
+        choices = list(task.doc_to_choice(doc))
+        counts.append(len(choices))
+        for j, continuation in enumerate(choices):
+            instances.append(Instance(
+                request_type="loglikelihood",
+                arguments=(
+                    ctx,
+                    continuation,
+                    task.doc_to_visual,
+                    i,
+                    task.name,
+                    task.split,
+                ),
+                idx=len(instances),
+                task=task.name,
+                doc_id=i,
+                split=task.split,
+            ))
+    resps = model.loglikelihood(instances)
+    assert len(resps) == len(instances), (
+        f"model returned {len(resps)} loglikelihoods for "
+        f"{len(instances)} requests"
+    )
+    per_doc, k = [], 0
+    for n in counts:
+        per_doc.append([tuple(r) for r in resps[k:k + n]])
+        k += n
+    return per_doc
 
 
 def evaluate(
@@ -125,44 +203,25 @@ def evaluate(
     model.task_dict = task_dict
 
     for task in task_list:
-        instances = [
-            Instance(
-                request_type="generate_until",
-                arguments=(
-                    task.doc_to_text(doc),
-                    dict(task.gen_kwargs),
-                    task.doc_to_visual,
-                    i,
-                    task.name,
-                    task.split,
-                ),
-                idx=i,
-                task=task.name,
-                doc_id=i,
-                split=task.split,
-            )
-            for i, doc in enumerate(task.docs)
-        ]
-        preds = model.generate_until(instances)
-        assert len(preds) == len(instances), (
-            f"model returned {len(preds)} predictions for "
-            f"{len(instances)} requests"
-        )
+        if task.output_type == "loglikelihood":
+            per_doc = _dispatch_loglikelihood(model, task)
+        else:
+            per_doc = _dispatch_generate_until(model, task)
 
         per_metric: dict[str, list] = {}
         samples = []
-        for inst, pred in zip(instances, preds):
-            doc = task.docs[inst.doc_id]
-            scored = task.process_results(doc, [pred])
+        for doc_id, resps in enumerate(per_doc):
+            doc = task.docs[doc_id]
+            scored = task.process_results(doc, resps)
             for metric, value in scored.items():
                 per_metric.setdefault(metric, []).append(value)
             samples.append({
-                "doc_id": inst.doc_id,
+                "doc_id": doc_id,
                 "doc": {k: v for k, v in doc.items()
                         if isinstance(v, (str, int, float, list, bool))},
                 "target": task.doc_to_target(doc),
-                "resps": [[pred]],
-                "filtered_resps": [pred],
+                "resps": [[r] for r in resps],
+                "filtered_resps": list(resps),
                 **{k: v for k, v in scored.items()},
             })
 
@@ -175,6 +234,7 @@ def evaluate(
         results["configs"][task.name] = {
             "task": task.name,
             "test_split": task.split,
+            "output_type": task.output_type,
             "generation_kwargs": task.gen_kwargs,
         }
         all_samples[task.name] = samples

@@ -102,6 +102,35 @@ def internvideo3_8b(**overrides) -> MLLMConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+def internvideo25_hico_2b(**overrides) -> MLLMConfig:
+    """Long-video serving compose (InternVideo2.5 HiCo recipe on a 2B-class
+    text tower): the InternVideo3-8B vision tower (internvideo3_config.py:
+    19-120) + HiCo-R16 per-frame token compression (InternVideo2.5/
+    README.md:26-28 — 16 tokens per merged frame) + the qwen3_2b_mla text
+    model so the whole pipeline fits one 16 GB v5e for single-chip serving
+    benches. Deepstack taps are disabled under HiCo (2.5 composes InternVL
+    without deepstack; models/mllm.py encode_video). 128 input frames →
+    64 merged frames × 16 tokens = 1024 visual tokens."""
+    text = qwen3_2b_mla()
+    cfg = MLLMConfig(
+        vision=VisionTowerConfig(
+            hidden_size=1152, num_layers=27, num_heads=16,
+            intermediate_size=4304, patch_size=16, temporal_patch_size=2,
+            spatial_merge_size=2, pos_embed_grid=48,
+            deepstack_indexes=(8, 16, 24),
+            text_hidden_size=text.hidden_size,
+            dtype="bfloat16", param_dtype="bfloat16",
+        ),
+        text=text,
+        hico_tokens_per_frame=16,
+        image_token_id=151655,
+        video_token_id=151656,
+        vision_start_token_id=151652,
+        vision_end_token_id=151653,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
 def qwen3_moe_text(**overrides) -> LLMConfig:
     """Qwen3-MoE-class text model (xtuner model/moe/qwen3.py): 48 layers,
     hidden 2048, 128 routed experts top-8, moe_intermediate 768 — attention
