@@ -175,6 +175,22 @@ def dot_product_attention(
             q_position_offset=q_position_offset,
             interpret=impl == "pallas_interpret",
         )
+    if impl == "xla_blockwise":
+        # compiled online-softmax scan (never materializes S×S) with
+        # dead-block skipping — the executable-at-262k CPU path; shares
+        # the ring-attention inner (parallel/ring.py)
+        assert window is None, "xla_blockwise does not support windows"
+        from internvideo_tpu.parallel.ring import _blockwise_attention_lse
+
+        scale = (
+            softmax_scale if softmax_scale is not None
+            else q.shape[-1] ** -0.5
+        )
+        return _blockwise_attention_lse(
+            q, k, v, causal=causal, scale=scale,
+            q_seg=q_segment_ids, kv_seg=kv_segment_ids,
+            q_offset=q_position_offset, block_k=block_k,
+        )[0]
     if impl == "xla":
         if window is not None:
             # emulate the window with position-derived segment... simpler:

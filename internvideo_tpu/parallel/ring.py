@@ -91,7 +91,25 @@ def _blockwise_attention_lse(
     )
     qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, block_k), 0)
 
-    def body(carry, blk):
+    # Dead-block skipping (the compiled-XLA analog of the Pallas kernels'
+    # packed-segment block skipping, PERF.md): a KV block whose causal
+    # range sits entirely in the future, or whose segment-id RANGE is
+    # disjoint from the whole q range (packed ids are monotonic, so range
+    # intersection is exact at block granularity and conservative for
+    # arbitrary ids), contributes nothing — a lax.cond returns the carry
+    # untouched, so XLA:CPU/TPU skips its two matmuls entirely. This is
+    # what makes the 262k packed step executable on the CPU mesh.
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_k
+    dead = jnp.zeros((n_blocks,), bool)
+    if causal:
+        dead = dead | (starts > q_offset + sq - 1)
+    if sb is not None and q_seg is not None:
+        k_min = jnp.min(sb, axis=(1, 2))
+        k_max = jnp.max(sb, axis=(1, 2))
+        q_min, q_max = jnp.min(q_seg), jnp.max(q_seg)
+        dead = dead | (k_max < q_min) | (k_min > q_max)
+
+    def _live_body(carry, blk):
         acc, m_run, l_run = carry
         kc, vc, seg_c, start = blk
         if group > 1:
@@ -128,18 +146,35 @@ def _blockwise_attention_lse(
         acc = acc * jnp.transpose(alpha, (0, 2, 1))[..., None] + pv
         return (acc, m_new, l_new), None
 
+    def _skip(c, *_):
+        return c, None
+
     acc0 = jnp.zeros((b, sq, hq, v.shape[-1]), jnp.float32)
     m0 = jnp.full((b, hq, sq), -jnp.inf)
     l0 = jnp.zeros((b, hq, sq))
-    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_k
+    # scan-of-checkpoint: without it, autodiff saves every block's (sq,
+    # block_k) probability tensor — the full S×S scores in aggregate (a
+    # 262k forward would stash ~2 TB). Remat keeps only the O(sq) carries
+    # and replays each block's two matmuls in the backward — the same
+    # FLOPs-for-memory trade the Pallas flash backward makes by
+    # recomputing p from the saved LSE.
     if sb is None:
         (acc, m_run, l_run), _ = jax.lax.scan(
-            lambda c, x: body(c, (x[0], x[1], None, x[2])),
-            (acc0, m0, l0), (kb, vb, starts),
+            jax.checkpoint(lambda c, x: jax.lax.cond(
+                x[3], _skip,
+                lambda c, kc, vc, st: _live_body(c, (kc, vc, None, st)),
+                c, x[0], x[1], x[2],
+            )),
+            (acc0, m0, l0), (kb, vb, starts, dead),
         )
     else:
         (acc, m_run, l_run), _ = jax.lax.scan(
-            body, (acc0, m0, l0), (kb, vb, sb, starts)
+            jax.checkpoint(lambda c, x: jax.lax.cond(
+                x[4], _skip,
+                lambda c, *a: _live_body(c, a),
+                c, x[0], x[1], x[2], x[3],
+            )),
+            (acc0, m0, l0), (kb, vb, sb, starts, dead),
         )
     l_safe = jnp.maximum(l_run, 1e-30)
     out = acc / jnp.transpose(l_safe, (0, 2, 1))[..., None]

@@ -55,12 +55,33 @@ def ulysses_attention(
     # active ulysses_context would recurse. xla_attention has no window
     # support; windowed XLA runs the flash kernel in interpret mode (the
     # dispatcher's own convention)
-    use_flash = impl == "pallas" or window is not None
-    attn = flash_attention if use_flash else xla_attention
-    extra = {}
-    if use_flash:
-        extra["interpret"] = interpret or impl != "pallas"
-        extra["window"] = window
+    if impl == "xla_blockwise" and window is None:
+        # compiled blockwise scan with dead-block skipping (ring.py inner):
+        # the CPU-executable inner at 262k-class lengths, where interpret-
+        # mode Pallas takes minutes per pass and plain XLA would
+        # materialize the S×S scores
+        from internvideo_tpu.parallel.ring import _blockwise_attention_lse
+
+        def attn(q, k, v, *, q_segment_ids, kv_segment_ids, causal,
+                 softmax_scale):
+            scale = (
+                softmax_scale if softmax_scale is not None
+                else q.shape[-1] ** -0.5
+            )
+            return _blockwise_attention_lse(
+                q, k, v, causal=causal, scale=scale,
+                q_seg=q_segment_ids, kv_seg=kv_segment_ids,
+            )[0]
+
+        use_flash = False
+        extra = {}
+    else:
+        use_flash = impl == "pallas" or window is not None
+        attn = flash_attention if use_flash else xla_attention
+        extra = {}
+        if use_flash:
+            extra["interpret"] = interpret or impl != "pallas"
+            extra["window"] = window
 
     sp = mesh.shape[axis]
     if sp == 1:

@@ -70,6 +70,16 @@ class RLTrainerConfig:
     eos_token_id: Optional[int] = None
     pad_token_id: int = 0  # pads ragged engine responses to max_new_tokens
     cache_dtype: str = "float32"
+    # PPO minibatching: rows per optimizer update (None = the whole rollout
+    # batch in one update — reference rl_trainer takes the same
+    # global-batch/minibatch split). Must divide the rollout batch and stay
+    # divisible by the data-parallel size under a mesh.
+    minibatch_size: Optional[int] = None
+    # grad accumulation within one update: the minibatch is split into this
+    # many microbatches whose gradients are combined mask-weighted, so the
+    # accumulated update is EXACTLY the unaccumulated one (token-mean loss)
+    # at 1/grad_accum the activation memory.
+    grad_accum: int = 1
 
 
 class ReplayBuffer:
@@ -151,6 +161,10 @@ class RLTrainer:
         self._rollout = jax.jit(self._rollout_fn)
         self._logp = jax.jit(self._logp_fn, static_argnames=("has_video",))
         self._update = jax.jit(self._update_fn)
+        self._grads = jax.jit(self._grads_fn)
+        self._apply = jax.jit(self._apply_fn, donate_argnums=(2,))
+        self._iter = 0  # fit() iteration counter (checkpoint/resume state)
+        self._rng = None  # set by fit(); saved/restored with checkpoints
 
     # ---- compiled pieces -------------------------------------------------
 
@@ -205,33 +219,57 @@ class RLTrainer:
         return token_logprobs(out.logits[:, :-1], full_ids[:, 1:])
 
     def _update_fn(self, params, opt_state, batch, ref_params):
-        has_video = "video" in batch
-        video = batch.get("video")
-
-        def loss_fn(p):
-            logp = self._logp_fn(
-                p, batch["full_ids"], video, has_video=has_video
-            )
-            logp_ref = None
-            if ref_params is not None:
-                logp_ref = jax.lax.stop_gradient(
-                    self._logp_fn(
-                        ref_params, batch["full_ids"], video,
-                        has_video=has_video,
-                    )
-                )
-            return grpo_policy_loss(
-                logp, batch["logp_old"], batch["advantages"],
-                batch["mask"], self.cfg.grpo, logp_ref=logp_ref,
-            )
-
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+            self._loss_of, has_aux=True
+        )(params, batch, ref_params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = dict(metrics, loss=loss)
         return params, opt_state, metrics
+
+    def _loss_of(self, params, batch, ref_params):
+        has_video = "video" in batch
+        video = batch.get("video")
+        logp = self._logp_fn(
+            params, batch["full_ids"], video, has_video=has_video
+        )
+        logp_ref = None
+        if ref_params is not None:
+            logp_ref = jax.lax.stop_gradient(
+                self._logp_fn(
+                    ref_params, batch["full_ids"], video,
+                    has_video=has_video,
+                )
+            )
+        return grpo_policy_loss(
+            logp, batch["logp_old"], batch["advantages"],
+            batch["mask"], self.cfg.grpo, logp_ref=logp_ref,
+        )
+
+    def _grads_fn(self, params, batch, ref_params):
+        """Mask-weighted gradient microstep for exact grad accumulation.
+
+        grpo_policy_loss is token-mean normalized, so the whole-minibatch
+        gradient equals sum_k(denom_k * grad_k) / sum_k(denom_k) over
+        microbatches — this returns the denom-scaled grads + denom so the
+        host loop can combine them exactly."""
+        (loss, metrics), grads = jax.value_and_grad(
+            self._loss_of, has_aux=True
+        )(params, batch, ref_params)
+        # raw token count (not clamped): a zero-mask microbatch contributes
+        # zero weight, keeping the combine identical to the whole batch
+        denom = jnp.sum(batch["mask"])
+        scaled = jax.tree.map(lambda g: g * denom, grads)
+        smetrics = {
+            k: v * denom for k, v in dict(metrics, loss=loss).items()
+        }
+        return scaled, denom, smetrics
+
+    def _apply_fn(self, params, opt_state, grads_scaled, total_denom):
+        total = jnp.maximum(total_denom, 1.0)
+        grads = jax.tree.map(lambda g: g / total, grads_scaled)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
 
     # ---- host orchestration ----------------------------------------------
 
@@ -353,26 +391,126 @@ class RLTrainer:
         return {"reward_mean": float(rewards.mean())}
 
     def train_step(self) -> dict:
-        """ppo_epochs GRPO updates over the drained buffer."""
+        """ppo_epochs GRPO updates over the drained buffer.
+
+        With `minibatch_size` set, each rollout batch is split into
+        minibatches that each take one optimizer update (PPO minibatching,
+        reference rl_trainer global-batch/minibatch split); `grad_accum`
+        further splits each minibatch into microbatches whose gradients
+        combine mask-weighted into an update EXACTLY equal to the
+        unaccumulated one (parity test: tests/test_rl_trainer.py)."""
+        cfg = self.cfg
         batches = self.buffer.drain()
         metrics = {}
-        for _ in range(self.cfg.ppo_epochs):
+        for _ in range(cfg.ppo_epochs):
             for b in batches:
-                jb = {k: self._put_batch(v) for k, v in b.items()}
-                self.params, self.opt_state, m = self._update(
-                    self.params, self.opt_state, jb, self.ref_params
-                )
-                metrics = {k: float(v) for k, v in m.items()}
+                rows = b["full_ids"].shape[0]
+                mb = cfg.minibatch_size or rows
+                if rows % mb:
+                    raise ValueError(
+                        f"minibatch_size {mb} must divide the rollout "
+                        f"batch {rows}"
+                    )
+                for start in range(0, rows, mb):
+                    sub = {k: v[start:start + mb] for k, v in b.items()}
+                    metrics = self._minibatch_update(sub)
         return metrics
 
-    def fit(self, prompt_batches, iterations: int, *, seed: int = 0):
+    def _minibatch_update(self, sub: dict) -> dict:
+        cfg = self.cfg
+        if cfg.grad_accum <= 1:
+            jb = {k: self._put_batch(v) for k, v in sub.items()}
+            self.params, self.opt_state, m = self._update(
+                self.params, self.opt_state, jb, self.ref_params
+            )
+            return {k: float(v) for k, v in m.items()}
+        rows = sub["full_ids"].shape[0]
+        if rows % cfg.grad_accum:
+            raise ValueError(
+                f"grad_accum {cfg.grad_accum} must divide the minibatch "
+                f"{rows}"
+            )
+        micro = rows // cfg.grad_accum
+        acc_grads, total_denom, acc_metrics = None, 0.0, None
+        for start in range(0, rows, micro):
+            jb = {
+                k: self._put_batch(v[start:start + micro])
+                for k, v in sub.items()
+            }
+            grads, denom, sm = self._grads(self.params, jb, self.ref_params)
+            if acc_grads is None:
+                acc_grads, acc_metrics = grads, sm
+            else:
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = {
+                    k: acc_metrics[k] + v for k, v in sm.items()
+                }
+            total_denom = total_denom + denom
+        self.params, self.opt_state = self._apply(
+            self.params, self.opt_state, acc_grads, total_denom
+        )
+        td = float(jnp.maximum(total_denom, 1.0))
+        return {k: float(v) / td for k, v in acc_metrics.items()}
+
+    # ---- checkpoint/resume (reference rl_trainer.py resume machinery) ----
+
+    def _ckpt_state(self):
+        rng = self._rng if self._rng is not None else jax.random.key(0)
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "iter": jnp.asarray(self._iter, jnp.int32),
+            "rng": jax.random.key_data(rng),
+        }
+
+    def save_checkpoint(self, directory: str):
+        """Orbax-save the full RL state (params, opt_state, iteration,
+        sampling rng) so a killed run resumes mid-schedule."""
+        from internvideo_tpu.core.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(directory, async_save=False)
+        mngr.save(self._iter, self._ckpt_state(), force=True)
+        mngr.wait()
+        mngr.close()
+
+    def restore_checkpoint(self, directory: str) -> bool:
+        """Restore the latest checkpoint in `directory`; returns True if
+        one was found. ref_params (the frozen KL reference) is NOT part of
+        the state — it is the pre-training policy, reconstructed by the
+        caller the same way on every run."""
+        from internvideo_tpu.core.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(directory, async_save=False)
+        restored = mngr.restore(self._ckpt_state())
+        mngr.close()
+        if restored is None:
+            return False
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self._iter = int(restored["iter"])
+        self._rng = jax.random.wrap_key_data(restored["rng"])
+        return True
+
+    def fit(self, prompt_batches, iterations: int, *, seed: int = 0,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 0):
         """Alternate rollout/train (rl_trainer.py fit:652). prompt_batches:
         callable(i) -> (P, Lp) prompts, or (prompts, videos) for VideoMLLM
-        policies, for iteration i. Returns history."""
+        policies, for iteration i. Returns history.
+
+        With checkpoint_dir set, auto-resumes from the latest checkpoint
+        (same iteration counter and sampling stream, so the resumed run
+        continues the schedule) and saves every `checkpoint_every`
+        iterations plus at the end."""
         history = []
-        rng = jax.random.key(seed)
-        for i in range(iterations):
-            rng, sub = jax.random.split(rng)
+        if self._rng is None:
+            self._rng = jax.random.key(seed)
+        saved_at = None
+        if checkpoint_dir and self.restore_checkpoint(checkpoint_dir):
+            saved_at = self._iter
+        while self._iter < iterations:
+            i = self._iter
+            self._rng, sub = jax.random.split(self._rng)
             batch = prompt_batches(i)
             videos = None
             if isinstance(batch, tuple):
@@ -380,4 +518,12 @@ class RLTrainer:
             r = self.rollout_step(np.asarray(batch), sub, videos=videos)
             m = self.train_step()
             history.append({**r, **m, "iter": i})
+            self._iter = i + 1
+            if checkpoint_dir and checkpoint_every and (
+                self._iter % checkpoint_every == 0
+            ):
+                self.save_checkpoint(checkpoint_dir)
+                saved_at = self._iter
+        if checkpoint_dir and saved_at != self._iter:
+            self.save_checkpoint(checkpoint_dir)
         return history

@@ -222,3 +222,110 @@ def test_sft_32k_packed_ulysses_executed():
         diff = float(jnp.max(jnp.abs(jnp.asarray(flat_sp[path]) - leaf)))
         worst = max(worst, diff)
     assert worst <= 1e-4, f"sharded-vs-single param drift {worst}"
+
+
+def test_sft_262k_sp4_executed():
+    """EXECUTED 262,144-token packed SFT step at the production recipe's
+    exact sharding (dp=2 x sp=4 Ulysses over the 8-device mesh, tiny model
+    dims) — the reference's long-SFT configuration
+    (configs/internvideo3_sft_long.py:64-66,180: pack_max_length=262144,
+    sp_size=4) runs as a real train step, not just a lowering.
+
+    Executable on one CPU core because the Ulysses inner is the compiled
+    blockwise online-softmax scan (`attn_impl="xla_blockwise"`) with
+    dead-block skipping: 16 packed segments make ~15/16 of the causal
+    block walk segment-disjoint, and the lax.cond skip drops those blocks'
+    matmuls entirely (parallel/ring.py)."""
+    import optax
+
+    vis = VisionTowerConfig(
+        hidden_size=32, num_layers=1, num_heads=4, intermediate_size=64,
+        patch_size=8, temporal_patch_size=2, spatial_merge_size=2,
+        pos_embed_grid=6, deepstack_indexes=(0,), text_hidden_size=48,
+        attn_impl="xla",
+    )
+    llm = LLMConfig(
+        vocab_size=260, hidden_size=48, num_layers=1, intermediate_size=96,
+        mrope_section=(2, 1, 1),
+        mla=MLAConfig(
+            hidden_size=48, num_heads=4, kv_lora_rank=24,
+            qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+        ),
+        attn_impl="xla_blockwise",
+    )
+    model = VideoMLLM(MLLMConfig(
+        vision=vis, text=llm, image_token_id=250, video_token_id=251,
+    ))
+
+    mesh = create_mesh(MeshConfig(replica=2, fsdp=1, seq=SP, tensor=1))
+    rules = logical_axis_rules()
+
+    rng = np.random.default_rng(0)
+    b, t = 2, 2
+    img = 2 * vis.patch_size * vis.spatial_merge_size  # 32
+    # 16 irregular packed segments per row covering the full 262144
+    n_seg = 16
+    cuts = np.sort(rng.choice(
+        np.arange(1, PACK // 256), n_seg - 1, replace=False)) * 256
+    lens = np.diff(np.concatenate([[0], cuts, [PACK]]))
+    assert lens.sum() == PACK and (lens > 0).all()
+    segs = np.concatenate([np.full(n, i) for i, n in enumerate(lens)])
+    pos = np.concatenate([np.arange(n) for n in lens])
+    ids = rng.integers(0, 240, (b, PACK)).astype(np.int32)
+    # video placeholders for the 2x2-grid clip (4 merged tokens) up front
+    ids[:, 1:5] = 251
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "segment_ids": jnp.broadcast_to(
+            jnp.asarray(segs, jnp.int32)[None], (b, PACK)),
+        "position_ids": jnp.broadcast_to(
+            jnp.asarray(pos, jnp.int32)[None, None], (3, b, PACK)),
+        "labels": jnp.asarray(
+            np.where(rng.random((b, PACK)) < 0.1, -100,
+                     rng.integers(0, 240, (b, PACK))), jnp.int32),
+        "video": jnp.asarray(
+            rng.standard_normal((b, t, img, img, 3)), jnp.float32),
+    }
+
+    with mesh, nn.logical_axis_rules(list(rules)):
+        variables = model.init(
+            jax.random.key(0), batch["input_ids"][:, :64], batch["video"]
+        )
+        params = nn.unbox(variables)["params"]
+        tx = optax.sgd(1e-3)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx.init(params), tx=tx, apply_fn=model.apply,
+        )
+        step = make_sft_step(
+            model, SFTConfig(ce_chunk_size=8192), mesh=mesh)
+        dp = ("replica", "fsdp")
+        shardings = {
+            "input_ids": jax.sharding.NamedSharding(
+                mesh, PartitionSpec(dp, "seq")),
+            "segment_ids": jax.sharding.NamedSharding(
+                mesh, PartitionSpec(dp, "seq")),
+            "position_ids": jax.sharding.NamedSharding(
+                mesh, PartitionSpec(None, dp, "seq")),
+            "labels": jax.sharding.NamedSharding(
+                mesh, PartitionSpec(dp, "seq")),
+            "video": jax.sharding.NamedSharding(mesh, PartitionSpec(dp)),
+        }
+        sharded = {
+            k: jax.device_put(v, shardings[k]) for k, v in batch.items()
+        }
+        new_state, metrics = jax.jit(
+            step, in_shardings=(None, shardings, None)
+        )(state, sharded, jax.random.key(1))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), metrics
+        # the step actually updated parameters
+        delta = jax.tree.reduce(
+            max,
+            jax.tree.map(
+                lambda a, b_: float(jnp.max(jnp.abs(a - b_))),
+                new_state.params, state.params,
+            ),
+        )
+        assert delta > 0.0
+        assert int(new_state.step) == 1

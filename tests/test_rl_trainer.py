@@ -277,3 +277,125 @@ def test_rl_video_grpo_smoke():
     )
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_rl_grad_accum_exact_parity():
+    """grad_accum=4 must produce EXACTLY the unaccumulated update: the
+    mask-weighted gradient combine reconstructs the token-mean loss's
+    whole-batch gradient (VERDICT r4 item 7 — minibatched PPO updates)."""
+    import copy
+
+    model, params = _tiny_model()
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    base_cfg = dict(
+        grpo=GRPOConfig(group_size=4, kl_beta=0.05),
+        max_new_tokens=6, rollout_temperature=1.0, lr=1e-2,
+    )
+    a = RLTrainer(model, params, RLTrainerConfig(**base_cfg), reward_fn)
+    b = RLTrainer(
+        model, params, RLTrainerConfig(**base_cfg, grad_accum=4), reward_fn
+    )
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))  # 16 rows
+    a.rollout_step(prompts, jax.random.key(1))
+    b.buffer.add(copy.deepcopy(a.buffer.items[0]))
+
+    ma = a.train_step()
+    mb = b.train_step()
+    assert abs(ma["loss"] - mb["loss"]) < 1e-6, (ma["loss"], mb["loss"])
+    # exact in real arithmetic; f32 summation-order rounding leaves ~1e-6
+    # per-element noise that adam's normalizer amplifies slightly
+    for pa, pb in zip(
+        jax.tree.leaves(a.params), jax.tree.leaves(b.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_rl_minibatch_updates():
+    """minibatch_size splits one rollout batch into several sequential
+    optimizer updates (PPO minibatching): 16 rows / minibatch 8 = 2 updates
+    per epoch, and a bad split is rejected."""
+    import pytest
+
+    model, params = _tiny_model()
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    cfg = RLTrainerConfig(
+        grpo=GRPOConfig(group_size=4, kl_beta=0.0),
+        max_new_tokens=6, lr=1e-2, minibatch_size=8,
+    )
+    tr = RLTrainer(model, params, cfg, reward_fn)
+    calls = []
+    orig = tr._minibatch_update
+
+    def spy(sub):
+        calls.append(sub["full_ids"].shape[0])
+        return orig(sub)
+
+    tr._minibatch_update = spy
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))  # 16 rows
+    tr.rollout_step(prompts, jax.random.key(1))
+    tr.train_step()
+    assert calls == [8, 8]
+
+    bad = RLTrainer(
+        model, params,
+        RLTrainerConfig(
+            grpo=GRPOConfig(group_size=4), max_new_tokens=6,
+            minibatch_size=5,
+        ),
+        reward_fn,
+    )
+    bad.rollout_step(prompts, jax.random.key(1))
+    with pytest.raises(ValueError, match="minibatch_size"):
+        bad.train_step()
+
+
+def test_rl_checkpoint_resume_mid_run(tmp_path):
+    """Kill-and-resume: fit() with checkpoint_dir saves (params, opt_state,
+    iter, rng); a FRESH trainer resuming from the checkpoint finishes the
+    schedule with bit-identical results to an uninterrupted run (VERDICT r4
+    item 7 — RL state checkpoint/resume)."""
+    model, params = _tiny_model()
+
+    def reward_fn(prompt_ids, response_ids):
+        return float(np.mean(response_ids == TARGET))
+
+    def cfg():
+        return RLTrainerConfig(
+            grpo=GRPOConfig(group_size=4, kl_beta=0.01),
+            max_new_tokens=6, rollout_temperature=1.0, lr=1e-2,
+        )
+
+    prompts = np.tile(np.arange(4, dtype=np.int32)[None], (4, 1))
+    ckpt = str(tmp_path / "rl_ckpt")
+
+    # interrupted run: 2 of 4 iterations, checkpoint every iteration
+    tr1 = RLTrainer(model, params, cfg(), reward_fn)
+    h1 = tr1.fit(lambda i: prompts, iterations=2, seed=0,
+                 checkpoint_dir=ckpt, checkpoint_every=1)
+    assert len(h1) == 2 and tr1._iter == 2
+
+    # fresh process stand-in: new trainer, same init — resumes at iter 2
+    tr2 = RLTrainer(model, params, cfg(), reward_fn)
+    h2 = tr2.fit(lambda i: prompts, iterations=4, seed=0,
+                 checkpoint_dir=ckpt)
+    assert [h["iter"] for h in h2] == [2, 3]
+    assert tr2._iter == 4
+
+    # uninterrupted reference run
+    tr3 = RLTrainer(model, params, cfg(), reward_fn)
+    h3 = tr3.fit(lambda i: prompts, iterations=4, seed=0)
+    for pa, pb in zip(
+        jax.tree.leaves(tr2.params), jax.tree.leaves(tr3.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=1e-6, rtol=1e-6
+        )
+    assert abs(h2[-1]["reward_mean"] - h3[-1]["reward_mean"]) < 1e-9
