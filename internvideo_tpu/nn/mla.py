@@ -184,10 +184,44 @@ class MLAttention(nn.Module):
         w_k = kv_b[..., : cfg.qk_nope_head_dim]
         w_v = kv_b[..., cfg.qk_nope_head_dim:]
         rope_pad = cfg.q_head_dim - cfg.qk_nope_head_dim
-        k = jnp.einsum(
-            "bsr,rhd->bshd", ckv,
-            jnp.pad(w_k, ((0, 0), (0, 0), (0, rope_pad))),
-        )
+        w_k_padded = jnp.pad(w_k, ((0, 0), (0, 0), (0, rope_pad)))
+
+        # Kernel-native (B,H,S,D) layout when the flash kernel consumes it
+        # directly (TPU, no sequence parallelism): the decompression
+        # einsums emit bhsd and the rope/concat elementwise chain runs in
+        # that layout, so the wrapper's four transpose copies disappear
+        # (+5%/layer at the 2B prefill shape, tools_r5/prefill_native.py).
+        from internvideo_tpu.ops.attention import native_attention_layout
+
+        layout = native_attention_layout(self.attn_impl)
+        if layout == "bhsd":
+            k = jnp.einsum("bsr,rhd->bhsd", ckv, w_k_padded)
+            k_pe = apply_rope(k_pe[:, :, None, :], cos, sin)  # (B,S,1,P)
+            k = k + jnp.pad(
+                jnp.swapaxes(k_pe, 1, 2).astype(k.dtype),  # (B,1,S,P)
+                ((0, 0), (0, 0), (0, 0), (cfg.qk_nope_head_dim, 0)),
+            )
+            v = jnp.einsum("bsr,rhd->bhsd", ckv, w_v)
+            q_pe = apply_rope(q_pe, cos, sin)
+            q = jnp.swapaxes(
+                jnp.concatenate([q_nope, q_pe], axis=-1), 1, 2
+            )
+            out = dot_product_attention(
+                q, k, v,
+                causal=causal,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                softmax_scale=cfg.q_head_dim ** -0.5,
+                impl=self.attn_impl,
+                window=cfg.window,
+                layout="bhsd",
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(
+                b, s, cfg.num_heads * cfg.v_head_dim
+            )
+            return self.o_proj(out)
+
+        k = jnp.einsum("bsr,rhd->bshd", ckv, w_k_padded)
         k_pe = apply_rope(k_pe[:, :, None, :], cos, sin)  # (B,S,1,P)
         k = k + jnp.pad(
             k_pe.astype(k.dtype),
@@ -356,17 +390,47 @@ class MLAttention(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
+            from internvideo_tpu.ops.attention import head_parallel_active
             from internvideo_tpu.ops.paged_decode import paged_mla_decode
 
-            ctx_lat = paged_mla_decode(
+            kernel_args = (
                 q_lat[:, 0].astype(self.dtype),
                 q_pe[:, 0].astype(self.dtype),
-                pages,
-                block_tables,
-                seq_lens,
-                softmax_scale=cfg.q_head_dim ** -0.5,
-                interpret=interpret,
-            )[:, None]  # (B, 1, H, R)
+                pages, block_tables, seq_lens,
+            )
+            headpar = head_parallel_active()
+            if headpar is not None:
+                # tensor-sharded decode: q heads split over the mesh, the
+                # latent page pool replicated — each device's kernel walks
+                # the same pages for its H/tp heads, zero collectives
+                # (serve/engine.py mesh serving)
+                from jax.sharding import PartitionSpec as _P
+
+                hp_mesh, hp_axis = headpar
+                if cfg.num_heads % hp_mesh.shape[hp_axis]:
+                    raise ValueError(
+                        f"num_heads {cfg.num_heads} must divide tensor "
+                        f"axis {hp_mesh.shape[hp_axis]}"
+                    )
+                hspec = _P(None, hp_axis, None)
+                rep2, rep3 = _P(None, None), _P(None, None, None)
+                ctx_lat = jax.shard_map(
+                    lambda ql, qp, pg, bt, sl: paged_mla_decode(
+                        ql, qp, pg, bt, sl,
+                        softmax_scale=cfg.q_head_dim ** -0.5,
+                        interpret=interpret,
+                    ),
+                    mesh=hp_mesh,
+                    in_specs=(hspec, hspec, rep3, rep2, _P(None)),
+                    out_specs=hspec,
+                    check_vma=False,
+                )(*kernel_args)[:, None]
+            else:
+                ctx_lat = paged_mla_decode(
+                    *kernel_args,
+                    softmax_scale=cfg.q_head_dim ** -0.5,
+                    interpret=interpret,
+                )[:, None]  # (B, 1, H, R)
         else:
             from internvideo_tpu.nn.paged_cache import batched_paged_gather
 

@@ -51,6 +51,33 @@ def ulysses_context(mesh, axis: str = "seq"):
     return sequence_parallel_context(mesh, axis, "ulysses")
 
 
+@contextlib.contextmanager
+def head_parallel_context(mesh, axis: str = "tensor"):
+    """Tensor-parallel attention for the Pallas paths inside this trace.
+
+    GSPMD partitions every einsum/GEMM of a tensor-sharded model on its
+    own, but a pallas_call is opaque to the partitioner — without help it
+    would gather the head-sharded q/k/v and run the full kernel per
+    device. Under this context, dot_product_attention (and the MLA paged
+    decode) wrap their kernels in a shard_map over `axis`: heads are
+    embarrassingly parallel in attention, so each device runs the kernel
+    on its H/tp heads with zero collectives. This is what makes the
+    ServingEngine's decode/prefill programs tensor-shardable
+    (serve/engine.py mesh=...)."""
+    prev = getattr(_TLS, "headpar", None)
+    _TLS.headpar = (mesh, axis) if mesh.shape[axis] > 1 else None
+    try:
+        yield
+    finally:
+        _TLS.headpar = prev
+
+
+def head_parallel_active():
+    """(mesh, axis) when a head_parallel_context with axis size > 1 is
+    active in this thread, else None."""
+    return getattr(_TLS, "headpar", None)
+
+
 def fused_qkv_attention_or_none(
     qkv: jax.Array,        # (B, S, 3*W) flat projection output
     q_weight: jax.Array,   # (W,) whole-dim QK-RMSNorm weights
@@ -106,8 +133,23 @@ def fused_qkv_attention_or_none(
     return None
 
 
+def native_attention_layout(impl: str = "auto") -> str:
+    """The layout the attention path will consume without copies.
+
+    Returns "bhsd" when the Pallas kernel will run directly (TPU or
+    interpret, no sequence-parallel context) — producers can then emit
+    (B, H, S, D) straight from their projection einsums and skip the four
+    wrapper transposes (measured +5%/layer at MLA prefill shapes,
+    tools_r5/prefill_native.py). Otherwise "bshd"."""
+    if getattr(_TLS, "ulysses", None) is not None:
+        return "bshd"
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "bhsd" if impl in ("pallas", "pallas_interpret") else "bshd"
+
+
 def dot_product_attention(
-    q: jax.Array,  # (B, Sq, Hq, D)
+    q: jax.Array,  # (B, Sq, Hq, D) — or (B, Hq, Sq, D) with layout="bhsd"
     k: jax.Array,  # (B, Sk, Hkv, D)
     v: jax.Array,
     *,
@@ -120,8 +162,25 @@ def dot_product_attention(
     block_k: int = 1024,
     window: Optional[int] = None,  # sliding-window size (pallas path)
     q_position_offset: int = 0,  # causal: query row i sits at key i+offset
+    layout: str = "bshd",  # "bhsd" = kernel-native, see native_attention_layout
 ) -> jax.Array:
     ulysses = getattr(_TLS, "ulysses", None)
+    if layout == "bhsd" and (
+        ulysses is not None
+        or (impl not in ("pallas", "pallas_interpret")
+            and not (impl == "auto" and jax.default_backend() == "tpu"))
+    ):
+        # non-native consumer: fall back via transposes (CPU/xla test path)
+        out = dot_product_attention(
+            jnp.transpose(q, (0, 2, 1, 3)),
+            jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)),
+            causal=causal, q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids, softmax_scale=softmax_scale,
+            impl=impl, block_q=block_q, block_k=block_k, window=window,
+            q_position_offset=q_position_offset,
+        )
+        return jnp.transpose(out, (0, 2, 1, 3))
     if ulysses is not None:
         assert q_position_offset == 0, (
             "q_position_offset is incompatible with sequence sharding "
@@ -159,6 +218,56 @@ def dot_product_attention(
         )
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    headpar = getattr(_TLS, "headpar", None)
+    if headpar is not None and impl in ("pallas", "pallas_interpret"):
+        # tensor-parallel kernels: shard the head axis over the mesh and
+        # run the flash kernel per-shard (no collectives — heads are
+        # independent); see head_parallel_context
+        from jax.sharding import PartitionSpec as _P
+
+        hp_mesh, hp_axis = headpar
+        tp = hp_mesh.shape[hp_axis]
+        h_axis = 1 if layout == "bhsd" else 2
+        if q.shape[h_axis] % tp or k.shape[h_axis] % tp:
+            raise ValueError(
+                f"head counts ({q.shape[h_axis]}, {k.shape[h_axis]}) must "
+                f"divide the tensor axis size {tp} for head-parallel "
+                "attention"
+            )
+        spec = (
+            _P(None, hp_axis, None, None) if layout == "bhsd"
+            else _P(None, None, hp_axis, None)
+        )
+        seg_spec = _P(None, None)
+        interp = impl == "pallas_interpret"
+
+        def _local(q, k, v, *segs):
+            return flash_attention(
+                q, k, v, causal=causal,
+                q_segment_ids=segs[0] if segs else None,
+                kv_segment_ids=segs[1] if segs else None,
+                softmax_scale=softmax_scale,
+                block_q=block_q, block_k=block_k, window=window,
+                q_position_offset=q_position_offset,
+                interpret=interp, layout=layout,
+            )
+
+        args = (q, k, v)
+        in_specs = (spec, spec, spec)
+        if q_segment_ids is not None or kv_segment_ids is not None:
+            b_, = (q.shape[0],)
+            sq_ = q.shape[2] if layout == "bhsd" else q.shape[1]
+            sk_ = k.shape[2] if layout == "bhsd" else k.shape[1]
+            qs = q_segment_ids if q_segment_ids is not None else \
+                jnp.zeros((b_, sq_), jnp.int32)
+            ks = kv_segment_ids if kv_segment_ids is not None else \
+                jnp.zeros((b_, sk_), jnp.int32)
+            args += (qs, ks)
+            in_specs += (seg_spec, seg_spec)
+        return jax.shard_map(
+            _local, mesh=hp_mesh, in_specs=in_specs, out_specs=spec,
+            check_vma=False,
+        )(*args)
     if impl in ("pallas", "pallas_interpret"):
         # "pallas_interpret" runs the flash kernels in interpret mode —
         # blockwise memory on CPU, where the XLA reference would
@@ -174,6 +283,7 @@ def dot_product_attention(
             window=window,
             q_position_offset=q_position_offset,
             interpret=impl == "pallas_interpret",
+            layout=layout,
         )
     if impl == "xla_blockwise":
         # compiled online-softmax scan (never materializes S×S) with

@@ -1892,15 +1892,27 @@ def flash_attention(
     window: Optional[int] = None,
     q_position_offset: int = 0,
     interpret: bool = False,
+    layout: str = "bshd",
 ) -> jax.Array:
     """Flash attention over (B, S, H, D) inputs. See module docstring.
 
     `q_position_offset` (static) places query row i at key index i+offset in
     the causal/window masks — used for chunked prefill where the query block
     sits `offset` tokens into the key sequence.
+
+    `layout="bhsd"`: q/k/v arrive (and the output returns) in the kernel's
+    native (B, H, S, D) layout, skipping the four wrapper transposes — for
+    producers that can emit that layout directly from their projection
+    einsums (nn/mla.py prefill: measured +5% per layer at the 2B prefill
+    shape, tools_r5/prefill_native.py). Segment ids stay (B, S).
     """
-    b, sq, hq, d = q.shape
-    _, sk, hkv, _ = k.shape
+    if layout == "bhsd":
+        b, hq, sq, d = q.shape
+        _, hkv, sk, _ = k.shape
+    else:
+        assert layout == "bshd", layout
+        b, sq, hq, d = q.shape
+        _, sk, hkv, _ = k.shape
     dv = v.shape[-1]  # may differ from d: MLA runs d_qk=192, d_v=128 —
     # the kernels carry separate q/k and v/o lane widths, so callers skip
     # the v pad-to-d_qk (and its 1.5x pV FLOPs) the reference's CUDA
@@ -1911,7 +1923,9 @@ def flash_attention(
 
     # Short sequences take the zero-copy single-pass path (see the
     # small-S section above): no pad, no transpose, exact softmax.
-    if (q_segment_ids is None and kv_segment_ids is None and not causal
+    if (layout == "bshd"
+            and q_segment_ids is None and kv_segment_ids is None
+            and not causal
             and window is None and group == 1 and d == dv
             and 0 < sq <= _SMALL_S_MAX and 0 < sk <= _SMALL_S_MAX
             and _ss_fits(sq, sk, hq * d, jnp.dtype(q.dtype).itemsize)):
@@ -1952,6 +1966,10 @@ def flash_attention(
             and sq >= block_q_eff and sk >= block_k_eff
             and sq % block_q_eff <= _RAGGED_TAIL_MAX
             and sk % block_k_eff <= _RAGGED_TAIL_MAX):
+        if layout == "bhsd":
+            return _flash_attention_ragged(
+                q, k, v, scale, block_q_eff, block_k_eff, interpret,
+            )
         out = _flash_attention_ragged(
             jnp.transpose(q, (0, 2, 1, 3)),
             jnp.transpose(k, (0, 2, 1, 3)),
@@ -1986,9 +2004,16 @@ def flash_attention(
             kv_segment_ids, ((0, 0), (0, sk_p - sk)), constant_values=-2
         )
     if needs_pad:
-        q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0), (0, 0)))
+        s_axis = 2 if layout == "bhsd" else 1
+
+        def _pad_s(x, n):
+            pads = [(0, 0)] * 4
+            pads[s_axis] = (0, n)
+            return jnp.pad(x, pads)
+
+        q = _pad_s(q, sq_p - sq)
+        k = _pad_s(k, sk_p - sk)
+        v = _pad_s(v, sk_p - sk)
 
     if q_segment_ids is not None:
         # TPU tiling wants >=2D tiles: q ids ride the lane dim (128), kv ids
@@ -2000,6 +2025,13 @@ def flash_attention(
             kv_segment_ids[:, None, :], (b, 8, sk_p)
         )
 
+    if layout == "bhsd":
+        out = _flash_attention(
+            q, k, v, q_segment_ids, kv_segment_ids,
+            scale, causal, block_q_eff, block_k_eff, interpret, kv_pad,
+            window, group, q_position_offset,
+        )
+        return out[:, :, :sq] if needs_pad else out
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))

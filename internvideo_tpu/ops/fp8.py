@@ -155,6 +155,114 @@ class Fp8Dense(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# fp8-bytes FSDP gather (float8_handler.py:38-230 analog)
+# ---------------------------------------------------------------------------
+#
+# The reference's float8 handler precomputes dynamic scales so FSDP
+# all-gathers move fp8 bytes instead of bf16 — a comm-bytes halving that
+# applies even on hardware without an fp8 MXU (v5e). GSPMD analog: the
+# master weight stays bf16/f32 sharded over fsdp; inside the step it is
+# quantized SHARDED (per-output-column scales with a tiny cross-shard amax
+# all-reduce), the fp8 tensor is explicitly constrained replicated — so the
+# compiler-inserted all-gather moves 1 byte/element — and the dequant to
+# compute dtype runs post-gather. The gradient is straight-through to the
+# master weight (the reference semantics: the optimizer sees full-precision
+# grads; quantization is a forward-only projection).
+# tests/test_fp8.py::test_fp8_fsdp_gather_moves_fp8_bytes pins the lowered
+# HLO: the all-gather operand dtype is f8e4m3.
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _fp8_roundtrip_replicated(w, logical):
+    """w (sharded over fsdp) -> dequantized w, replicated, with the
+    all-gather carrying e4m3 bytes. Straight-through gradient.
+
+    `logical`: the weight's logical axes — the fp8 tensor is first PINNED
+    to the same (sharded) layout and only then constrained replicated, so
+    the reshard (the all-gather) lands exactly on the 1-byte tensor. With
+    only the replicated constraint, the partitioner propagates replication
+    backward through the elementwise quantize and gathers the f32 master
+    weight instead (observed on the 8-dev lowering)."""
+    from internvideo_tpu.core.mesh import constrain
+
+    wf = w.astype(jnp.float32)
+    # per-output-column scale: amax over the (fsdp-sharded) input axis is a
+    # partial reduce — GSPMD inserts a (1, N) f32 all-reduce, negligible
+    # next to the gather it shrinks
+    amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)),
+                   keepdims=True)
+    scale = jax.lax.stop_gradient(jnp.maximum(amax, 1e-12) / E4M3_MAX)
+    q = (wf / scale).astype(jnp.float8_e4m3fn)
+    # bitcast to u8 around the reshard: backends without fp8 collectives
+    # (XLA:CPU promotes an f8 all-gather to f16, observed on the 8-dev
+    # lowering) still gather exactly 1 byte/element this way
+    qb = jax.lax.bitcast_convert_type(q, jnp.uint8)
+    qb = constrain(qb, tuple(logical))  # quantize runs sharded
+    qb = constrain(qb, tuple(None for _ in range(w.ndim)))  # 1-byte gather
+    q = jax.lax.bitcast_convert_type(qb, jnp.float8_e4m3fn)
+    return q.astype(jnp.float32) * scale
+
+
+def _fp8_rt_fwd(w, logical):
+    return _fp8_roundtrip_replicated(w, logical), None
+
+
+def _fp8_rt_bwd(logical, _, g):
+    return (g,)  # straight-through: master weight takes the full gradient
+
+
+_fp8_roundtrip_replicated.defvjp(_fp8_rt_fwd, _fp8_rt_bwd)
+
+
+def fp8_gathered_param(
+    w: jax.Array, dtype=jnp.bfloat16, logical=("embed", "mlp")
+) -> jax.Array:
+    """FSDP-sharded master weight -> replicated compute weight where the
+    gather moved fp8 bytes. Use in place of a raw kernel read inside
+    fsdp-sharded layers; no-op semantics outside a mesh."""
+    return _fp8_roundtrip_replicated(w, tuple(logical)).astype(dtype)
+
+
+class Fp8GatherDense(nn.Module):
+    """Dense whose fsdp-sharded kernel is all-gathered as fp8+scale and
+    dequantized to bf16 post-gather (compute stays bf16 — the right
+    datapath on chips without fp8 MXU; the win is the halved collective).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    logical: tuple = ("embed", "mlp")
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                nn.initializers.truncated_normal(0.02), self.logical
+            ),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = x.astype(self.dtype) @ fp8_gathered_param(w, self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (self.logical[-1],)
+                ),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
 # fp8 backward (e5m2 gradients) — full fp8 training
 # ---------------------------------------------------------------------------
 #

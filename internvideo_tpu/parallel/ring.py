@@ -58,75 +58,96 @@ def _blockwise_attention_lse(
     kv_seg=None,  # (B, Sk)
     q_offset=0,  # q row i sits at global key position i + q_offset
     block_k: int = 1024,
+    block_q: int = 1024,
 ):
     """Online-softmax attention returning (out (B,Sq,Hq,D) in q.dtype,
     lse (B,Hq,Sq) natural-log). Never materializes (Sq, Sk); autodiff
-    through the `lax.scan` gives the backward."""
-    b, sq, hq, d = q.shape
+    through the `lax.scan` gives the backward (scan-of-checkpoint, so the
+    backward replays each block instead of stashing its probabilities —
+    without that a 262k forward would save ~2 TB of residuals).
+
+    2D dead-block skipping (the compiled-XLA analog of the Pallas kernels'
+    packed-segment block skipping, PERF.md): both q and k are blocked, and
+    a (q-block, k-block) pair whose causal ranges cannot meet or whose
+    segment-id RANGES are disjoint (packed ids are monotonic, so range
+    intersection is exact at block granularity and conservative for
+    arbitrary ids) is skipped by a lax.cond that returns the carry
+    untouched — XLA executes neither matmul. At 16 packed segments this
+    drops ~15/16 of a causal 262k walk, which is what makes the 262k
+    packed SFT step executable on the CPU mesh
+    (tests/test_long_context.py::test_sft_262k_sp4_executed)."""
+    b, sq_orig, hq, d = q.shape
     sk, hkv = k.shape[1], k.shape[2]
+    dv = v.shape[-1]  # may differ from d (MLA)
     group = hq // hkv
     block_k = min(block_k, sk)
-    n_blocks = -(-sk // block_k)
-    pad = n_blocks * block_k - sk
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        kv_seg = jnp.pad(
-            kv_seg if kv_seg is not None
-            else jnp.zeros((b, sk), jnp.int32),
-            ((0, 0), (0, pad)), constant_values=-2,
-        )
-    elif kv_seg is None and q_seg is not None:
+    block_q = min(block_q, sq_orig)
+    nk = -(-sk // block_k)
+    nq = -(-sq_orig // block_q)
+    pad_k = nk * block_k - sk
+    pad_q = nq * block_q - sq_orig
+    if (pad_k or pad_q) and kv_seg is None and q_seg is None:
+        # padding rides the segment-id mask path
+        q_seg = jnp.zeros((b, sq_orig), jnp.int32)
+        kv_seg = jnp.zeros((b, sk), jnp.int32)
+    if kv_seg is None and q_seg is not None:
         kv_seg = jnp.zeros((b, sk), jnp.int32)
     if q_seg is None and kv_seg is not None:
-        q_seg = jnp.zeros((b, sq), jnp.int32)
+        q_seg = jnp.zeros((b, sq_orig), jnp.int32)
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, pad_k)), constant_values=-2)
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        q_seg = jnp.pad(q_seg, ((0, 0), (0, pad_q)), constant_values=-1)
+    sq = sq_orig + pad_q
 
-    kb = k.reshape(b, n_blocks, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
-    vb = v.reshape(
-        b, n_blocks, block_k, hkv, v.shape[-1]  # d_v may differ (MLA)
-    ).transpose(1, 0, 2, 3, 4)
+    kb = k.reshape(b, nk, block_k, hkv, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, nk, block_k, hkv, dv).transpose(1, 0, 2, 3, 4)
+    qb = q.reshape(b, nq, block_q, hq, d).transpose(1, 0, 2, 3, 4)
     sb = (
-        kv_seg.reshape(b, n_blocks, block_k).transpose(1, 0, 2)
+        kv_seg.reshape(b, nk, block_k).transpose(1, 0, 2)
         if kv_seg is not None else None
     )
-    qi = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, block_k), 0)
+    qsb = (
+        q_seg.reshape(b, nq, block_q).transpose(1, 0, 2)
+        if q_seg is not None else None
+    )
 
-    # Dead-block skipping (the compiled-XLA analog of the Pallas kernels'
-    # packed-segment block skipping, PERF.md): a KV block whose causal
-    # range sits entirely in the future, or whose segment-id RANGE is
-    # disjoint from the whole q range (packed ids are monotonic, so range
-    # intersection is exact at block granularity and conservative for
-    # arbitrary ids), contributes nothing — a lax.cond returns the carry
-    # untouched, so XLA:CPU/TPU skips its two matmuls entirely. This is
-    # what makes the 262k packed step executable on the CPU mesh.
-    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block_k
-    dead = jnp.zeros((n_blocks,), bool)
+    k_starts = jnp.arange(nk, dtype=jnp.int32) * block_k
+    q_starts = q_offset + jnp.arange(nq, dtype=jnp.int32) * block_q
+    dead = jnp.zeros((nq, nk), bool)
     if causal:
-        dead = dead | (starts > q_offset + sq - 1)
-    if sb is not None and q_seg is not None:
-        k_min = jnp.min(sb, axis=(1, 2))
+        # k block fully in this q block's future: k_start > q_end
+        q_end = q_starts + block_q - 1
+        dead = dead | (k_starts[None, :] > q_end[:, None])
+    if sb is not None and qsb is not None:
+        k_min = jnp.min(sb, axis=(1, 2))  # (nk,)
         k_max = jnp.max(sb, axis=(1, 2))
-        q_min, q_max = jnp.min(q_seg), jnp.max(q_seg)
-        dead = dead | (k_max < q_min) | (k_min > q_max)
+        q_min = jnp.min(qsb, axis=(1, 2))  # (nq,)
+        q_max = jnp.max(qsb, axis=(1, 2))
+        dead = dead | (k_max[None, :] < q_min[:, None]) \
+            | (k_min[None, :] > q_max[:, None])
 
-    def _live_body(carry, blk):
+    def _live_body(qc, qseg_c, qi, carry, blk):
         acc, m_run, l_run = carry
         kc, vc, seg_c, start = blk
         if group > 1:
             kc = jnp.repeat(kc, group, axis=2)
             vc = jnp.repeat(vc, group, axis=2)
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, kc, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", qc, kc, preferred_element_type=jnp.float32
         ) * scale
         mask = None
         if causal:
             ki = start + jax.lax.broadcasted_iota(
-                jnp.int32, (sq, block_k), 1
+                jnp.int32, (block_q, block_k), 1
             )
             mask = (qi >= ki)[None, None]
         if seg_c is not None:
-            segm = (q_seg[:, :, None] == seg_c[:, None, :]) & (
-                q_seg[:, :, None] >= 0
+            segm = (qseg_c[:, :, None] == seg_c[:, None, :]) & (
+                qseg_c[:, :, None] >= 0
             )
             segm = segm[:, None]
             mask = segm if mask is None else jnp.logical_and(mask, segm)
@@ -149,39 +170,60 @@ def _blockwise_attention_lse(
     def _skip(c, *_):
         return c, None
 
-    acc0 = jnp.zeros((b, sq, hq, v.shape[-1]), jnp.float32)
-    m0 = jnp.full((b, hq, sq), -jnp.inf)
-    l0 = jnp.zeros((b, hq, sq))
-    # scan-of-checkpoint: without it, autodiff saves every block's (sq,
-    # block_k) probability tensor — the full S×S scores in aggregate (a
-    # 262k forward would stash ~2 TB). Remat keeps only the O(sq) carries
-    # and replays each block's two matmuls in the backward — the same
-    # FLOPs-for-memory trade the Pallas flash backward makes by
-    # recomputing p from the saved LSE.
-    if sb is None:
-        (acc, m_run, l_run), _ = jax.lax.scan(
-            jax.checkpoint(lambda c, x: jax.lax.cond(
-                x[3], _skip,
-                lambda c, kc, vc, st: _live_body(c, (kc, vc, None, st)),
-                c, x[0], x[1], x[2],
-            )),
-            (acc0, m0, l0), (kb, vb, starts, dead),
+    def per_q_block(xq):
+        qc, qseg_c, q_start, dead_row = xq
+        qi = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        acc0 = jnp.zeros((b, block_q, hq, dv), jnp.float32)
+        m0 = jnp.full((b, hq, block_q), -jnp.inf)
+        l0 = jnp.zeros((b, hq, block_q))
+        if sb is None:
+            (acc, m_run, l_run), _ = jax.lax.scan(
+                jax.checkpoint(lambda c, x: jax.lax.cond(
+                    x[3], _skip,
+                    lambda c, kc, vc, st: _live_body(
+                        qc, qseg_c, qi, c, (kc, vc, None, st)),
+                    c, x[0], x[1], x[2],
+                )),
+                (acc0, m0, l0), (kb, vb, k_starts, dead_row),
+            )
+        else:
+            (acc, m_run, l_run), _ = jax.lax.scan(
+                jax.checkpoint(lambda c, x: jax.lax.cond(
+                    x[4], _skip,
+                    lambda c, *a: _live_body(qc, qseg_c, qi, c, a),
+                    c, x[0], x[1], x[2], x[3],
+                )),
+                (acc0, m0, l0), (kb, vb, sb, k_starts, dead_row),
+            )
+        l_safe = jnp.maximum(l_run, 1e-30)
+        out = acc / jnp.transpose(l_safe, (0, 2, 1))[..., None]
+        lse = jnp.where(l_run > 0.0, m_run + jnp.log(l_safe), -jnp.inf)
+        return out.astype(q.dtype), lse
+
+    if nq == 1:
+        out, lse = per_q_block((
+            qb[0], qsb[0] if qsb is not None else None,
+            q_starts[0], dead[0],
+        ))
+        return out[:, :sq_orig], lse[:, :, :sq_orig]
+
+    xq = (qb, qsb, q_starts, dead) if qsb is not None else (
+        qb, None, q_starts, dead)
+    if qsb is None:
+        _, (outs, lses) = jax.lax.scan(
+            lambda c, x: (c, per_q_block((x[0], None, x[1], x[2]))),
+            None, (qb, q_starts, dead),
         )
     else:
-        (acc, m_run, l_run), _ = jax.lax.scan(
-            jax.checkpoint(lambda c, x: jax.lax.cond(
-                x[4], _skip,
-                lambda c, *a: _live_body(c, a),
-                c, x[0], x[1], x[2], x[3],
-            )),
-            (acc0, m0, l0), (kb, vb, sb, starts, dead),
+        _, (outs, lses) = jax.lax.scan(
+            lambda c, x: (c, per_q_block(x)), None, xq,
         )
-    l_safe = jnp.maximum(l_run, 1e-30)
-    out = acc / jnp.transpose(l_safe, (0, 2, 1))[..., None]
-    lse = jnp.where(
-        l_run > 0.0, m_run + jnp.log(l_safe), -jnp.inf
-    )
-    return out.astype(q.dtype), lse
+    # (nq, B, block_q, H, Dv) -> (B, Sq, H, Dv); lse (nq, B, H, bq)
+    out = outs.transpose(1, 0, 2, 3, 4).reshape(b, sq, hq, dv)
+    lse = lses.transpose(1, 2, 0, 3).reshape(b, hq, sq)
+    return out[:, :sq_orig], lse[:, :, :sq_orig]
 
 
 def _attention_with_lse(q, k, v, *, causal, scale):

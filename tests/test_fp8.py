@@ -141,3 +141,81 @@ def test_llm_full_fp8_training_converges():
         params, opt, l = step(params, opt)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_fp8_fsdp_gather_moves_fp8_bytes():
+    """float8_handler.py:38-230 analog (VERDICT r4 item 8): the fsdp-sharded
+    master weight is quantized SHARDED and the compiler-inserted all-gather
+    carries e4m3 bytes — half the collective traffic of the bf16 gather —
+    with bf16 compute after. Pinned on the lowered 8-device HLO, plus
+    forward/grad numerics vs the plain bf16 Dense."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from internvideo_tpu.core.mesh import (
+        MeshConfig, create_mesh, logical_axis_rules,
+    )
+    from internvideo_tpu.ops.fp8 import Fp8GatherDense
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=8, seq=1, tensor=1))
+    rules = logical_axis_rules()
+    k, n = 256, 64
+    x = jax.random.normal(jax.random.key(0), (16, k), jnp.float32)
+    model = Fp8GatherDense(features=n, use_bias=False)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    with mesh, nn.logical_axis_rules(list(rules)):
+        params = model.init(jax.random.key(1), x)
+        kernel = params["params"]["kernel"]
+        kernel_sh = NamedSharding(mesh, P("fsdp", None))
+        params = {"params": {
+            "kernel": jax.device_put(nn.unbox(params)["params"]["kernel"],
+                                     kernel_sh)
+        }}
+        xs = jax.device_put(x, NamedSharding(mesh, P("fsdp", None)))
+
+        def loss(p, x):
+            return jnp.sum(model.apply(p, x).astype(jnp.float32) ** 2)
+
+        jitted = jax.jit(jax.value_and_grad(loss))
+        lowered = jitted.lower(params, xs)
+        hlo = lowered.compile().as_text()
+        # the gather collective must carry fp8, not bf16: find every
+        # all-gather op and check some operate on f8e4m3 with none moving
+        # a bf16/f32 tensor of the kernel's size
+        gathers = [
+            line for line in hlo.splitlines()
+            if re.search(r"= \S+ all-gather(-start)?\(", line)
+        ]
+        # 1 byte/element: the fp8 payload travels as u8 (bitcast around the
+        # collective — XLA:CPU would promote a raw f8 gather to f16)
+        assert any(
+            f"u8[{k},{n}]" in g or "f8e4m3" in g for g in gathers
+        ), gathers or hlo[:4000]
+        assert not any(
+            f"bf16[{k},{n}]" in g or f"f32[{k},{n}]" in g
+            or f"f16[{k},{n}]" in g for g in gathers
+        ), gathers
+
+        out = model.apply(params, xs)
+        _, grads = jitted(params, xs)
+
+    # numerics vs the plain dense with the same kernel (fp8 rounding only)
+    wf = np.asarray(jax.device_get(params["params"]["kernel"]))
+    ref = x @ wf
+    got = np.asarray(jax.device_get(out)).astype(np.float32)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.05, float(np.median(rel))
+    # straight-through: master-weight grad ~= the bf16 dense grad
+    gref = 2 * x.T @ ref  # d/dw sum((x@w)^2)
+    gw = np.asarray(jax.device_get(grads["params"]["kernel"]))
+    cos = float(
+        (gw.reshape(-1) @ np.asarray(gref).reshape(-1))
+        / (np.linalg.norm(gw) * np.linalg.norm(gref) + 1e-9)
+    )
+    assert cos > 0.99, cos

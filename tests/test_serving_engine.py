@@ -238,3 +238,63 @@ def test_engine_capacity_queues_until_pages_free(tiny_llm):
         np.testing.assert_array_equal(
             outs[rid], _reference_tokens(model, params, prompt, 4)
         )
+
+
+def test_engine_tensor_sharded_token_parity():
+    """Mesh serving (VERDICT r5 item 3): the engine's prefill/decode
+    programs tensor-shard over a tp=2 mesh — GSPMD splits every GEMM via
+    the params' logical axes, the Pallas paged-decode and flash kernels
+    run head-sharded through head_parallel_context shard_maps (interpret
+    mode here), pages/tables stay replicated — and the generated tokens
+    are IDENTICAL to the single-device engine's."""
+    from flax import linen as nn
+
+    from internvideo_tpu.core.mesh import (
+        MeshConfig, create_mesh, logical_axis_rules,
+    )
+    from internvideo_tpu.train.state import param_shardings
+
+    cfg = LLMConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, intermediate_size=64,
+        mrope_section=None,
+        mla=MLAConfig(
+            hidden_size=32, num_heads=4, kv_lora_rank=16,
+            qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+        ),
+        dtype="float32", param_dtype="float32",
+        attn_impl="pallas_interpret",  # the real kernel path, interpreted
+    )
+    model = MLATransformer(cfg)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 96, size=n).astype(np.int32)
+               for n in (3, 7, 12)]
+    n_new = 5
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=1, tensor=2),
+                       devices=jax.devices()[:2])
+    rules = logical_axis_rules()
+    with mesh, nn.logical_axis_rules(list(rules)):
+        boxed = model.init(jax.random.key(0), ids0)
+        shardings = param_shardings(boxed, mesh, rules)
+        params = jax.device_put(nn.unbox(boxed), nn.unbox(shardings))
+
+    def run(engine):
+        rids = [engine.submit(p, n_new) for p in prompts]
+        outs = engine.run()
+        return [outs[r] for r in rids]
+
+    host_params = jax.device_get(params)
+    single = ServingEngine(
+        model, host_params, max_batch=2, page_size=4, num_pages=32,
+        max_len=32, prompt_buckets=(4, 8, 16),
+    )
+    expected = run(single)
+
+    sharded_eng = ServingEngine(
+        model, params, max_batch=2, page_size=4, num_pages=32,
+        max_len=32, prompt_buckets=(4, 8, 16), mesh=mesh,
+    )
+    got = run(sharded_eng)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
