@@ -194,11 +194,16 @@ def dot_product_attention(
             )
             from internvideo_tpu.parallel.ring import ring_attention
 
+            ring_inner = {
+                "auto": "auto", "pallas": "pallas",
+                "pallas_interpret": "pallas_interpret",
+            }.get(impl, "blockwise")
             return ring_attention(
                 q, k, v, mesh=mesh, axis=axis, causal=causal,
                 q_segment_ids=q_segment_ids,
                 kv_segment_ids=kv_segment_ids,
                 softmax_scale=softmax_scale,
+                inner=ring_inner,
             )
         from internvideo_tpu.parallel.ulysses import ulysses_attention
         inner = "pallas" if (

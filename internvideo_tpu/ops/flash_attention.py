@@ -782,7 +782,7 @@ def _bwd_dkv_kernel(
 def _bwd(
     q, k, v, o, lse, do, q_seg, kv_seg,
     *, scale, causal, block_q, block_k, interpret, window=None, q_pos=0,
-    group=1,
+    group=1, lse_ct=None,
 ):
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -790,6 +790,11 @@ def _bwd(
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if lse_ct is not None:
+        # LSE cotangent (natural-log units, (B,H,Sq)): d(lse)/d(s_ij) = p_ij,
+        # so it enters ds = p*(dp - delta) exactly like -delta does — fold it
+        # in instead of touching the kernels.
+        delta = delta - lse_ct.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[:, :, None, :], (b, h, 8, sq))
 
     has_segs = q_seg is not None
@@ -1113,6 +1118,157 @@ def _flash_bwd_rule(
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# LSE-returning variant (ring attention's inner)
+# ---------------------------------------------------------------------------
+#
+# Identical kernels; the public contract additionally exposes the softmax
+# log-sum-exp so callers can merge partial attentions across KV chunks
+# (parallel/ring.py rotates KV shards around the ring and combines partials
+# by LSE). Differentiable in BOTH outputs: the LSE cotangent folds into the
+# backward kernels' delta term (see _bwd lse_ct) — d lse/d s_ij = p_ij, the
+# same shape the -delta term already rides.
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
+)
+def _flash_attention_lse(
+    q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, interpret,
+    kv_pad, window, group, q_pos,
+):
+    out, lse = _fwd(
+        q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        kv_pad=kv_pad, window=window, q_pos=q_pos, group=group,
+    )
+    return out, lse[:, :, 0, :]  # base-2, (B, H, Sq)
+
+
+def _flash_lse_fwd_rule(
+    q, k, v, q_seg, kv_seg, scale, causal, bq, bk, interp, kv_pad, window,
+    group, q_pos,
+):
+    out, lse = _fwd(
+        q, k, v, q_seg, kv_seg, scale=scale, causal=causal,
+        block_q=bq, block_k=bk, interpret=interp, kv_pad=kv_pad,
+        window=window, q_pos=q_pos, group=group,
+    )
+    return (out, lse[:, :, 0, :]), (q, k, v, out, lse, q_seg, kv_seg)
+
+
+def _flash_lse_bwd_rule(
+    scale, causal, bq, bk, interp, kv_pad, window, group, q_pos, res, g
+):
+    q, k, v, out, lse, q_seg, kv_seg = res
+    g_out, g_lse2 = g
+    # g_lse2 is the cotangent of the BASE-2 lse output; _bwd's fold expects
+    # natural units (lse_nat = lse2/LOG2E => g_nat = g_lse2 * LOG2E).
+    dq, dk, dv = _bwd(
+        q, k, v, out, lse, g_out, q_seg, kv_seg,
+        scale=scale, causal=causal, block_q=bq, block_k=bk, interpret=interp,
+        window=window, q_pos=q_pos, group=group,
+        lse_ct=g_lse2 * LOG2E,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_attention_lse.defvjp(_flash_lse_fwd_rule, _flash_lse_bwd_rule)
+
+# Empty-row sentinel: the forward writes lse2 = -DEFAULT_MASK_VALUE
+# (+2.38e38) for rows with zero visible keys so the backward's
+# p = exp2(s2 - lse2) underflows to 0. Partial-softmax merges need -inf
+# there instead (a huge POSITIVE lse would win the merge max and zero
+# the combined output); real lse2 is bounded by |s|*log2e << 1e37.
+_EMPTY_LSE2 = 1e37
+
+
+def flash_attention_with_lse(
+    q: jax.Array,  # (B, Sq, Hq, D) — or (B, Hq, Sq, D) with layout="bhsd"
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_segment_ids: Optional[jax.Array] = None,  # (B, Sq)
+    kv_segment_ids: Optional[jax.Array] = None,  # (B, Sk)
+    softmax_scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    q_position_offset: int = 0,
+    interpret: bool = False,
+    layout: str = "bshd",
+) -> tuple[jax.Array, jax.Array]:
+    """Flash attention returning (out, lse) where lse is the NATURAL-log
+    softmax normalizer, (B, Hq, Sq) f32; rows with no visible keys get
+    lse = -inf and out = 0. Fully differentiable in both outputs — ring
+    attention's partial-softmax merge backprops through the lse.
+
+    Skips the small-S / ragged-tail specializations of `flash_attention`
+    (their LSEs live in merged/fused forms); any needed padding rides the
+    explicit segment-id path so the LSE stays exact."""
+    if layout == "bhsd":
+        b, hq, sq, d = q.shape
+        _, hkv, sk, _ = k.shape
+    else:
+        assert layout == "bshd", layout
+        b, sq, hq, d = q.shape
+        _, sk, hkv, _ = k.shape
+    assert hq % hkv == 0, f"GQA heads {hq} not divisible by kv heads {hkv}"
+    group = hq // hkv
+    scale = softmax_scale if softmax_scale is not None else d ** -0.5
+
+    block_q_eff, block_k_eff = _pick_blocks(sq, sk, block_q, block_k)
+    sq_p = _round_up(sq, block_q_eff)
+    sk_p = _round_up(sk, block_k_eff)
+    needs_pad = (sq_p != sq) or (sk_p != sk)
+    has_segs = q_segment_ids is not None or kv_segment_ids is not None
+    if needs_pad or has_segs:
+        if q_segment_ids is None:
+            q_segment_ids = jnp.zeros((b, sq), jnp.int32)
+        if kv_segment_ids is None:
+            kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+        q_segment_ids = jnp.pad(
+            q_segment_ids, ((0, 0), (0, sq_p - sq)), constant_values=-1
+        )
+        kv_segment_ids = jnp.pad(
+            kv_segment_ids, ((0, 0), (0, sk_p - sk)), constant_values=-2
+        )
+        q_segment_ids = jnp.broadcast_to(
+            q_segment_ids[:, :, None], (b, sq_p, 128)
+        )
+        kv_segment_ids = jnp.broadcast_to(
+            kv_segment_ids[:, None, :], (b, 8, sk_p)
+        )
+    if needs_pad:
+        s_axis = 2 if layout == "bhsd" else 1
+
+        def _pad_s(x, n):
+            pads = [(0, 0)] * 4
+            pads[s_axis] = (0, n)
+            return jnp.pad(x, pads)
+
+        q = _pad_s(q, sq_p - sq)
+        k = _pad_s(k, sk_p - sk)
+        v = _pad_s(v, sk_p - sk)
+
+    if layout == "bshd":
+        q = jnp.transpose(q, (0, 2, 1, 3))
+        k = jnp.transpose(k, (0, 2, 1, 3))
+        v = jnp.transpose(v, (0, 2, 1, 3))
+    out, lse2 = _flash_attention_lse(
+        q, k, v, q_segment_ids, kv_segment_ids,
+        scale, causal, block_q_eff, block_k_eff, interpret, 0,
+        None, group, q_position_offset,
+    )
+    lse = jnp.where(lse2 >= _EMPTY_LSE2, -jnp.inf, lse2 / LOG2E)
+    if needs_pad:
+        out = out[:, :, :sq]
+        lse = lse[:, :, :sq]
+    if layout == "bshd":
+        out = jnp.transpose(out, (0, 2, 1, 3))
+    return out, lse
 
 
 # ---------------------------------------------------------------------------

@@ -246,7 +246,17 @@ def ring_attention(
     batch_axes: tuple[str, ...] = ("replica", "fsdp"),
     head_axis: Optional[str] = "tensor",
     block_k: int = 1024,
+    inner: str = "auto",
 ) -> jax.Array:
+    """`inner` selects the per-chunk attention: "pallas" runs the flash
+    kernel via `flash_attention_with_lse` (the measured-fast path: the
+    blockwise-XLA inner is 2.4-4.1x slower fwd and 17-24x slower fwd+bwd
+    on-chip — PERF.md "Ring vs Ulysses"); "blockwise" is the compiled-XLA
+    online-softmax scan (works on any backend, keeps dead-block skipping);
+    "pallas_interpret" is the kernel under the Pallas interpreter (CPU
+    tests). "auto" = pallas on TPU, blockwise elsewhere."""
+    if inner == "auto":
+        inner = "pallas" if jax.default_backend() == "tpu" else "blockwise"
     sp = mesh.shape[axis]
     scale = softmax_scale if softmax_scale is not None else q.shape[-1] ** -0.5
     if sp == 1:
@@ -272,6 +282,18 @@ def ring_attention(
         b, sq, h, d = q.shape  # LOCAL shard shapes, not the global ones
 
         def partial_attn(kc, vc, seg_c, diag: bool):
+            if inner in ("pallas", "pallas_interpret"):
+                from internvideo_tpu.ops.flash_attention import (
+                    flash_attention_with_lse,
+                )
+
+                return flash_attention_with_lse(
+                    q, kc, vc, causal=(causal and diag),
+                    softmax_scale=scale,
+                    q_segment_ids=q_seg if seg_c is not None else None,
+                    kv_segment_ids=seg_c, block_k=block_k,
+                    interpret=inner == "pallas_interpret",
+                )
             return _blockwise_attention_lse(
                 q, kc, vc, causal=(causal and diag), scale=scale,
                 q_seg=q_seg, kv_seg=seg_c, block_k=block_k,

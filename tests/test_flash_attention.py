@@ -652,3 +652,83 @@ def test_segment_remap_dma_elision_parity():
             np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
             err_msg=name,
         )
+
+
+def test_with_lse_forward_matches_blockwise():
+    """flash_attention_with_lse (out, NATURAL lse) parity vs the blockwise
+    online-softmax reference (parallel/ring.py), incl. GQA, packing,
+    unaligned lengths, and empty-visibility q rows (lse == -inf, out == 0)
+    — the contract ring attention's partial merge depends on."""
+    from internvideo_tpu.ops.flash_attention import flash_attention_with_lse
+    from internvideo_tpu.parallel.ring import _blockwise_attention_lse
+
+    b, sq, sk, h, hkv, d = 2, 200, 264, 4, 2, 32
+    q, k, v = _rand_qkv(jax.random.key(3), b, sq, sk, h, d, hkv=hkv)
+    rng = np.random.default_rng(0)
+    # segment 7 appears in q only -> those q rows see no keys at all
+    qseg = np.sort(rng.integers(0, 3, (b, sq))).astype(np.int32)
+    qseg[:, -9:] = 7
+    kvseg = np.sort(rng.integers(0, 3, (b, sk))).astype(np.int32)
+    qseg, kvseg = jnp.asarray(qseg), jnp.asarray(kvseg)
+
+    for causal in (False, True):
+        out, lse = flash_attention_with_lse(
+            q, k, v, causal=causal, q_segment_ids=qseg,
+            kv_segment_ids=kvseg, interpret=True,
+            block_q=128, block_k=128,
+        )
+        ref_out, ref_lse = _blockwise_attention_lse(
+            q, k, v, causal=causal, scale=d ** -0.5,
+            q_seg=qseg, kv_seg=kvseg, block_q=64, block_k=64,
+        )
+        live = np.isfinite(np.asarray(ref_lse))
+        # empty rows: both impls agree they are empty; out rows zero
+        np.testing.assert_array_equal(np.isfinite(np.asarray(lse)), live)
+        np.testing.assert_array_equal(
+            np.asarray(out)[~live.transpose(0, 2, 1).any(-1)], 0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse)[live], np.asarray(ref_lse)[live],
+            atol=2e-5, rtol=2e-5, err_msg=f"lse causal={causal}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out),
+            atol=2e-5, rtol=2e-5, err_msg=f"out causal={causal}",
+        )
+
+
+def test_with_lse_grads_flow_through_both_outputs():
+    """The LSE cotangent folds into the backward kernels' delta term
+    (delta' = delta - g_lse): gradients of a loss that reads BOTH outputs
+    match autodiff through the blockwise reference."""
+    from internvideo_tpu.ops.flash_attention import flash_attention_with_lse
+    from internvideo_tpu.parallel.ring import _blockwise_attention_lse
+
+    b, s, h, d = 1, 192, 2, 16
+    q, k, v = _rand_qkv(jax.random.key(5), b, s, s, h, d)
+    qseg = jnp.asarray(
+        np.repeat(np.arange(3), s // 3)[None].repeat(b, 0), jnp.int32)
+    w = jax.random.normal(jax.random.key(6), (b, h, s))
+
+    def loss(fn):
+        def f(q, k, v):
+            out, lse = fn(q, k, v)
+            safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+            return jnp.sum(jnp.square(out)) + jnp.sum(w * safe)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention_with_lse(
+        q, k, v, causal=True, q_segment_ids=qseg, kv_segment_ids=qseg,
+        interpret=True, block_q=64, block_k=64,
+    ))
+    ref = loss(lambda q, k, v: _blockwise_attention_lse(
+        q, k, v, causal=True, scale=d ** -0.5, q_seg=qseg, kv_seg=qseg,
+        block_q=64, block_k=64,
+    ))
+    g_f = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(g_f, g_r, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )

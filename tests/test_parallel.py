@@ -447,3 +447,48 @@ def test_sft_step_ring_matches_ulysses():
             _, metrics = jax.jit(step)(state, sharded, jax.random.key(1))
         losses[impl] = float(metrics["loss"])
     assert abs(losses["ring"] - losses["ulysses"]) < 1e-4, losses
+
+
+def test_ring_pallas_inner_matches_blockwise():
+    """ring_attention(inner="pallas") — the measured-fast inner (PERF.md
+    "Ring vs Ulysses") — agrees with the blockwise inner and with dense XLA
+    attention, forward and grads, packed segments rotating with KV."""
+    from internvideo_tpu.parallel.ring import ring_attention
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=4, tensor=1),
+                       devices=jax.devices()[:4])
+    b, s, h, d = 1, 256, 2, 16
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+    seg = jnp.asarray(
+        np.repeat(np.arange(4), s // 4)[None].astype(np.int32))
+    sh = NamedSharding(mesh, P(None, "seq", None, None))
+    sh_seg = NamedSharding(mesh, P(None, "seq"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    segs = jax.device_put(seg, sh_seg)
+
+    ref = xla_attention(q, k, v, causal=True, q_segment_ids=seg,
+                        kv_segment_ids=seg)
+
+    def run(inner):
+        return jax.jit(lambda q, k, v, sg: ring_attention(
+            q, k, v, mesh=mesh, axis="seq", causal=True,
+            q_segment_ids=sg, inner=inner,
+        ))(qs, ks, vs, segs)
+
+    out_p = run("pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    out_b = run("blockwise")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_b),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(inner):
+        return jax.jit(jax.grad(lambda q: jnp.sum(jnp.square(
+            ring_attention(q, q, q, mesh=mesh, axis="seq", causal=True,
+                           inner=inner)))))(qs)
+
+    g_p, g_b = loss("pallas_interpret"), loss("blockwise")
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_b),
+                               atol=1e-4, rtol=1e-4)

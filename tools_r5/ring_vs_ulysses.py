@@ -100,6 +100,99 @@ def chip():
               f"({bb / pb:.2f}x)")
 
 
+def chip_ring_pallas():
+    """Per-rank compute at sp=4 with the PROMOTED pallas ring inner
+    (flash_attention_with_lse + lse merges), vs the Ulysses per-rank
+    program (full-S pallas on H/sp heads). Causal, packed x8. Ring's
+    wall-clock is its WORST rank (ranks advance in ppermute lockstep):
+    rank 3 runs 1 diagonal + 3 dense chunks; Ulysses ranks are uniform."""
+    from internvideo_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_with_lse,
+    )
+
+    sp = 4
+    for s, n_seg in ((32_768, 8),):
+        b, h, d = 1, 20, 128
+        s_loc = s // sp
+        key = jax.random.key(0)
+        q = jax.random.normal(key, (b, s, h, d), jnp.bfloat16)
+        seg = np.repeat(np.arange(n_seg), s // n_seg)[None]
+        seg = jnp.asarray(np.broadcast_to(seg, (b, s)), jnp.int32)
+        scale = d ** -0.5
+
+        # Ulysses per-rank: full S, h/sp heads
+        qu = q[:, :, : h // sp]
+
+        @jax.jit
+        def ulysses_rank(qu, seg):
+            return flash_attention(
+                qu, qu, qu, causal=True, q_segment_ids=seg,
+                kv_segment_ids=seg, softmax_scale=scale)
+
+        # Ring worst rank: q shard = last S/sp rows, 1 diag + sp-1 dense
+        q_loc = q[:, -s_loc:]
+        qseg_loc = seg[:, -s_loc:]
+
+        @jax.jit
+        def ring_rank(q_loc, q_full, qseg_loc, seg):
+            out = None
+            m = l = None
+            for step in range(sp):
+                kc = q_full[:, step * s_loc:(step + 1) * s_loc]
+                sc = seg[:, step * s_loc:(step + 1) * s_loc]
+                diag = step == sp - 1
+                o_i, lse_i = flash_attention_with_lse(
+                    q_loc, kc, kc, causal=diag, softmax_scale=scale,
+                    q_segment_ids=qseg_loc, kv_segment_ids=sc)
+                if out is None:
+                    out, m, l = o_i.astype(jnp.float32), lse_i, \
+                        jnp.ones_like(lse_i)
+                    continue
+                m_new = jnp.maximum(m, lse_i)
+                m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+                w_old = jnp.where(jnp.isfinite(m), jnp.exp(m - m_safe), 0.0)
+                w_cur = jnp.where(
+                    jnp.isfinite(lse_i), jnp.exp(lse_i - m_safe), 0.0)
+                bc = lambda w: jnp.transpose(w, (0, 2, 1))[..., None]
+                out = out * bc(w_old) + o_i.astype(jnp.float32) * bc(w_cur)
+                l = l * w_old + w_cur
+                m = m_new
+            return (out / jnp.maximum(
+                jnp.transpose(l, (0, 2, 1))[..., None], 1e-30)
+            ).astype(q_loc.dtype)
+
+        uf = timeit(ulysses_rank, qu, seg)
+        rf = timeit(ring_rank, q_loc, q, qseg_loc, seg)
+
+        @jax.jit
+        def ulysses_bwd(qu, seg):
+            return jax.grad(lambda x: jnp.sum(
+                ulysses_rank_inner(x, seg).astype(jnp.float32)))(qu)
+
+        def ulysses_rank_inner(qu, seg):
+            return flash_attention(
+                qu, qu, qu, causal=True, q_segment_ids=seg,
+                kv_segment_ids=seg, softmax_scale=scale)
+
+        @jax.jit
+        def ring_bwd(q_loc, q_full, qseg_loc, seg):
+            gq, gf = jax.grad(lambda x, y: jnp.sum(
+                ring_rank_inner(x, y, qseg_loc, seg).astype(jnp.float32)),
+                argnums=(0, 1))(q_loc, q_full)
+            return gq + gf[:, -gq.shape[1]:]  # one array for the timer sync
+
+        ring_rank_inner = ring_rank.__wrapped__
+
+        ub = timeit(ulysses_bwd, qu, seg, n=5)
+        rb = timeit(ring_bwd, q_loc, q, qseg_loc, seg, n=5)
+        print(f"S={s} sp={sp} packed x{n_seg} causal (H={h} d={d}), "
+              f"per-rank wall-clock:")
+        print(f"  fwd      ulysses {uf:7.2f} ms   ring(pallas worst-rank) "
+              f"{rf:7.2f} ms ({rf / uf:.2f}x)")
+        print(f"  fwd+bwd  ulysses {ub:7.2f} ms   ring(pallas worst-rank) "
+              f"{rb:7.2f} ms ({rb / ub:.2f}x)")
+
+
 def mesh():
     """Comms accounting on the 8-dev CPU mesh at sp=4."""
     import re
@@ -126,21 +219,28 @@ def mesh():
             n = 0
             for line in hlo.splitlines():
                 stripped = line.strip()
-                if re.match(rf"%?\S+ = \S+ {kind}\(", stripped) or (
-                    f" {kind}(" in stripped and "= " in stripped
-                    and "fusion" not in stripped
-                ):
-                    shape = re.search(r"= (\w+)\[([\d,]*)\]", stripped)
-                    if shape:
-                        dt, dims = shape.groups()
-                        bytes_per = {"f32": 4, "bf16": 2, "s32": 4,
-                                     "f8e4m3fn": 1}.get(dt, 4)
-                        numel = 1
-                        for x in dims.split(","):
-                            if x:
-                                numel *= int(x)
-                        tot += numel * bytes_per
-                        n += 1
+                # An op APPLICATION is "<result> = <type> <opname>(...)";
+                # operand mentions are "%name" (no following paren), so
+                # " {kind}(" with a leading space only hits applications.
+                if f" {kind}(" not in stripped or " = " not in stripped:
+                    continue
+                if "get-tuple-element" in stripped:
+                    continue
+                # Result type may be a bare array `f32[...]` or a tuple
+                # `(f32[...], f32[...], ...)` — sum every element.
+                lhs = stripped.split(f" {kind}(")[0]
+                op_bytes = 0
+                for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", lhs):
+                    bytes_per = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4,
+                                 "f8e4m3fn": 1}.get(dt, 4)
+                    numel = 1
+                    for x in dims.split(","):
+                        if x:
+                            numel *= int(x)
+                    op_bytes += numel * bytes_per
+                if op_bytes:
+                    tot += op_bytes
+                    n += 1
             out[kind] = (n, tot)
         return out
 
@@ -161,11 +261,17 @@ def mesh():
             f"{k}: n={v[0]} bytes={v[1]:,}" for k, v in stats.items()
             if v[0]
         ))
+        if name == "ring" and stats["collective-permute"][0]:
+            # ring's permutes sit in the lax.scan body: static count is one
+            # step's worth, executed (sp-1) times per forward.
+            n, b = stats["collective-permute"]
+            print(f"  (scan body: executed sp-1=3x -> {3 * b:,} bytes/fwd)")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--chip", action="store_true")
+    ap.add_argument("--chip-ring-pallas", action="store_true")
     ap.add_argument("--mesh", action="store_true")
     args = ap.parse_args()
     if args.mesh:
@@ -174,3 +280,5 @@ if __name__ == "__main__":
         mesh()
     if args.chip:
         chip()
+    if args.chip_ring_pallas:
+        chip_ring_pallas()
