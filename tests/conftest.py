@@ -13,9 +13,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_timeout" not in flags:
+    # The virtual devices time-share the host's cores, so collective
+    # participants can arrive far apart at the biggest shapes. This flag
+    # raises the collectives-queue timeout. It does NOT raise the
+    # in-process rendezvous terminate timeout (hard 40s in this jaxlib,
+    # rendezvous.cc — the xla_cpu_collective_call_*_seconds knobs are not
+    # plumbed); big tests must instead keep total compute between two
+    # collectives under that budget — see
+    # test_long_context.py::test_sft_262k_sp4_executed's sizing note.
+    flags += " --xla_cpu_collective_timeout_seconds=3600"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
