@@ -475,6 +475,32 @@ def main():
         _sync(tok)
         ddt = max(time.perf_counter() - t0 - dbase, 1e-9)
         extra["llm_decode_int8_tokens_per_sec"] = round(lb * (ln - 1) / ddt)
+
+        # int8_mix serving (same int8 params): prefill dispatches ride the
+        # dynamic-int8 XLA path on the int8 MXU — measured 34.6k tok/s =
+        # 82% effective MFU vs 28.3k/67% bf16 (PERF.md "r5 follow-up 2")
+        mixmodel = MLATransformer(_dc.replace(lcfg, quant="int8_mix"))
+
+        @_partial(jax.jit, donate_argnums=(2,))
+        def _serve_prefill_mix(p, ids, pages):
+            out = mixmodel.apply(p, ids, pages, tables, lpage,
+                                 method="prefill_paged")
+            return out.logits[:, -1].argmax(-1).astype(jnp.int32), out.caches
+
+        tok, qpages = _serve_prefill_mix(qparams, lids, qpages)
+        _sync(tok)
+        tok, qpages = _serve_prefill_mix(qparams, lids, qpages)
+        _sync(tok)
+        t0 = time.perf_counter()
+        tok, qpages = _serve_prefill_mix(qparams, lids, qpages)
+        _sync(tok)
+        pbase = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(4):
+            tok, qpages = _serve_prefill_mix(qparams, lids, qpages)
+        _sync(tok)
+        pdt = max(time.perf_counter() - t0 - pbase, 1e-9)
+        extra["llm_prefill_int8_tokens_per_sec"] = round(lb * lctx * 3 / pdt)
         del qparams, qpages
         gc.collect()
     except Exception as e:  # noqa: BLE001

@@ -52,8 +52,11 @@ class LLMConfig:
     # serving-time weight quantization: "int8_wo" stores MLP/attention/
     # lm_head kernels as int8 + per-out-channel scales (ops/quant.py
     # Int8WoDense) — decode is weight-stream bound, so int8 bytes ≈ halve
-    # the step; populate params via ops.quant.quantize_params_like
-    quant: Optional[str] = None  # None | "int8_wo"
+    # the step; populate params via ops.quant.quantize_params_like.
+    # "int8_mix" = the same params, but compute-bound dispatches (prefill:
+    # M >= INT8_MIX_DYN_M rows) take the fused dynamic-int8 Pallas GEMM
+    # (int8 MXU at ~2x bf16 rate) while decode keeps exact weight-only math
+    quant: Optional[str] = None  # None | "int8_wo" | "int8_mix"
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
@@ -79,13 +82,19 @@ class SwiGLU(nn.Module):
         d = x.shape[-1]
 
         def dense(feats, name, logical):
-            if self.quant == "int8_wo":
-                from internvideo_tpu.ops.quant import Int8WoDense
+            if self.quant in ("int8_wo", "int8_mix"):
+                from internvideo_tpu.ops.quant import (
+                    INT8_MIX_DYN_M,
+                    Int8WoDense,
+                )
 
                 return Int8WoDense(
                     feats, use_bias=False, dtype=self.dtype,
                     param_dtype=self.param_dtype, logical=logical,
                     name=name,
+                    dyn_m_threshold=(
+                        INT8_MIX_DYN_M if self.quant == "int8_mix" else None
+                    ),
                 )
             if self.fp8 is not None:
                 from internvideo_tpu.ops.fp8 import Fp8Dense
@@ -192,9 +201,12 @@ class MLATransformer(nn.Module):
         ]
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=dtype)
         if not cfg.tie_word_embeddings:
-            if cfg.quant == "int8_wo":
+            if cfg.quant in ("int8_wo", "int8_mix"):
                 from internvideo_tpu.ops.quant import Int8WoDense
 
+                # lm_head stays weight-only even under int8_mix: prefill
+                # only scores the final position (tiny M), and N=vocab is
+                # far past the fused kernel's full-N VMEM budget
                 self.lm_head = Int8WoDense(
                     cfg.vocab_size, use_bias=False, dtype=dtype,
                     param_dtype=pdtype, logical=("embed", "vocab"),

@@ -83,13 +83,19 @@ class MLAttention(nn.Module):
         cfg = self.cfg
 
         def dense(feats, name, use_bias, logical):
-            if self.quant == "int8_wo":
-                from internvideo_tpu.ops.quant import Int8WoDense
+            if self.quant in ("int8_wo", "int8_mix"):
+                from internvideo_tpu.ops.quant import (
+                    INT8_MIX_DYN_M,
+                    Int8WoDense,
+                )
 
                 return Int8WoDense(
                     feats, use_bias=use_bias, dtype=self.dtype,
                     param_dtype=self.param_dtype, logical=logical,
                     name=name,
+                    dyn_m_threshold=(
+                        INT8_MIX_DYN_M if self.quant == "int8_mix" else None
+                    ),
                 )
             return nn.Dense(
                 feats, use_bias=use_bias, dtype=self.dtype,

@@ -37,8 +37,32 @@ def int8_matmul(
     *,
     dynamic_activations: bool = True,
     out_dtype=jnp.float32,
+    fused: str = "auto",  # "auto" | "pallas" | "xla" | "pallas_interpret"
 ) -> jax.Array:
     if dynamic_activations:
+        from internvideo_tpu.ops import int8_gemm
+
+        # "auto" routes to XLA, NOT the Pallas kernel: in-model, XLA
+        # producer-fuses quantize_int8 into whatever computes x (gelu,
+        # norms, rescales), so the "separate quant pass" only exists for
+        # cold HBM inputs — measured on the bias+gelu+residual MLP stack
+        # at encoder shapes: xla-i8 6.97 ms/layer vs pallas 7.50 vs dense
+        # 8.46 (tools_r5/int8_fused_bench.py, PERF.md "Quantized GEMM" r5).
+        # The kernel wins 1.6-1.9x isolated (cold x) — reach it with
+        # fused="pallas" when the input has no fusable producer.
+        use_pallas = fused in ("pallas", "pallas_interpret")
+        if use_pallas:
+            # in-kernel activation quantization: no separate quant pass
+            # over HBM (PERF.md "Quantized GEMM", the fused epilogue);
+            # blocks from the measured policy (full-N whenever it fits)
+            import numpy as np
+
+            m = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+            blocks = int8_gemm.pick_blocks(m, *w_q.shape) or (512, 512)
+            return int8_gemm.int8_matmul_fused(
+                x, w_q, w_scale, out_dtype, *blocks,
+                fused == "pallas_interpret",
+            )
         x_q, x_scale = quantize_int8(x, axis=-1)
         acc = jax.lax.dot_general(
             x_q, w_q,
@@ -136,9 +160,14 @@ class Int8Dense(nn.Module):
             (1, self.features),
             jnp.float32,
         )
+        # out_dtype = compute dtype: the kernel's epilogue rescales in f32
+        # and stores the narrow dtype directly — a f32 (M, N) output would
+        # cost 2x the HBM temp footprint per projection (at B=16 encoder
+        # shapes the f32 temps OOM'd 30 GB of HBM; the rescale math is f32
+        # either way, only the store narrows)
         y = int8_matmul(
             x, kernel_q, scale, dynamic_activations=True,
-            out_dtype=jnp.float32,
+            out_dtype=self.dtype,
         )
         if self.use_bias:
             bias = self.param(
@@ -184,6 +213,11 @@ def quantize_params_like(abstract_int8_params, params):
     return walk(abstract_int8_params, params)
 
 
+# "int8_mix" serving mode: rows at/above this take the dynamic-int8 fused
+# GEMM (prefill dispatches are >= 2048 tokens; decode batches are << this)
+INT8_MIX_DYN_M = 1024
+
+
 class Int8WoDense(nn.Module):
     """Weight-only int8 serving linear (decode path).
 
@@ -195,6 +229,14 @@ class Int8WoDense(nn.Module):
     activations stay bf16: the int8→bf16 convert fuses into the dot as an
     operand, and the per-out-channel scale is applied AFTER the GEMM so the
     weight never materializes in bf16.
+
+    `dyn_m_threshold` (the "int8_mix" serving mode): at or above this many
+    flattened rows the call switches to the dynamic-int8 fused GEMM — the
+    SAME int8 params, but the activations absmax-quantize in VMEM and the
+    dot rides the int8 MXU (394 TOPs vs ~197 bf16 on v5e). jit specializes
+    on shapes, so prefill (M = B*S, compute-bound) takes the dynamic path
+    while decode (M = B, weight-stream bound) keeps the exact weight-only
+    math above — no phase flag reaches the module.
     """
 
     features: int
@@ -202,9 +244,12 @@ class Int8WoDense(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32  # bias dtype
     logical: tuple = ("embed", "mlp")
+    dyn_m_threshold: Optional[int] = None  # None = always weight-only
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import numpy as np
+
         k = x.shape[-1]
         kernel_q = self.param(
             "kernel_q",
@@ -222,10 +267,20 @@ class Int8WoDense(nn.Module):
             (1, self.features),
             jnp.float32,
         )
-        y = jnp.dot(
-            x.astype(self.dtype), kernel_q.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        m = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+        if self.dyn_m_threshold is not None and m >= self.dyn_m_threshold:
+            # narrow store (see Int8Dense): the kernel rescales in f32
+            # internally; f32 (M, N) temps around un-remat-able custom
+            # calls are what OOM'd the B=16 encoder
+            y = int8_matmul(
+                x, kernel_q, scale, dynamic_activations=True,
+                out_dtype=self.dtype,
+            )
+        else:
+            y = jnp.dot(
+                x.astype(self.dtype), kernel_q.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
         if self.use_bias:
             bias = self.param(
                 "bias",

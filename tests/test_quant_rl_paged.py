@@ -356,3 +356,65 @@ def test_int8_wo_decode_parity():
         np.asarray(out_q.logits), np.asarray(out_ref.logits),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_int8_mix_prefill_and_decode():
+    """int8_mix serving mode (LLMConfig.quant='int8_mix'): decode-sized
+    dispatches (M < INT8_MIX_DYN_M) are BIT-identical to int8_wo (same
+    weight-only math), while prefill-sized dispatches take the dynamic-int8
+    path off the same params and stay within activation-rounding tolerance
+    of int8_wo."""
+    import dataclasses
+
+    from flax import linen as nn
+
+    from internvideo_tpu.models.llm import (
+        LLMConfig, MLATransformer, init_paged_cache,
+    )
+    from internvideo_tpu.ops.quant import quantize_params_like
+
+    cfg = LLMConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, intermediate_size=48,
+        mrope_section=None,
+        mla=MLAConfig(hidden_size=32, num_heads=2, kv_lora_rank=16,
+                      qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8),
+        attn_impl="xla",
+    )
+    model = MLATransformer(cfg)
+    wo_model = MLATransformer(dataclasses.replace(cfg, quant="int8_wo"))
+    mix_model = MLATransformer(dataclasses.replace(cfg, quant="int8_mix"))
+    b, s = 2, 512  # M = 1024 = INT8_MIX_DYN_M -> prefill takes the dyn path
+    ids = jax.random.randint(jax.random.key(1), (b, s), 0, 64)
+    params = nn.unbox(model.init(jax.random.key(0), ids))
+    qabstract = nn.unbox(
+        jax.eval_shape(wo_model.init, jax.random.key(0), ids)
+    )
+    qparams = quantize_params_like(qabstract, params)
+
+    # prefill-shaped forward: dynamic-int8 vs weight-only, same int8 params
+    out_wo = wo_model.apply(qparams, ids)
+    out_mix = mix_model.apply(qparams, ids)
+    np.testing.assert_allclose(
+        np.asarray(out_mix.logits, np.float32),
+        np.asarray(out_wo.logits, np.float32),
+        atol=0.15, rtol=0.15,  # activation absmax rounding only
+    )
+    # ranking survives the activation quant on most positions
+    agree = np.mean(
+        np.argmax(np.asarray(out_mix.logits, np.float32), -1)
+        == np.argmax(np.asarray(out_wo.logits, np.float32), -1)
+    )
+    assert agree > 0.9, agree
+
+    # decode-shaped dispatch: bit-identical to int8_wo
+    pages, tables = init_paged_cache(cfg, b, 16, 4, jnp.float32)
+    qpages = jax.tree.map(lambda x: x.copy(), pages)
+    seq = jnp.zeros((b,), jnp.int32)
+    tok = jnp.zeros((b, 1), jnp.int32)
+    d_wo = wo_model.apply(qparams, tok, pages, tables, seq, 4,
+                          method="decode_step_paged")
+    d_mix = mix_model.apply(qparams, tok, qpages, tables, seq, 4,
+                            method="decode_step_paged")
+    np.testing.assert_array_equal(
+        np.asarray(d_mix.logits), np.asarray(d_wo.logits)
+    )
