@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -50,13 +51,10 @@ def int8_matmul(
         # 8.46 (tools_r5/int8_fused_bench.py, PERF.md "Quantized GEMM" r5).
         # The kernel wins 1.6-1.9x isolated (cold x) — reach it with
         # fused="pallas" when the input has no fusable producer.
-        use_pallas = fused in ("pallas", "pallas_interpret")
-        if use_pallas:
+        if fused in ("pallas", "pallas_interpret"):
             # in-kernel activation quantization: no separate quant pass
             # over HBM (PERF.md "Quantized GEMM", the fused epilogue);
             # blocks from the measured policy (full-N whenever it fits)
-            import numpy as np
-
             m = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
             blocks = int8_gemm.pick_blocks(m, *w_q.shape) or (512, 512)
             return int8_gemm.int8_matmul_fused(
@@ -154,8 +152,10 @@ class Int8Dense(nn.Module):
         )
         scale = self.param(
             "scale",
+            # rank must match the (1, N) shape: dim 0 is the broadcast
+            # singleton (unsharded), dim 1 follows the kernel's out axis
             nn.with_logical_partitioning(
-                nn.initializers.ones_init(), (self.logical[1],)
+                nn.initializers.ones_init(), (None, self.logical[1])
             ),
             (1, self.features),
             jnp.float32,
@@ -189,7 +189,6 @@ def quantize_params_like(abstract_int8_params, params):
     quantizes the source tree's `kernel` at the same path (per-out-channel
     absmax); all other leaves are copied (cast to the abstract dtype).
     """
-    import numpy as np
 
     def walk(abstract, source):
         if isinstance(abstract, dict):
@@ -248,8 +247,6 @@ class Int8WoDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        import numpy as np
-
         k = x.shape[-1]
         kernel_q = self.param(
             "kernel_q",
@@ -261,8 +258,10 @@ class Int8WoDense(nn.Module):
         )
         scale = self.param(
             "scale",
+            # rank must match the (1, N) shape: dim 0 is the broadcast
+            # singleton (unsharded), dim 1 follows the kernel's out axis
             nn.with_logical_partitioning(
-                nn.initializers.ones_init(), (self.logical[1],)
+                nn.initializers.ones_init(), (None, self.logical[1])
             ),
             (1, self.features),
             jnp.float32,

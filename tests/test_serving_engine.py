@@ -298,3 +298,69 @@ def test_engine_tensor_sharded_token_parity():
     got = run(sharded_eng)
     for e, g in zip(expected, got):
         np.testing.assert_array_equal(e, g)
+
+
+def test_engine_tensor_sharded_int8_mix_token_parity():
+    """The production quant setting composes with the tensor-sharded
+    engine: int8_mix params (int8 kernels + per-out-channel scales,
+    logical-axis sharded) serve over a tp=2 mesh with tokens IDENTICAL
+    to the single-device int8_mix engine — decode dispatches are exact
+    weight-only math on both, and the dyn-int8 prefill threshold lives
+    below the bucket sizes here, so parity is bitwise."""
+    from flax import linen as nn
+
+    from internvideo_tpu.core.mesh import (
+        MeshConfig, create_mesh, logical_axis_rules,
+    )
+    from internvideo_tpu.ops.quant import quantize_params_like
+    from internvideo_tpu.train.state import param_shardings
+
+    cfg = LLMConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, intermediate_size=64,
+        mrope_section=None,
+        mla=MLAConfig(
+            hidden_size=32, num_heads=4, kv_lora_rank=16,
+            qk_rope_head_dim=8, qk_nope_head_dim=8, v_head_dim=8,
+        ),
+        dtype="float32", param_dtype="float32",
+        attn_impl="pallas_interpret",
+        quant="int8_mix",
+    )
+    model = MLATransformer(cfg)
+    base = MLATransformer(dataclasses.replace(cfg, quant=None))
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, 96, size=n).astype(np.int32)
+               for n in (3, 7, 12)]
+    n_new = 5
+
+    mesh = create_mesh(MeshConfig(replica=1, fsdp=1, seq=1, tensor=2),
+                       devices=jax.devices()[:2])
+    rules = logical_axis_rules()
+    with mesh, nn.logical_axis_rules(list(rules)):
+        boxed = model.init(jax.random.key(0), ids0)
+        shardings = param_shardings(boxed, mesh, rules)
+    # quantize a trained-looking dense tree onto the int8 abstract tree,
+    # then place it sharded (the production conversion order)
+    dense_params = nn.unbox(base.init(jax.random.key(0), ids0))
+    qparams = quantize_params_like(nn.unbox(boxed), dense_params)
+    sharded_params = jax.device_put(qparams, nn.unbox(shardings))
+
+    def run(engine):
+        rids = [engine.submit(p, n_new) for p in prompts]
+        outs = engine.run()
+        return [outs[r] for r in rids]
+
+    single = ServingEngine(
+        model, qparams, max_batch=2, page_size=4, num_pages=32,
+        max_len=32, prompt_buckets=(4, 8, 16),
+    )
+    expected = run(single)
+
+    sharded_eng = ServingEngine(
+        model, sharded_params, max_batch=2, page_size=4, num_pages=32,
+        max_len=32, prompt_buckets=(4, 8, 16), mesh=mesh,
+    )
+    got = run(sharded_eng)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
