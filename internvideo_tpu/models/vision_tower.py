@@ -124,7 +124,7 @@ class _VisionBlock(nn.Module):
     cfg: VisionTowerConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids=None):
+    def __call__(self, x, cos, sin):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
@@ -144,10 +144,7 @@ class _VisionBlock(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn = dot_product_attention(
-            q, k, v, impl=cfg.attn_impl,
-            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
-        )
+        attn = dot_product_attention(q, k, v, impl=cfg.attn_impl)
         attn = dense(d, "proj", ("heads", "embed"))(
             attn.reshape(b, s, d)
         )
@@ -247,19 +244,22 @@ class VisionTower(nn.Module):
         pos = jnp.tile(pos, (gt, 1)).astype(dtype)
         x = x + pos[None]
 
-        cos, sin = _vision_rope_tables(gt, gh, gw, cfg.head_dim)
-
         # attention is PER TEMPORAL FRAME: the reference's cu_seqlens are
         # repeat_interleave(h*w, t) (modeling_vision.py:498-502) — each of
-        # the gt segments of gh*gw tokens attends only within itself
-        seg = jnp.broadcast_to(
-            jnp.repeat(jnp.arange(gt, dtype=jnp.int32) + 1, gh * gw)[None],
-            (b, gt * gh * gw),
-        )
+        # the gt segments of gh*gw tokens attends only within itself. The
+        # segments are uniform (gt frames x gh*gw tokens) and every
+        # per-token table (pos embed, rope) is tiled identically per frame,
+        # so folding gt into the batch dim is EXACT: no segment-id masking,
+        # and attention runs batched dense at S=gh*gw instead of packed at
+        # S=gt*gh*gw where (on TPU) most of each 1024-wide kernel block was
+        # masked cross-frame waste (the r5 TTFT lever: the 128-frame tower
+        # spent ~half its attention time on masked blocks).
+        cos, sin = _vision_rope_tables(1, gh, gw, cfg.head_dim)
+        x = x.reshape(b * gt, gh * gw, cfg.hidden_size)
 
         deepstack = []
         for i in range(cfg.num_layers):
-            x = _VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
+            x = _VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin)
             if i in cfg.deepstack_indexes:
-                deepstack.append(x)
-        return x, deepstack
+                deepstack.append(x.reshape(b, gt * gh * gw, cfg.hidden_size))
+        return x.reshape(b, gt * gh * gw, cfg.hidden_size), deepstack
