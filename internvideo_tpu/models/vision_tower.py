@@ -47,6 +47,11 @@ class VisionTowerConfig:
     dtype: str = "float32"
     param_dtype: str = "float32"
     attn_impl: str = "auto"
+    # "int8" = serving-time Int8Dense block projections (dynamic-int8 on
+    # the int8 MXU — the tower is GEMM-dominated and compute-bound, the
+    # shape regime where dynamic int8 wins; see PERF.md "Quantized GEMM").
+    # Convert trained params once with ops.quant.quantize_params_like.
+    quant: str | None = None
 
     @property
     def head_dim(self) -> int:
@@ -132,6 +137,13 @@ class _VisionBlock(nn.Module):
         h = LayerNorm(eps=1e-6, dtype=dtype, name="norm1")(x)
 
         def dense(feats, name, logical=("embed", "heads")):
+            if cfg.quant == "int8":
+                from internvideo_tpu.ops.quant import Int8Dense
+
+                return Int8Dense(
+                    feats, use_bias=True, dtype=dtype, param_dtype=pdtype,
+                    logical=tuple(logical), name=name,
+                )
             return nn.Dense(
                 feats, dtype=dtype, param_dtype=pdtype,
                 kernel_init=nn.with_logical_partitioning(

@@ -418,3 +418,39 @@ def test_int8_mix_prefill_and_decode():
     np.testing.assert_array_equal(
         np.asarray(d_mix.logits), np.asarray(d_wo.logits)
     )
+
+
+def test_int8_vision_tower_accuracy():
+    """Serving-int8 vision tower (VisionTowerConfig.quant='int8'): int8
+    block projections off quantize_params_like-converted params stay
+    within the ~0.1%-relative band the int8 encoder budgets, and the
+    deepstack taps keep their shapes."""
+    import dataclasses
+
+    from flax import linen as nn
+
+    from internvideo_tpu.models.vision_tower import (
+        VisionTower, VisionTowerConfig,
+    )
+    from internvideo_tpu.ops.quant import quantize_params_like
+
+    cfg = VisionTowerConfig(
+        hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+        patch_size=8, pos_embed_grid=8, deepstack_indexes=(0,),
+        text_hidden_size=48, attn_impl="xla",
+    )
+    model = VisionTower(cfg)
+    qmodel = VisionTower(dataclasses.replace(cfg, quant="int8"))
+    video = jax.random.normal(jax.random.key(0), (1, 4, 16, 16, 3))
+    params = nn.unbox(model.init(jax.random.key(1), video))
+    qabstract = nn.unbox(jax.eval_shape(qmodel.init, jax.random.key(1), video))
+    qparams = quantize_params_like(qabstract, params)
+
+    toks, taps = model.apply(params, video)
+    qtoks, qtaps = qmodel.apply(qparams, video)
+    assert qtoks.shape == toks.shape
+    assert len(qtaps) == len(taps) and qtaps[0].shape == taps[0].shape
+    rel = np.linalg.norm(np.asarray(qtoks - toks)) / np.linalg.norm(
+        np.asarray(toks)
+    )
+    assert rel < 2e-2, rel
